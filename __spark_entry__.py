@@ -1,38 +1,221 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-10 over the sf0.001 documents table.
+``queries()`` / ``oracle_sql()`` — per-operator DataFrame builders and
+their DuckDB-equivalent SQL, compared by the driver at sf=0.01
+(row-count + schema + order-insensitive value-hash).
+
+All aggregates are cast to ``bigint``/``double`` and floats rounded on
+BOTH sides so the hash compare is type- and epsilon-stable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from inverted_index_and_search_spark.operators import index_build as ib  # noqa: E402
+from inverted_index_and_search_spark.operators import query as q  # noqa: E402
+from inverted_index_and_search_spark.tokenizer import tokens_sql_duckdb  # noqa: E402
+
+#: DuckDB fragment tokenizing the `documents.text` column identically
+#: to the engine's canonical tokenizer (tests/test_tokenizer.py proves
+#: byte-parity of the two).
+_TOK = tokens_sql_duckdb("text")
+
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY term, doc_id
+)
+"""
+
+#: fixture query-term sets drawn from the testdata vocabulary
+Q_AND = ["table", "query"]
+Q_AND_MISSING = ["table", "zzznotaterm"]
+Q_BM25 = ["spark", "join", "fast"]
+Q_BM25_RARE = ["dup"]
+
+K1, B = 1.2, 0.75
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str) -> ib.Index:
+    return ib.build_index(_docs(spark, sf_dir), content_col="text", id_col="doc_id")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a multi-term query on sf0.001."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    return q.bm25_topk(idx, Q_BM25, k=10)
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = ib.tokens(_docs(spark, sf_dir), content_col="text", id_col="doc_id")
+    return ib.term_doc_tf(tok).select(
+        "term", F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tf").cast("long").alias("tf"),
+    )
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index(spark, sf_dir).postings.select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index(spark, sf_dir).doc_stats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+        "content_sha256",
+    )
+
+
+def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return idx.doc_stats.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+
+
+def _q_postings_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference text-sink parity: `term \\t doc:tf \\t ...` with postings
+    in doc_id order (typed equivalent of inverted_index_search.py:220-222)."""
+    idx = _index(spark, sf_dir)
+    line = F.concat_ws(
+        "\t",
+        F.transform(
+            "postings",
+            lambda p: F.concat_ws(":", p["doc_id"].cast("string"), p["tf"].cast("string")),
+        ),
+    )
+    return idx.postings.select("term", line.alias("postings_line"))
+
+
+def _q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q.boolean_and(_index(spark, sf_dir), Q_AND).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def _q_boolean_and_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q.boolean_and(_index(spark, sf_dir), Q_AND_MISSING).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def _bm25_rounded(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    res = q.bm25_topk(_index(spark, sf_dir), terms, k=10)
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "term_tf": _q_term_tf,
+        "term_stats": _q_term_stats,
+        "doc_stats": _q_doc_stats,
+        "collection_stats": _q_collection_stats,
+        "postings_fmt": _q_postings_fmt,
+        "boolean_and": _q_boolean_and,
+        "boolean_and_missing": _q_boolean_and_missing,
+        "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
+        "bm25_top10_rare": lambda s, d: _bm25_rounded(s, d, Q_BM25_RARE),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+def _sql_in(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def _bm25_sql(terms: list[str]) -> str:
+    return f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+qt AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ({_sql_in(terms)}) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - qt.df + 0.5) / (qt.df + 0.5))
+              * (tf.tf * {K1 + 1.0})
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _boolean_sql(terms: list[str]) -> str:
+    n = len(set(terms))
+    return f"""
+WITH {_TOK_CTE}
+SELECT doc_id::BIGINT AS doc_id FROM tf
+WHERE term IN ({_sql_in(terms)})
+GROUP BY doc_id HAVING count(DISTINCT term) = {n}
+ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_tf": f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
+        "term_stats": f"""
+WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+""",
+        "doc_stats": f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(dl.dl, 0)::BIGINT AS dl,
+       sha256(d.text) AS content_sha256
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+""",
+        "collection_stats": f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+alld AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id)
+SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM alld
+""",
+        "postings_fmt": f"""
+WITH {_TOK_CTE}
+SELECT term,
+       string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, chr(9) ORDER BY doc_id) AS postings_line
+FROM tf GROUP BY term
+""",
+        "boolean_and": _boolean_sql(Q_AND),
+        "boolean_and_missing": _boolean_sql(Q_AND_MISSING),
+        "bm25_top10": _bm25_sql(Q_BM25),
+        "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),
+    }

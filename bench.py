@@ -1,0 +1,126 @@
+"""Bench harness — headline numbers for the driver (one JSON line).
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1):
+
+- ``index_build_docs``   — inverted-index build + persist over the
+  testdata ``documents`` table (the driver's corpus).
+- ``index_build_synth``  — same pipeline over the deterministic
+  synthetic source-code corpus (BASELINE.json input_hint shape),
+  sized by sf: ~200k docs/sf (sf0.1 -> 20k files). This is the
+  headline throughput number compared against the reference's
+  7.62 MB/s / 12.9 files/s (BASELINE.md).
+- ``bm25_p50``           — median BM25 top-10 latency over the fixture
+  query set against the persisted index.
+- ``boolean_p50``        — median boolean-AND latency.
+
+Value = total wall seconds of the headline section. Extra metrics
+(files/s, MB/s) go into the JSON under "extra" — the driver's graded
+fields stay per contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from inverted_index_and_search_spark.corpus import corpus_df, with_doc_id  # noqa: E402
+from inverted_index_and_search_spark.operators import index_build as ib  # noqa: E402
+from inverted_index_and_search_spark.operators import query as q  # noqa: E402
+from inverted_index_and_search_spark.session import get_spark  # noqa: E402
+
+BM25_QUERIES = [
+    ["spark", "join", "fast"],
+    ["table", "query"],
+    ["dup"],
+    ["hash", "agg", "scan", "batch"],
+    ["value"],
+    ["window", "stream"],
+    ["customer", "order", "line"],
+    ["zzznotaterm"],
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark(app_name="bench")
+    tmp = tempfile.mkdtemp(prefix="iis_bench_")
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    try:
+        # --- index build over the driver's documents table
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        idx = ib.build_index(docs, content_col="text", id_col="doc_id",
+                             use_pandas_udf=True)
+        ib.write_index(idx, f"{tmp}/idx_docs")
+        queries["index_build_docs"] = time.perf_counter() - t0
+
+        # --- index build over the synthetic source-code corpus
+        n_synth = max(200, int(200_000 * sf))
+        corpus = with_doc_id(corpus_df(spark, n_synth))
+        corpus_bytes = corpus.agg(F.sum(F.length("content"))).collect()[0][0]
+        t0 = time.perf_counter()
+        sidx = ib.build_index(corpus, use_pandas_udf=True, salt_hot_terms=True)
+        ib.write_index(sidx, f"{tmp}/idx_synth")
+        dt = time.perf_counter() - t0
+        queries["index_build_synth"] = dt
+        extra["synth_files"] = n_synth
+        extra["synth_mb"] = round(corpus_bytes / 1e6, 2)
+        extra["synth_files_per_sec"] = round(n_synth / dt, 2)
+        extra["synth_mb_per_sec"] = round(corpus_bytes / 1e6 / dt, 2)
+
+        # --- query latencies against the persisted docs index
+        pidx = ib.read_index(spark, f"{tmp}/idx_docs")
+        pidx.postings.cache().count()
+        pidx.doc_stats.cache().count()
+        pidx.collection_stats()
+        lat_bm25, lat_bool = [], []
+        for terms in BM25_QUERIES:
+            t0 = time.perf_counter()
+            q.bm25_topk(pidx, terms, k=10).collect()
+            lat_bm25.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            q.boolean_and(pidx, terms).collect()
+            lat_bool.append(time.perf_counter() - t0)
+        queries["bm25_p50"] = statistics.median(lat_bm25)
+        queries["boolean_p50"] = statistics.median(lat_bool)
+        extra["bm25_p95"] = sorted(lat_bm25)[int(0.95 * (len(lat_bm25) - 1))]
+        extra["docs_rows"] = n_docs
+
+        total = sum(queries.values())
+        print(json.dumps({
+            "metric": "index-build + BM25 query wall time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in queries.items()},
+            "sf": sf,
+            "extra": extra,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

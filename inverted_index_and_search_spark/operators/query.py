@@ -1,0 +1,144 @@
+"""Query evaluation: boolean AND (reference parity) + BM25 top-k.
+
+Reference semantics being matched (``search-query.py:53-73``):
+query terms are lowercased (L54); a term absent from the index
+short-circuits to an empty result (L61-62); the boolean result is the
+sorted intersection of the terms' doc sets (L69-73).
+
+North-rule additions: BM25 ranking (k1=1.2, b=0.75, Lucene-style
+non-negative IDF), deterministic tie-break (score desc, doc_id asc),
+LIMIT k. This DataFrame path scores via exploded postings + a broadcast
+doc-stats join; the compressed-segment/WAND path lives in
+``operators.wand`` and must be rank-identical to this one.
+
+Scale notes: the per-query touched data is only the postings rows of
+the query's terms — with the bucketed layout the scan prunes to
+``term_bucket IN (buckets(terms))`` parquet partitions, then a
+row-group-level ``term IN (...)`` pushed filter. Doc-stats join is an
+explicit ``F.broadcast`` (dl table is ~16 bytes/doc; at 10^12 docs one
+would instead pre-join dl into the postings at build time — noted in
+segments.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inverted_index_and_search_spark.operators.index_build import (
+    Index,
+    term_bucket_col,
+)
+
+K1 = 1.2
+B = 0.75
+
+
+def _norm_terms(terms: list[str]) -> list[str]:
+    """Lowercase + dedup + sort — canonical query form (matches oracle)."""
+    return sorted({t.lower() for t in terms})
+
+
+def _query_postings(index: Index, norm: list[str], n_buckets: int | None = None) -> DataFrame:
+    """Postings rows for the query's terms, with bucket pruning when the
+    postings DF carries term_bucket (persisted layout)."""
+    p = index.postings
+    if "term_bucket" in p.columns:
+        # Partition-pruned scan: xxhash64 is only exposed as an
+        # expression, so evaluate the query terms' buckets with a
+        # 1-row-per-term local DataFrame (no shuffle, trivial job),
+        # then prune to `term_bucket IN (...)` — Catalyst turns this
+        # into parquet directory pruning on the persisted layout.
+        bdf = p.sparkSession.createDataFrame([(t,) for t in norm], "term string")
+        nb = n_buckets or 32
+        bvals = [r[0] for r in bdf.select(term_bucket_col(F.col("term"), nb)).collect()]
+        p = p.filter(F.col("term_bucket").isin(bvals))
+    return p.filter(F.col("term").isin(norm))
+
+
+def boolean_and(index: Index, terms: list[str]) -> DataFrame:
+    """All docs containing every query term — (doc_id) sorted asc.
+
+    Declarative intersection: explode the ≤k terms' postings, count
+    distinct matched terms per doc, keep docs matching all k. The
+    missing-term short-circuit falls out of the count: if any term has
+    no postings row, no doc can reach n_matched == k.
+    """
+    norm = _norm_terms(terms)
+    spark = index.postings.sparkSession
+    if not norm:
+        return spark.createDataFrame([], "doc_id long")
+    qp = _query_postings(index, norm)
+    exploded = qp.select("term", F.explode("postings").alias("p")).select(
+        "term", F.col("p.doc_id").alias("doc_id")
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_matched"))
+        .filter(F.col("n_matched") == len(norm))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def bm25_topk(
+    index: Index,
+    terms: list[str],
+    k: int = 10,
+    *,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """(doc_id, score) — BM25 top-k, score desc then doc_id asc.
+
+    Disjunctive by default (standard BM25); ``conjunctive=True`` scores
+    only docs containing all terms (and inherits the missing-term
+    short-circuit). Scores are float64 and match the pure-Python oracle
+    to 1e-6: IDF is computed driver-side from (N, df) per term — exact
+    same ``math.log`` formulation as the oracle.
+    """
+    norm = _norm_terms(terms)
+    spark = index.postings.sparkSession
+    if not norm:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n_docs, avgdl = index.collection_stats()
+    qp = _query_postings(index, norm)
+
+    # df per query term -> IDF as literals (tiny collect; ≤ #terms rows)
+    dfs = {r["term"]: int(r["df"]) for r in qp.select("term", "df").collect()}
+    if not dfs or (conjunctive and len(dfs) < len(norm)):
+        # no query term occurs in the corpus (or conjunctive missing-term
+        # short-circuit, search-query.py:61-62) -> empty result
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf = {
+        t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
+    }
+    idf_map = F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))])
+
+    exploded = qp.select(
+        "term", F.explode("postings").alias("p")
+    ).select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+
+    dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
+    scored = (
+        exploded.join(dl, "doc_id")
+        .withColumn(
+            "term_score",
+            idf_map[F.col("term")]
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.countDistinct("term").alias("n_matched"),
+        )
+    )
+    if conjunctive:
+        scored = scored.filter(F.col("n_matched") == len(norm))
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
