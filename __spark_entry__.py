@@ -23,6 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from inverted_index_and_search_spark.operators import index_build as ib  # noqa: E402
 from inverted_index_and_search_spark.operators import query as q  # noqa: E402
+from inverted_index_and_search_spark.operators import segments as seg  # noqa: E402
 from inverted_index_and_search_spark.tokenizer import tokens_sql_duckdb  # noqa: E402
 
 #: DuckDB fragment tokenizing the `documents.text` column identically
@@ -130,6 +131,27 @@ def _bm25_rounded(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFra
     )
 
 
+def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranking as bm25_top10 but evaluated via the compressed
+    delta+varint segments with the block-max WAND kernel — checked
+    against the identical SQL oracle (rank- and score-identity of the
+    compressed path is therefore driver-verified, not just pytest'd)."""
+    docs = _docs(spark, sf_dir)
+    tok = ib.tokens(docs, content_col="text", id_col="doc_id")
+    tf = ib.term_doc_tf(tok)
+    # collection stats: docs with zero tokens still count toward N/avgdl
+    n_docs = docs.count()
+    avgdl_row = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")) \
+        .join(docs.select("doc_id"), "doc_id", "right").fillna({"dl": 0}) \
+        .agg(F.avg("dl")).collect()[0]
+    sidx = seg.build_segment_index(tf, n_docs, float(avgdl_row[0]))
+    hits = seg.topk(sidx, Q_BM25, k=10, method="wand")
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_tf": _q_term_tf,
@@ -141,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and_missing": _q_boolean_and_missing,
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
         "bm25_top10_rare": lambda s, d: _bm25_rounded(s, d, Q_BM25_RARE),
+        "bm25_wand_top10": _q_bm25_wand,
     }
 
 
@@ -218,4 +241,5 @@ FROM tf GROUP BY term
         "boolean_and_missing": _boolean_sql(Q_AND_MISSING),
         "bm25_top10": _bm25_sql(Q_BM25),
         "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),
+        "bm25_wand_top10": _bm25_sql(Q_BM25),
     }

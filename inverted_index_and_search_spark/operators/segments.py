@@ -1,0 +1,249 @@
+"""Compressed posting segments: delta+varint postings with block-max
+metadata, built distributedly and queried via block-max WAND.
+
+North-rule index layout (the reference persists plain text/JSON/parquet
+strings — ``spark/inverted_index_search.py:219-241``; compression and
+ranking metadata are new here):
+
+    term          string      (segment key)
+    term_bucket   int         pmod(xxhash64(term), P) — partition column
+    df, cf        long        per-term stats
+    n             int         postings count (= df)
+    doc_ids_enc   binary      delta+varint, doc_id ascending
+    tfs_enc       binary      varint
+    dls_enc       binary      varint (per-posting doc length)
+    block_max     array<double>  BM25 upper bound per 128-posting block
+    block_last    array<long>    last doc_id per block
+    max_score     double      global term upper bound
+
+Storing dl inline (it varint-compresses to ~1 byte/posting for typical
+lengths) makes every segment self-contained for scoring: query-time
+needs NO doc-stats join at all — the property that lets the WAND
+kernel run anywhere (driver for interactive queries, executors via
+mapInPandas for query batches) and keeps the design valid at 10^12
+docs where a driver-resident dl array is impossible.
+
+Block maxes are exact float64 upper bounds computed at build time from
+(tf, dl, df, N, avgdl) — all known once the corpus stats pass is done.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inverted_index_and_search_spark.kernels import bm25, codec
+from inverted_index_and_search_spark.operators.index_build import (
+    DEFAULT_BUCKETS,
+    term_bucket_col,
+)
+
+BLOCK = 128
+
+SEGMENT_SCHEMA = (
+    "term string, term_bucket int, df long, cf long, n int, "
+    "doc_ids_enc binary, tfs_enc binary, dls_enc binary, "
+    "block_max array<double>, block_last array<long>, max_score double"
+)
+
+
+def tf_with_dl(tf: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) — attach per-doc length to every posting.
+
+    dl comes from the same tf pass (sum of tfs per doc), then joins back
+    on doc_id. One shuffle each side; AQE picks the join strategy (the
+    dl side is |docs| rows — broadcast at test scale, shuffle join at
+    10^12 where both sides are huge but co-partitioned by doc_id).
+    """
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def grouped_postings_arrays(
+    tf_dl: DataFrame, *, salt_hot_terms: bool = True, salt_factor: int = 16
+) -> DataFrame:
+    """(term, df, cf, doc_ids, tfs, dls) with parallel arrays sorted by
+    doc_id — the encoder's input. Salted two-phase agg bounds the
+    biggest single collect_list task (same rationale as index_build)."""
+    post = F.struct("doc_id", "tf", "dl")
+    if salt_hot_terms:
+        salted = tf_dl.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_factor)))
+        partial = salted.groupBy("term", "salt").agg(
+            F.collect_list(post).alias("pp"),
+            F.count("*").alias("p_df"),
+            F.sum("tf").alias("p_cf"),
+        )
+        agg = partial.groupBy("term").agg(
+            F.sort_array(F.flatten(F.collect_list("pp"))).alias("p"),
+            F.sum("p_df").cast("long").alias("df"),
+            F.sum("p_cf").cast("long").alias("cf"),
+        )
+    else:
+        agg = tf_dl.groupBy("term").agg(
+            F.sort_array(F.collect_list(post)).alias("p"),
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+    return agg.select(
+        "term", "df", "cf",
+        F.col("p.doc_id").alias("doc_ids"),
+        F.col("p.tf").alias("tfs"),
+        F.col("p.dl").alias("dls"),
+    )
+
+
+def encode_segments(
+    grouped: DataFrame, n_docs: int, avgdl: float,
+    *, n_buckets: int = DEFAULT_BUCKETS, block: int = BLOCK,
+) -> DataFrame:
+    """Arrow-batched numpy encoder: grouped postings -> segment rows."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "term", "df", "cf", "n", "doc_ids_enc", "tfs_enc", "dls_enc",
+                "block_max", "block_last", "max_score")}
+            for term, df_, cf, ids, tfs, dls in zip(
+                pdf["term"], pdf["df"], pdf["cf"],
+                pdf["doc_ids"], pdf["tfs"], pdf["dls"],
+            ):
+                ids = np.asarray(ids, dtype=np.int64)
+                tfs_a = np.asarray(tfs, dtype=np.int64)
+                dls_a = np.asarray(dls, dtype=np.int64)
+                t_idf = bm25.idf(n_docs, int(df_))
+                scores = bm25.posting_scores(tfs_a, dls_a, t_idf, avgdl)
+                bmx, blast = bm25.block_maxes(scores, ids, block)
+                out["term"].append(term)
+                out["df"].append(int(df_))
+                out["cf"].append(int(cf))
+                out["n"].append(ids.size)
+                out["doc_ids_enc"].append(codec.encode_deltas(ids))
+                out["tfs_enc"].append(codec.encode_varint(tfs_a))
+                out["dls_enc"].append(codec.encode_varint(dls_a))
+                out["block_max"].append(bmx.tolist())
+                out["block_last"].append(blast.tolist())
+                out["max_score"].append(float(bmx.max()) if bmx.size else 0.0)
+            res = pd.DataFrame(out)
+            yield res
+
+    seg = grouped.mapInPandas(enc, schema=SEGMENT_SCHEMA.replace("term_bucket int, ", ""))
+    return seg.withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets)).select(
+        *[c.split(" ")[0] for c in SEGMENT_SCHEMA.split(", ")]
+    )
+
+
+@dataclass
+class SegmentIndex:
+    """Handle on a persisted (or in-memory) segment index."""
+
+    segments: DataFrame
+    n_docs: int
+    avgdl: float
+    n_buckets: int = DEFAULT_BUCKETS
+    block: int = BLOCK
+
+
+def build_segment_index(
+    tf: DataFrame, n_docs: int, avgdl: float,
+    *, n_buckets: int = DEFAULT_BUCKETS, salt_hot_terms: bool = True,
+) -> SegmentIndex:
+    grouped = grouped_postings_arrays(tf_with_dl(tf), salt_hot_terms=salt_hot_terms)
+    return SegmentIndex(
+        segments=encode_segments(grouped, n_docs, avgdl, n_buckets=n_buckets),
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_buckets=n_buckets,
+    )
+
+
+def write_segment_index(idx: SegmentIndex, out_dir: str, mode: str = "overwrite") -> None:
+    (idx.segments.repartition("term_bucket")
+     .sortWithinPartitions("term")
+     .write.mode(mode).partitionBy("term_bucket")
+     .parquet(f"{out_dir}/segments"))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/stats.json", "w") as f:
+        json.dump({"n_docs": idx.n_docs, "avgdl": idx.avgdl,
+                   "n_buckets": idx.n_buckets, "block": idx.block}, f)
+
+
+def read_segment_index(spark: SparkSession, out_dir: str) -> SegmentIndex:
+    with open(f"{out_dir}/stats.json") as f:
+        stats = json.load(f)
+    return SegmentIndex(
+        segments=spark.read.parquet(f"{out_dir}/segments"),
+        n_docs=stats["n_docs"],
+        avgdl=stats["avgdl"],
+        n_buckets=stats["n_buckets"],
+        block=stats["block"],
+    )
+
+
+def _decode_row(row, avgdl: float, n_docs: int, block: int) -> bm25.TermPostings:
+    ids = codec.decode_deltas(bytes(row["doc_ids_enc"]), row["n"])
+    tfs = codec.decode_varint(bytes(row["tfs_enc"]), row["n"])
+    dls = codec.decode_varint(bytes(row["dls_enc"]), row["n"])
+    t_idf = bm25.idf(n_docs, int(row["df"]))
+    return bm25.TermPostings.from_arrays(
+        ids, tfs, dls, t_idf, avgdl, block=block,
+        block_max=np.asarray(row["block_max"], np.float64),
+        block_last=np.asarray(row["block_last"], np.int64),
+    )
+
+
+def fetch_term_postings(idx: SegmentIndex, terms: list[str]) -> dict[str, bm25.TermPostings]:
+    """Pruned segment fetch + decode for a query's terms (driver-side;
+    the per-query data is only those terms' segments)."""
+    norm = sorted({t.lower() for t in terms})
+    if not norm:
+        return {}
+    seg = idx.segments
+    if "term_bucket" in seg.columns:
+        bdf = seg.sparkSession.createDataFrame([(t,) for t in norm], "term string")
+        bvals = [r[0] for r in bdf.select(term_bucket_col(F.col("term"), idx.n_buckets)).collect()]
+        seg = seg.filter(F.col("term_bucket").isin(bvals))
+    rows = seg.filter(F.col("term").isin(norm)).collect()
+    return {r["term"]: _decode_row(r, idx.avgdl, idx.n_docs, idx.block) for r in rows}
+
+
+def topk(
+    idx: SegmentIndex, terms: list[str], k: int = 10,
+    *, conjunctive: bool = False, method: str = "wand",
+    stats: bm25.WandStats | None = None,
+) -> list[tuple[int, float]]:
+    """BM25 top-k over compressed segments. ``method`` = "wand"
+    (block-max early termination) or "exhaustive" (vectorized full
+    scoring) — rank-identical by construction, asserted in tests."""
+    norm = sorted({t.lower() for t in terms})
+    fetched = fetch_term_postings(idx, norm)
+    if conjunctive and len(fetched) < len(norm):
+        return []  # missing-term short-circuit (search-query.py:61-62)
+    cursors = list(fetched.values())
+    if not cursors:
+        return []
+    if method == "wand":
+        return bm25.wand_topk(cursors, k, conjunctive=conjunctive, stats=stats)
+    return bm25.exhaustive_topk(cursors, k, conjunctive=conjunctive)
+
+
+def boolean_and_docs(idx: SegmentIndex, terms: list[str]) -> list[int]:
+    """Reference-parity conjunctive query over compressed segments:
+    sorted doc_id intersection (search-query.py:69-73)."""
+    norm = sorted({t.lower() for t in terms})
+    if not norm:
+        return []
+    fetched = fetch_term_postings(idx, norm)
+    if len(fetched) < len(norm):
+        return []
+    its = iter(fetched.values())
+    acc = next(its).doc_ids
+    for tp in its:
+        acc = np.intersect1d(acc, tp.doc_ids, assume_unique=True)
+    return [int(d) for d in acc]

@@ -1,0 +1,95 @@
+"""Compressed segments + WAND: roundtrip vs the uncompressed index,
+rank-identity of WAND vs exhaustive vs the pure-Python oracle, and
+evidence that early termination actually skips work."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from inverted_index_and_search_spark import oracle
+from inverted_index_and_search_spark.kernels import bm25
+from inverted_index_and_search_spark.operators import index_build as ib
+from inverted_index_and_search_spark.operators import segments as seg
+from tests.conftest import QUERY_SET
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, docs_df, oracle_idx, tmp_path_factory):
+    tok = ib.tokens(docs_df)
+    tf = ib.term_doc_tf(tok)
+    idx = seg.build_segment_index(tf, oracle_idx.n_docs, oracle_idx.avgdl)
+    out = str(tmp_path_factory.mktemp("segidx"))
+    seg.write_segment_index(idx, out)
+    return seg.read_segment_index(spark, out)
+
+
+def test_segments_decode_to_oracle_postings(seg_index, oracle_idx):
+    from inverted_index_and_search_spark.kernels import codec
+
+    rows = seg_index.segments.collect()
+    assert {r["term"] for r in rows} == set(oracle_idx.postings)
+    for r in rows:
+        ids = codec.decode_deltas(bytes(r["doc_ids_enc"]), r["n"]).tolist()
+        tfs = codec.decode_varint(bytes(r["tfs_enc"]), r["n"]).tolist()
+        dls = codec.decode_varint(bytes(r["dls_enc"]), r["n"]).tolist()
+        want = sorted(oracle_idx.postings[r["term"]].items())
+        assert list(zip(ids, tfs)) == want, r["term"]
+        assert dls == [oracle_idx.dl[d] for d in ids]
+        assert r["df"] == len(want) and r["cf"] == sum(t for _, t in want)
+
+
+@pytest.mark.parametrize("terms", QUERY_SET, ids=["-".join(t) for t in QUERY_SET])
+def test_wand_rank_identical_to_oracle(seg_index, oracle_idx, terms):
+    got = seg.topk(seg_index, terms, k=10, method="wand")
+    want = oracle.bm25_topk(oracle_idx, terms, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6
+
+
+@pytest.mark.parametrize("terms", QUERY_SET, ids=["-".join(t) for t in QUERY_SET])
+def test_exhaustive_matches_wand(seg_index, terms):
+    assert seg.topk(seg_index, terms, k=10, method="wand") == pytest.approx(
+        seg.topk(seg_index, terms, k=10, method="exhaustive")
+    )
+
+
+@pytest.mark.parametrize("terms", QUERY_SET, ids=["-".join(t) for t in QUERY_SET])
+def test_wand_conjunctive_matches_oracle(seg_index, oracle_idx, terms):
+    got = seg.topk(seg_index, terms, k=10, method="wand", conjunctive=True)
+    want = oracle.bm25_topk(oracle_idx, terms, k=10, conjunctive=True)
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+@pytest.mark.parametrize("terms", QUERY_SET, ids=["-".join(t) for t in QUERY_SET])
+def test_boolean_over_segments(seg_index, oracle_idx, terms):
+    assert seg.boolean_and_docs(seg_index, terms) == oracle.boolean_and(
+        oracle_idx, terms
+    )
+
+
+def test_wand_skips_work():
+    """Synthetic skew: one rare high-idf term + one stop-word-like term.
+    BMW must not fully score every stop-word posting."""
+    rng = np.random.default_rng(7)
+    n_docs = 50_000
+    stop_ids = np.arange(n_docs, dtype=np.int64)  # term in every doc
+    stop_tf = rng.integers(1, 3, n_docs)
+    rare_ids = np.sort(rng.choice(n_docs, 50, replace=False)).astype(np.int64)
+    rare_tf = rng.integers(1, 5, 50)
+    dl = rng.integers(50, 500, n_docs).astype(np.int64)
+    avgdl = float(dl.mean())
+    stop = bm25.TermPostings.from_arrays(
+        stop_ids, stop_tf, dl[stop_ids], bm25.idf(n_docs, n_docs), avgdl)
+    rare = bm25.TermPostings.from_arrays(
+        rare_ids, rare_tf, dl[rare_ids], bm25.idf(n_docs, 50), avgdl)
+    stats = bm25.WandStats()
+    got = bm25.wand_topk([stop, rare], 10, stats=stats)
+    stop2 = bm25.TermPostings.from_arrays(
+        stop_ids, stop_tf, dl[stop_ids], bm25.idf(n_docs, n_docs), avgdl)
+    rare2 = bm25.TermPostings.from_arrays(
+        rare_ids, rare_tf, dl[rare_ids], bm25.idf(n_docs, 50), avgdl)
+    want = bm25.exhaustive_topk([stop2, rare2], 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert stats.docs_scored < n_docs * 0.5, stats  # early termination engaged
