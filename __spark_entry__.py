@@ -21,9 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from inverted_index_and_search_spark.functions import text_stats as ts  # noqa: E402
+from inverted_index_and_search_spark.operators import dedup as dd  # noqa: E402
 from inverted_index_and_search_spark.operators import index_build as ib  # noqa: E402
+from inverted_index_and_search_spark.operators import multimodal as mm  # noqa: E402
 from inverted_index_and_search_spark.operators import query as q  # noqa: E402
 from inverted_index_and_search_spark.operators import segments as seg  # noqa: E402
+from inverted_index_and_search_spark.operators import similarity as sim  # noqa: E402
 from inverted_index_and_search_spark.tokenizer import tokens_sql_duckdb  # noqa: E402
 
 #: DuckDB fragment tokenizing the `documents.text` column identically
@@ -152,8 +156,67 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+# ----------------------------------- training-data pipeline operators
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _text_metric_query(builders):
+    """Query factory: documents -> (doc_id, <generated metric cols>)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        exprs = {}
+        for b in builders:
+            exprs.update(b("text", ts.SPARK))
+        return _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            *[F.expr(e).alias(n) for n, e in exprs.items()],
+        )
+    return run
+
+
+def _text_metric_sql(builders) -> str:
+    exprs = {}
+    for b in builders:
+        exprs.update(b("text", ts.DUCKDB))
+    sel = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
+    return f"SELECT doc_id::BIGINT AS doc_id, {sel} FROM documents"
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.docs_with_planted_dups(_docs(spark, sf_dir))
+
+
+def _aug_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embeddings_with_planted_dups(_emb(spark, sf_dir))
+
+
+_QV = sim.fixture_query_vec()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # text analysis
+        "token_counts": _text_metric_query([ts.token_count_exprs]),
+        "quality_scores": _text_metric_query([ts.quality_exprs]),
+        "lang_id": _text_metric_query([ts.lang_id_expr]),
+        "doc_fingerprint": _text_metric_query([ts.fingerprint_exprs]),
+        # deduplication (over the deterministically augmented corpus)
+        "dedup_exact": lambda s, d: dd.exact_dup_groups(_aug_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_aug_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_aug_docs(s, d)),
+        "simhash_fingerprint": lambda s, d: dd.simhash_fingerprints(_aug_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(_aug_docs(s, d)),
+        "dedup_embedding_cosine": lambda s, d: dd.embedding_neardup_pairs(_aug_emb(s, d)),
+        # similarity search
+        "ann_cosine_topk": lambda s, d: sim.cosine_topk(_emb(s, d), _QV),
+        "ann_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d), _QV),
+        "ann_lsh_neardup": lambda s, d: sim.lsh_bucket_neardup(_aug_emb(s, d)),
+        # multimodal plumbing (feature vector itself is pytest-checked)
+        "multimodal_features": lambda s, d: mm.extract_features(
+            mm.media_table(_docs(s, d))).drop("features"),
+        "multimodal_frames": lambda s, d: mm.sample_frames(
+            mm.media_table(_docs(s, d))),
         "term_tf": _q_term_tf,
         "term_stats": _q_term_stats,
         "doc_stats": _q_doc_stats,
@@ -210,7 +273,24 @@ ORDER BY doc_id
 
 
 def oracle_sql() -> dict[str, str]:
+    _aug = dd.planted_dups_sql()
+    _eaug = dd.planted_emb_sql()
     return {
+        "token_counts": _text_metric_sql([ts.token_count_exprs]),
+        "quality_scores": _text_metric_sql([ts.quality_exprs]),
+        "lang_id": _text_metric_sql([ts.lang_id_expr]),
+        "doc_fingerprint": _text_metric_sql([ts.fingerprint_exprs]),
+        "dedup_exact": dd.exact_dup_groups_sql(_aug),
+        "dedup_ngram_jaccard": dd.ngram_jaccard_sql(_aug),
+        "dedup_minhash_lsh": dd.minhash_lsh_sql(_aug),
+        "simhash_fingerprint": dd.simhash_sql(_aug),
+        "dedup_simhash_pairs": dd.simhash_pairs_sql(_aug),
+        "dedup_embedding_cosine": dd.embedding_neardup_sql(_eaug),
+        "ann_cosine_topk": sim.cosine_topk_sql(_QV),
+        "ann_ivf_topk": sim.ivf_topk_sql(_QV),
+        "ann_lsh_neardup": sim.lsh_bucket_neardup_sql(_eaug),
+        "multimodal_features": mm.features_sql(),
+        "multimodal_frames": mm.frames_sql(),
         "term_tf": f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
         "term_stats": f"""
 WITH {_TOK_CTE}

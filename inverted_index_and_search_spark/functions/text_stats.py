@@ -1,0 +1,197 @@
+"""Text-analysis columns for training-data pipelines: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+The reference engine has none of these (it only tokenizes and counts,
+``spark/inverted_index_search.py:195-215``); they are the standard
+corpus-curation operators a 100 TB text pipeline needs before indexing.
+
+Design: every metric is generated as a **SQL fragment** by a dialect-
+aware builder and evaluated
+
+- on the Spark side via ``F.expr(fragment(SPARK))`` — pure built-in
+  expressions, whole-stage-codegen'd, zero Python in the hot path;
+- on the DuckDB side via ``fragment(DUCKDB)`` inside
+  ``__spark_entry__.oracle_sql`` — so engine and oracle share the
+  *same formula text* by construction and can only diverge where the
+  dialects themselves do.
+
+Dialect differences handled here: regex-literal escaping (Spark SQL
+strings process backslash escapes, DuckDB's do not), ``split`` vs
+``string_split_regex``, ``size``/``array_min`` vs ``len``/``list_min``,
+``sequence`` (inclusive) vs ``range`` (exclusive end), and
+``regexp_extract_all`` arity.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+#: whitespace regex (raw, single-backslash form)
+_WS = r"\s+"
+
+#: per-language stopword marker lists (tiny, order-deterministic); the
+#: n-gram-free heuristic: most stopword *occurrences* wins, ties broken
+#: by language code ascending, zero hits -> 'und'.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den"),
+    "en": ("the", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as"),
+    "es": ("el", "los", "las", "que", "y", "en", "un", "una", "es", "por", "del"),
+    "fr": ("le", "les", "des", "et", "est", "dans", "que", "pour", "au", "sur", "pas"),
+    "it": ("il", "che", "di", "e", "per", "non", "sono", "con", "della", "anche"),
+}
+
+#: BPE-ish pre-tokenization pattern: letter runs | single digits |
+#: single non-alnum-non-space marks (GPT-2-style digit splitting).
+_BPE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _rx(pattern: str, dialect: str) -> str:
+    """Regex literal for the dialect (Spark SQL strings eat backslashes)."""
+    p = pattern.replace("\\", "\\\\") if dialect == SPARK else pattern
+    return "'" + p + "'"
+
+
+def _rr(s: str, pattern: str, rep: str, dialect: str) -> str:
+    """regexp_replace-all (DuckDB needs the explicit 'g' flag)."""
+    if dialect == SPARK:
+        return f"regexp_replace({s}, {_rx(pattern, dialect)}, '{rep}')"
+    return f"regexp_replace({s}, {_rx(pattern, dialect)}, '{rep}', 'g')"
+
+
+def _split(s: str, pattern: str, dialect: str) -> str:
+    fn = "split" if dialect == SPARK else "string_split_regex"
+    return f"{fn}({s}, {_rx(pattern, dialect)})"
+
+
+def _len(arr: str, dialect: str) -> str:
+    return f"size({arr})" if dialect == SPARK else f"len({arr})"
+
+
+def _amin(arr: str, dialect: str) -> str:
+    return f"array_min({arr})" if dialect == SPARK else f"list_min({arr})"
+
+
+def _adistinct(arr: str, dialect: str) -> str:
+    return f"array_distinct({arr})" if dialect == SPARK else f"list_distinct({arr})"
+
+
+def _transform(arr: str, lam: str, dialect: str) -> str:
+    fn = "transform" if dialect == SPARK else "list_transform"
+    return f"{fn}({arr}, {lam})"
+
+
+def _filter(arr: str, lam: str, dialect: str) -> str:
+    fn = "filter" if dialect == SPARK else "list_filter"
+    return f"{fn}({arr}, {lam})"
+
+
+def _extract_all(s: str, pattern: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"regexp_extract_all({s}, {_rx(pattern, dialect)}, 0)"
+    return f"regexp_extract_all({s}, {_rx(pattern, dialect)})"
+
+
+def _seq1(n_expr: str, dialect: str) -> str:
+    """[1..n] inclusive, empty when n <= 0 (Spark sequence would count
+    *down* for n<1, so clamp + slice)."""
+    if dialect == SPARK:
+        return (f"slice(sequence(1, greatest({n_expr}, 1)), 1, "
+                f"greatest({n_expr}, 0))")
+    return f"range(1, greatest({n_expr}, 0) + 1)"
+
+
+def tokens_expr(col: str, dialect: str) -> str:
+    """Canonical-tokenizer fragment (lower, strip non-alnum, split,
+    drop empties) — same semantics as tokenizer.tokens_col."""
+    stripped = _rr(f"lower({col})", r"[^a-z0-9]", " ", dialect)
+    arr = _split(stripped, _WS, dialect)
+    return _filter(arr, "t -> t <> ''", dialect)
+
+
+# --------------------------------------------------------------- metrics
+
+def token_count_exprs(col: str, dialect: str) -> dict[str, str]:
+    """Whitespace token count + BPE-ish pre-token count."""
+    ws_arr = _filter(_split(f"trim({col})", _WS, dialect), "t -> t <> ''", dialect)
+    return {
+        "n_tokens_ws": f"cast({_len(ws_arr, dialect)} as bigint)",
+        "n_tokens_bpe": f"cast({_len(_extract_all(col, _BPE, dialect), dialect)} as bigint)",
+    }
+
+
+def quality_exprs(col: str, dialect: str) -> dict[str, str]:
+    """Length / punctuation / stopword heuristics + composite score.
+
+    quality_score in [0,1]: rewards 200+ tokens, low punctuation
+    density, and presence of (english) stopwords — the usual cheap
+    pre-filter before expensive dedup/indexing stages.
+    """
+    toks = tokens_expr(col, dialect)
+    n_tok = f"cast({_len(toks, dialect)} as double)"
+    n_chars = f"cast(length({col}) as double)"
+    alnum_rr = _rr(col, r"[^A-Za-z0-9]", "", dialect)
+    ws_rr = _rr(col, "[^ \t\r\n]", "", dialect)
+    alnum = f"cast(length({alnum_rr}) as double)"
+    ws = f"cast(length({ws_rr}) as double)"
+    punct_ratio = (f"round(greatest({n_chars} - {alnum} - {ws}, 0.0)"
+                   f" / greatest({n_chars}, 1.0), 6)")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_hits = _len(_filter(toks, f"t -> t in ({en})", dialect), dialect)
+    stop_ratio = f"round(cast({stop_hits} as double) / greatest({n_tok}, 1.0), 6)"
+    score = (f"round(least(1.0, {n_tok} / 200.0)"
+             f" * (1.0 - least(1.0, ({punct_ratio}) * 4.0))"
+             f" * (0.2 + 0.8 * least(1.0, ({stop_ratio}) * 5.0)), 6)")
+    return {
+        "n_chars": f"cast(length({col}) as bigint)",
+        "n_tokens": f"cast({_len(toks, dialect)} as bigint)",
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_id_expr(col: str, dialect: str) -> dict[str, str]:
+    """Stopword-occurrence language-ID with deterministic tie-break
+    (max hits, then language code ascending; zero hits -> 'und')."""
+    toks = tokens_expr(col, dialect)
+    scores = {}
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        scores[lang] = _len(_filter(toks, f"t -> t in ({words})", dialect), dialect)
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"when {scores[lang]} = {mx} then '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return {
+        "lang_pred": f"case when {mx} = 0 then 'und' {whens} end",
+        "lang_hits": f"cast({mx} as bigint)",
+    }
+
+
+def fingerprint_exprs(col: str, dialect: str, *, k: int = 8) -> dict[str, str]:
+    """Winnowing-style mod-p fingerprint sampling over character
+    k-grams of the whitespace-normalized text.
+
+    Every k-gram is hashed (md5); the ~1/8 of hashes whose last hex
+    digit is 0 or 1 are the document's fingerprints (content-defined
+    sampling: near-identical docs share almost all fingerprints).
+    Returns shingle count, fingerprint count, and the minimum
+    fingerprint (a 1-perm MinHash of the k-gram set).
+    """
+    norm = _rr(f"trim(lower({col}))", _WS, " ", dialect)
+    n_sh = f"greatest(length({norm}) - {k - 1}, 0)"
+    hashes = _transform(
+        _seq1(f"length({norm}) - {k - 1}", dialect),
+        f"i -> md5(substring({norm}, i, {k}))",
+        dialect,
+    )
+    fps = _adistinct(
+        _filter(hashes, "h -> substring(h, 32, 1) in ('0', '1')", dialect),
+        dialect,
+    )
+    return {
+        "n_shingles": f"cast({n_sh} as bigint)",
+        "n_fingerprints": f"cast({_len(fps, dialect)} as bigint)",
+        "min_fingerprint": f"coalesce({_amin(fps, dialect)}, '')",
+    }

@@ -1,0 +1,480 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (content-hash groupBy), n-gram Jaccard (exact all-pairs),
+MinHash + LSH (banded candidate generation, the 100 TB scale path),
+SimHash (64-bit fingerprints + banded Hamming pairs), and
+embedding-cosine near-dup. None of these exist in the reference
+engine (it stops at postings, ``spark/inverted_index_search.py:210``);
+they are the curation stage a web-scale corpus needs *before* the
+index build.
+
+Correctness strategy: every hash used (md5 of shingles / terms) is
+computable identically in Spark SQL and DuckDB, and every operator
+has a ``*_sql`` generator that emits the DuckDB replica of the same
+pipeline with the same constants — so the driver's oracle matches by
+construction, including the LSH band structure (the oracle replicates
+banding rather than comparing against exact Jaccard, which an LSH
+sketch is allowed to miss).
+
+Scale notes (100 TB):
+- exact dedup: single hash-shuffle on sha256 — the cheapest possible.
+- n-gram Jaccard all-pairs is quadratic in docs sharing a shingle;
+  it exists as the small-scale oracle-able baseline. The scale path is
+  MinHash+LSH: cost = one groupBy(doc) for signatures (map-side, no
+  shuffle blow-up: K min() aggregates over the shingle rows), one
+  explode to B band rows/doc, one self-join on (band, bucket) whose
+  fan-out is bounded by bucket size, then exact verify only on
+  candidates.
+- SimHash pairs use 4-way band pigeonholing (Hamming <= 3 implies one
+  of four 16-bit chunks equal), turning the n^2 scan into an equi-join.
+- Hot-shingle skew: ``max_shingle_df`` drops degenerate shingles
+  (boilerplate) before pairing, the standard web-dedup mitigation.
+
+The deterministic "planted duplicates" helpers let tests and the
+driver's sf0.01 corpus (which has no natural dups) exercise non-empty
+outputs: both engines derive the same augmented table from the same
+base rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inverted_index_and_search_spark.functions.text_stats import (
+    DUCKDB,
+    SPARK,
+    _adistinct,
+    _filter,
+    _len,
+    _seq1,
+    _transform,
+    tokens_expr,
+)
+
+# ---------------------------------------------------------------- tuning
+#: shingle width (word n-grams) for Jaccard/MinHash
+SHINGLE_N = 3
+#: MinHash signature size and LSH banding (bands * rows == K)
+MINHASH_K = 12
+LSH_BANDS = 6
+LSH_ROWS = MINHASH_K // LSH_BANDS
+#: Jaccard acceptance threshold after candidate verification
+JACCARD_T = 0.6
+#: SimHash pair acceptance (Hamming distance over 64 bits)
+SIMHASH_MAX_HAMMING = 3
+#: embedding near-dup cosine threshold
+COSINE_T = 0.99
+
+#: planted-duplicate offsets (see module docstring)
+NEAR_DUP_IDS = 20
+EXACT_DUP_IDS = 10
+NEAR_OFFSET = 100_000
+EXACT_OFFSET = 200_000
+NEAR_SUFFIX = " neardupmarker zzduptail"
+
+_HEX = "0123456789abcdef"
+
+
+# ------------------------------------------------- planted duplicates
+
+def docs_with_planted_dups(docs: DataFrame) -> DataFrame:
+    """Base (doc_id, text) plus deterministic near-dups (first 20 ids,
+    two extra tail tokens) and exact dups (first 10 ids, byte-identical)."""
+    base = docs.select("doc_id", "text")
+    near = (base.where(F.col("doc_id") < NEAR_DUP_IDS)
+            .select((F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text")))
+    exact = (base.where(F.col("doc_id") < EXACT_DUP_IDS)
+             .select((F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text"))
+    return base.unionByName(near).unionByName(exact)
+
+
+def planted_dups_sql(table: str = "documents") -> str:
+    """DuckDB CTE body producing the identical augmented table."""
+    return f"""
+  SELECT doc_id, text FROM {table}
+  UNION ALL
+  SELECT doc_id + {NEAR_OFFSET}, text || '{NEAR_SUFFIX}'
+  FROM {table} WHERE doc_id < {NEAR_DUP_IDS}
+  UNION ALL
+  SELECT doc_id + {EXACT_OFFSET}, text
+  FROM {table} WHERE doc_id < {EXACT_DUP_IDS}
+"""
+
+
+def embeddings_with_planted_dups(emb: DataFrame) -> DataFrame:
+    """(vec_id, v: array<double>) plus scaled copies of the first 20
+    vectors (cosine exactly 1.0 with their originals)."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dup = (base.where(F.col("vec_id") < NEAR_DUP_IDS)
+           .select((F.col("vec_id") + NEAR_OFFSET).alias("vec_id"),
+                   F.transform("v", lambda x: x * 2.0).alias("v")))
+    return base.unionByName(dup)
+
+
+def planted_emb_sql(table: str = "embeddings") -> str:
+    return f"""
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}
+  UNION ALL
+  SELECT vec_id + {NEAR_OFFSET}, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM {table} WHERE vec_id < {NEAR_DUP_IDS}
+"""
+
+
+# ------------------------------------------------------- exact dedup
+
+def exact_dup_groups(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_doc_id, content_sha256) for every member of a
+    byte-identical duplicate group (canonical = min doc_id).
+
+    One hash-shuffle on the 64-hex digest; at 100 TB this groupBy is
+    map-side-combinable and skew-free (sha256 keys are uniform).
+    """
+    hashed = docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha256"))
+    groups = (hashed.groupBy("content_sha256")
+              .agg(F.min("doc_id").alias("canonical_doc_id"),
+                   F.count("*").alias("n"))
+              .where(F.col("n") > 1)
+              .drop("n"))
+    return (hashed.join(groups, "content_sha256")
+            .select("doc_id", "canonical_doc_id", "content_sha256"))
+
+
+def exact_dup_groups_sql(aug: str) -> str:
+    return f"""
+WITH aug AS ({aug}),
+hashed AS (SELECT doc_id, sha256(text) AS content_sha256 FROM aug),
+grp AS (
+  SELECT content_sha256, min(doc_id) AS canonical_doc_id, count(*) AS n
+  FROM hashed GROUP BY 1 HAVING count(*) > 1
+)
+SELECT h.doc_id::BIGINT AS doc_id, g.canonical_doc_id::BIGINT AS canonical_doc_id,
+       h.content_sha256
+FROM hashed h JOIN grp g USING (content_sha256)
+"""
+
+
+# --------------------------------------------------------- shingles
+
+def _shingles_frag(col: str, dialect: str, n: int = SHINGLE_N) -> str:
+    """Array of distinct word n-gram shingles of `col`."""
+    toks = tokens_expr(col, dialect)
+    if dialect == SPARK:
+        gram = f"i -> concat_ws(' ', slice(tk, i, {n}))"
+        seq = _seq1(f"size(tk) - {n - 1}", dialect)
+        body = _adistinct(_transform(seq, gram, dialect), dialect)
+        # bind tk once via a lambda-less trick: exists() can't bind; use
+        # a correlated expression instead: substitute textually.
+        return body.replace("tk", f"({toks})")
+    gram = f"i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' ')"
+    seq = _seq1(f"len(tk) - {n - 1}", dialect)
+    body = _adistinct(_transform(seq, gram, dialect), dialect)
+    return body.replace("tk", f"({toks})")
+
+
+def shingle_df(docs: DataFrame, *, text_col: str = "text",
+               n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per doc, computed
+    map-side with array expressions (no tokenize shuffle)."""
+    arr = F.expr(_shingles_frag(text_col, SPARK, n))
+    return docs.select("doc_id", F.explode(arr).alias("shingle"))
+
+
+def _shingle_cte(aug: str, n: int = SHINGLE_N) -> str:
+    return f"""
+aug AS ({aug}),
+sh AS (
+  SELECT doc_id, unnest({_shingles_frag("text", DUCKDB, n)}) AS shingle
+  FROM aug
+)"""
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
+                        n: int = SHINGLE_N, threshold: float = JACCARD_T,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for all pairs with shingle-set Jaccard
+    >= threshold. Exact all-pairs baseline: quadratic in co-shingled
+    docs — use :func:`minhash_lsh_pairs` at scale."""
+    sh = shingle_df(docs, text_col=text_col, n=n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").count()
+               .where(F.col("count") > max_shingle_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("s"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("i")))
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    j = F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 6)
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", j.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_sql(aug: str, *, n: int = SHINGLE_N,
+                      threshold: float = JACCARD_T) -> str:
+    return f"""
+WITH {_shingle_cte(aug, n)},
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON inter.doc_a = sa.doc_id
+JOIN sz sb ON inter.doc_b = sb.doc_id
+WHERE round(i * 1.0 / (sa.s + sb.s - i), 6) >= {threshold}
+"""
+
+
+# ----------------------------------------------------- MinHash + LSH
+
+def _minhash_aggs() -> list[Column]:
+    """K min-hash aggregates: sig_i = min(md5('i:' || shingle)).
+    md5-hex min is collation-free (ASCII) hence engine-portable."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, *, text_col: str = "text",
+                       n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sig_0..sig_{K-1}) — one groupBy(doc_id); the K mins are
+    partial-aggregated map-side so shuffle volume is K hashes per doc."""
+    return (shingle_df(docs, text_col=text_col, n=n)
+            .groupBy("doc_id").agg(*_minhash_aggs()))
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
+                      n: int = SHINGLE_N,
+                      threshold: float = JACCARD_T) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH-banded candidates, then exact
+    Jaccard verification >= threshold. The web-scale dedup path."""
+    sig = minhash_signatures(docs, text_col=text_col, n=n)
+    bands = F.array(*[
+        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * LSH_ROWS + r}")
+                                 for r in range(LSH_ROWS)]))
+        for b in range(LSH_BANDS)
+    ])
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    # exact-Jaccard verification restricted to the candidate pairs —
+    # the whole point of LSH: shingle joins touch only candidate docs.
+    sh = shingle_df(docs, text_col=text_col, n=n)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("s"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b2"),
+                    F.col("shingle").alias("shingle_b"))
+    inter = (cand.join(sha, "doc_a")
+             .join(shb, (F.col("doc_b") == F.col("doc_b2"))
+                   & (F.col("shingle") == F.col("shingle_b")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    j = F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 6)
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", j.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def minhash_lsh_sql(aug: str, *, n: int = SHINGLE_N,
+                    threshold: float = JACCARD_T) -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(MINHASH_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"sig_{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ") AS bucket FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_shingle_cte(aug, n)},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b, round(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON inter.doc_a = sa.doc_id
+  JOIN sz sb ON inter.doc_b = sb.doc_id
+  WHERE round(i * 1.0 / (sa.s + sb.s - i), 6) >= {threshold}
+)
+SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b, e.jaccard
+FROM cand c JOIN exact e USING (doc_a, doc_b)
+"""
+
+
+# ------------------------------------------------------------ SimHash
+
+def _simhash_frag(dialect: str) -> str:
+    """64-bit SimHash as a 16-hex-char string, aggregated over
+    (term, tf) rows grouped by doc_id.
+
+    Per hex position p of md5(term), per bit b: weighted sum of
+    (+tf | -tf); output digit = sum over bits of (w>0)<<b. Emitted as
+    one generated expression usable in both engines (`instr`,
+    `floor`, `substring`, `%` behave identically)."""
+    digits = []
+    for p in range(1, 17):
+        d = f"(instr('{_HEX}', substring(md5(term), {p}, 1)) - 1)"
+        bits = []
+        for b in range(4):
+            bit = f"(cast(floor({d} / {2 ** b}) as int) % 2)"
+            w = f"sum(tf * (2 * {bit} - 1))"
+            bits.append(f"(case when {w} > 0 then {2 ** b} else 0 end)")
+        digit = " + ".join(bits)
+        digits.append(f"substring('{_HEX}', ({digit}) + 1, 1)")
+    return "concat(" + ", ".join(digits) + ")"
+
+
+def _hamming_frag(a: str, b: str) -> str:
+    """Hamming distance between two 16-hex simhash strings (engine-
+    portable: abs of bit differences, no xor operator needed)."""
+    terms = []
+    for p in range(1, 17):
+        da = f"(instr('{_HEX}', substring({a}, {p}, 1)) - 1)"
+        db = f"(instr('{_HEX}', substring({b}, {p}, 1)) - 1)"
+        for bit in range(4):
+            terms.append(
+                f"abs(cast(floor({da} / {2 ** bit}) as int) % 2 - "
+                f"cast(floor({db} / {2 ** bit}) as int) % 2)"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _term_tf(docs: DataFrame, text_col: str) -> DataFrame:
+    toks = F.expr(tokens_expr(text_col, SPARK))
+    return (docs.select("doc_id", F.explode(toks).alias("term"))
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+
+
+def simhash_fingerprints(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 64-bit fingerprint as 16 hex chars."""
+    tf = _term_tf(docs, text_col)
+    return tf.groupBy("doc_id").agg(F.expr(_simhash_frag(SPARK)).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, *, text_col: str = "text",
+                  max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within Hamming <= max_hamming.
+
+    Banded equi-join: split the 64 bits into 4 16-bit chunks; any pair
+    with <= 3 differing bits shares at least one identical chunk
+    (pigeonhole), so candidates come from a hash join, not an n^2 scan.
+    """
+    fp = simhash_fingerprints(docs, text_col=text_col)
+    chunks = F.array(*[F.substring("simhash", 1 + 4 * i, 4) for i in range(4)])
+    banded = fp.select("doc_id", "simhash",
+                       F.posexplode(chunks).alias("chunk", "val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.expr(_hamming_frag("a.simhash", "b.simhash"))
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.cast("long").alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
+def simhash_sql(aug: str) -> str:
+    toks = tokens_expr("text", DUCKDB)
+    return f"""
+WITH aug AS ({aug}),
+tok AS (SELECT doc_id, unnest({toks}) AS term FROM aug),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT doc_id::BIGINT AS doc_id, {_simhash_frag(DUCKDB)} AS simhash
+FROM tf GROUP BY doc_id
+"""
+
+
+def simhash_pairs_sql(aug: str, *,
+                      max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """Oracle replica: exact pair scan (equivalent to the banded join
+    for max_hamming <= 3 by the pigeonhole argument above)."""
+    ham = _hamming_frag("a.simhash", "b.simhash")
+    return f"""
+WITH fp AS ({simhash_sql(aug).strip()})
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       {ham}::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""
+
+
+# ------------------------------------------- embedding cosine near-dup
+
+def _dot_frag(a: str, b: str, dim: int, dialect: str) -> str:
+    """Explicit unrolled dot product — left-associated adds parse to the
+    identical float64 expression tree in both engines."""
+    if dialect == SPARK:
+        return "(" + " + ".join(
+            f"element_at({a}, {i}) * element_at({b}, {i})"
+            for i in range(1, dim + 1)) + ")"
+    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+def cosine_col(a: str, b: str, dim: int, dialect: str = SPARK) -> str:
+    dot = _dot_frag(a, b, dim, dialect)
+    na = _dot_frag(a, a, dim, dialect)
+    nb = _dot_frag(b, b, dim, dialect)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def embedding_neardup_pairs(emb_aug: DataFrame, *, dim: int = 64,
+                            threshold: float = COSINE_T) -> DataFrame:
+    """(vec_a, vec_b, cosine) over all pairs with cosine >= threshold.
+
+    Exact quadratic baseline (range-join on vec_id to halve work). At
+    100 TB use similarity.lsh_bucket_neardup: sign-LSH buckets first,
+    then this verification only within buckets.
+    """
+    a = emb_aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb_aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = F.expr(cosine_col("va", "vb", dim, SPARK))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+def embedding_neardup_sql(aug: str, *, dim: int = 64,
+                          threshold: float = COSINE_T) -> str:
+    cos = cosine_col("a.v", "b.v", dim, DUCKDB)
+    return f"""
+WITH aug AS ({aug})
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b, {cos} AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""

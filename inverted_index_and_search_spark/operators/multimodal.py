@@ -1,0 +1,184 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+At 100 TB, media are opaque ``binary`` columns with typed metadata
+(the Iceberg/parquet layout); decode and feature extraction are
+Arrow-batched ``mapInPandas`` stages so bytes stream through Python in
+columnar batches, never row-at-a-time.
+
+This sandbox has no image/audio codecs, so the *decode* step is
+explicitly stubbed (:func:`decode_media` raises ``NotImplementedError``
+unless a known codec import succeeds) and replaced by a deterministic
+byte-level featurizer — the Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) is real and oracle-tested:
+
+- :func:`media_table` — deterministic synthetic media table derived
+  from ``documents`` (utf-8 bytes as the payload + typed metadata);
+  reproducible in DuckDB (:func:`media_sql_cte`) because the corpus is
+  ASCII.
+- :func:`extract_features` — mapInPandas featurizer: n_bytes, byte
+  checksum, first/last bytes, and a fixed-dim byte-histogram feature
+  vector (the stand-in for a CNN embedding).
+- :func:`sample_frames` — fixed-size frame splitter + every-Nth
+  sampling (the video decode-and-sample shape): one input row fans
+  out to multiple frame rows inside the same Arrow batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: frame geometry for the fake video codec
+FRAME_BYTES = 64
+FRAME_EVERY = 2
+#: fake feature dimensionality (byte histogram buckets)
+FEAT_DIM = 16
+
+
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """Decode a media payload into a pixel/sample array.
+
+    STUB: real decoding needs PIL/ffmpeg/soundfile, none of which are
+    in this container. The import is attempted so the real path lights
+    up when available; otherwise callers must use the deterministic
+    byte-level featurizer below.
+    """
+    if media_type.startswith("image/"):
+        try:
+            from PIL import Image  # noqa: F401  (absent in sandbox)
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode requires PIL — sandbox stub; use "
+                "extract_features' byte-level path instead"
+            ) from e
+    raise NotImplementedError(f"no decoder for {media_type!r}")
+
+
+def media_table(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, media: binary, media_type, width, height, n_bytes) —
+    deterministic synthetic media derived from the ASCII corpus.
+    Real pipelines read this shape straight from Iceberg."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("media"),
+        F.lit("image/x-fake").alias("media_type"),
+        (F.pmod(F.col("doc_id"), F.lit(16)) * 32 + 32).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(8)) * 32 + 32).cast("int").alias("height"),
+        F.octet_length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+_FEAT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("byte_sum", T.LongType()),
+    T.StructField("first_byte", T.IntegerType()),
+    T.StructField("last_byte", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte-level featurizer over Arrow batches (the decode stand-in).
+
+    features = L1-normalized {FEAT_DIM}-bucket histogram of byte values
+    — deterministic, so tests can assert exact values; swap the body
+    for a real decoder + model when codecs exist.
+    """
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["media"]]
+            n = np.array([a.size for a in arrs], dtype=np.int64)
+            feats = []
+            for a in arrs:
+                hist = np.bincount(a >> 4, minlength=FEAT_DIM).astype(np.float64)
+                total = hist.sum()
+                feats.append((hist / total if total else hist).round(6).tolist())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n,
+                "byte_sum": [int(a.sum(dtype=np.int64)) for a in arrs],
+                "first_byte": [int(a[0]) if a.size else -1 for a in arrs],
+                "last_byte": [int(a[-1]) if a.size else -1 for a in arrs],
+                "features": feats,
+            })
+
+    return media.select("doc_id", "media").mapInPandas(featurize, _FEAT_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_len", T.IntegerType()),
+    T.StructField("frame_sum", T.LongType()),
+])
+
+
+def sample_frames(media: DataFrame, *, frame_bytes: int = FRAME_BYTES,
+                  every: int = FRAME_EVERY) -> DataFrame:
+    """Split each payload into fixed-size frames and keep every Nth —
+    the frame-sampling shape of a video pipeline (fan-out inside the
+    Arrow batch; output rows >> input rows)."""
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                a = np.frombuffer(b, dtype=np.uint8)
+                for fi in range(0, -(-a.size // frame_bytes), every):
+                    fr = a[fi * frame_bytes:(fi + 1) * frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    lens.append(int(fr.size))
+                    sums.append(int(fr.sum(dtype=np.int64)))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_len": pd.Series(lens, dtype="int32"),
+                "frame_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return media.select("doc_id", "media").mapInPandas(frames, _FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------ oracle SQL
+
+def features_sql(table: str = "documents") -> str:
+    """DuckDB replica of extract_features' scalar outputs (the ASCII
+    corpus makes byte arithmetic expressible as ascii() sums)."""
+    return f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM {table}
+)
+SELECT doc_id::BIGINT AS doc_id,
+       n::BIGINT AS n_bytes,
+       coalesce(list_sum(list_transform(range(1, n + 1),
+                i -> ascii(substring(text, i, 1)))), 0)::BIGINT AS byte_sum,
+       (CASE WHEN n = 0 THEN -1 ELSE ascii(substring(text, 1, 1)) END)::INT AS first_byte,
+       (CASE WHEN n = 0 THEN -1 ELSE ascii(substring(text, n, 1)) END)::INT AS last_byte
+FROM b
+"""
+
+
+def frames_sql(table: str = "documents", *, frame_bytes: int = FRAME_BYTES,
+               every: int = FRAME_EVERY) -> str:
+    return f"""
+WITH b AS (SELECT doc_id, text, length(text) AS n FROM {table}),
+fr AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, cast(ceil(n * 1.0 / {frame_bytes}) as bigint))) AS frame_idx
+  FROM b
+)
+SELECT doc_id::BIGINT AS doc_id, frame_idx::BIGINT AS frame_idx,
+       least({frame_bytes}, n - frame_idx * {frame_bytes})::INT AS frame_len,
+       coalesce(list_sum(list_transform(
+           range(frame_idx * {frame_bytes} + 1,
+                 least(frame_idx * {frame_bytes} + {frame_bytes}, n) + 1),
+           i -> ascii(substring(text, i, 1)))), 0)::BIGINT AS frame_sum
+FROM fr WHERE frame_idx % {every} = 0
+"""

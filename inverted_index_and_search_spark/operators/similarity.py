@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three operators, all deterministic and oracle-checkable:
+
+- :func:`cosine_topk` — brute-force exact top-k (the correctness
+  baseline; one scan + TakeOrderedAndProject, no shuffle of vectors).
+- :func:`ivf_topk` — IVF-style ANN: vectors are assigned to the
+  nearest of C deterministic centroids (the first C vectors of the
+  table — a seeded-kmeans stand-in that keeps the oracle exact);
+  queries probe the P closest centroids and scan only those cells.
+  At 100 TB the assignment is one broadcast join (C centroids) and
+  the index is partitioned by cell id, so a probe reads P/C of data.
+- :func:`lsh_bucket_neardup` — sign-LSH near-dup: H fixed literal
+  hyperplanes (seeded numpy constants, embedded identically in Spark
+  and DuckDB SQL) map each vector to an H-bit bucket; exact cosine
+  verification runs only within buckets. Pairs with cosine == 1
+  (scaled copies) are guaranteed to share a bucket; high-but-<1
+  cosine pairs are found with the usual LSH probability — the oracle
+  replicates the bucketing, so results match by construction.
+
+The dot products are emitted as unrolled left-associated float64
+expression trees (dedup.cosine_col), bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inverted_index_and_search_spark.functions.text_stats import DUCKDB, SPARK
+from inverted_index_and_search_spark.operators.dedup import COSINE_T, cosine_col
+
+#: embedding dimensionality of the testdata table
+DIM = 64
+#: IVF cells and probe width
+IVF_C = 16
+IVF_PROBE = 4
+#: sign-LSH hyperplane count (bucket id = H sign bits)
+LSH_H = 8
+#: seed for the literal hyperplanes
+_PLANE_SEED = 7
+
+
+def fixture_query_vec(dim: int = DIM, seed: int = 13) -> list[float]:
+    """Deterministic query vector for tests/entry queries (rounded so
+    its decimal literal is float64-exact in both engines)."""
+    rng = np.random.RandomState(seed)
+    return [round(float(x), 4) for x in rng.randn(dim)]
+
+
+def lsh_planes(h: int = LSH_H, dim: int = DIM) -> list[list[float]]:
+    """Fixed random hyperplanes, rounded so their decimal literals are
+    exact in float64 on both engines."""
+    rng = np.random.RandomState(_PLANE_SEED)
+    return [[round(float(x), 4) for x in rng.randn(dim)] for _ in range(h)]
+
+
+# ------------------------------------------------------------ brute force
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], *, k: int = 10,
+                dim: int = DIM) -> DataFrame:
+    """(vec_id, score) — exact cosine top-k, ties broken by vec_id asc.
+
+    The plan is Scan -> Project(score) -> TakeOrderedAndProject: no
+    shuffle, no collect; at 1000 executors each task returns its local
+    top-k and the driver merges k rows per task.
+    """
+    lit = "array(" + ", ".join(f"cast({x} as double)" for x in query_vec) + ")"
+    cos = F.expr(cosine_col("v", lit, dim, SPARK))
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return (base.select("vec_id", cos.alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(k))
+
+
+def cosine_topk_sql(query_vec: list[float], *, k: int = 10,
+                    dim: int = DIM, table: str = "embeddings") -> str:
+    lit = "[" + ", ".join(f"{x}::DOUBLE" for x in query_vec) + "]"
+    cos = cosine_col("v", f"{lit}", dim, DUCKDB)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})
+SELECT vec_id::BIGINT AS vec_id, {cos} AS score
+FROM e ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
+# -------------------------------------------------------------------- IVF
+
+def _assign_cells(emb: DataFrame, *, dim: int) -> tuple[DataFrame, DataFrame]:
+    """(vectors with cell id, centroids). Centroids = first IVF_C
+    vectors (deterministic); assignment = argmax cosine, tie -> lowest
+    centroid id. Broadcast join: C rows against the full table."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = (base.where(F.col("vec_id") < IVF_C)
+             .select(F.col("vec_id").alias("cell"), F.col("v").alias("c")))
+    cos = F.expr(cosine_col("v", "c", dim, SPARK))
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cell", cos.alias("sim"))
+    best = F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negcell"))).alias("b")
+    assigned = (scored.groupBy("vec_id").agg(best, F.first("v").alias("v"))
+                .select("vec_id", "v", (-F.col("b.negcell")).cast("long").alias("cell")))
+    return assigned, cents
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], *, k: int = 10,
+             dim: int = DIM) -> DataFrame:
+    """(vec_id, score) — ANN via inverted-file probing: scan only the
+    IVF_PROBE cells whose centroids are closest to the query."""
+    assigned, cents = _assign_cells(emb, dim=dim)
+    lit = "array(" + ", ".join(f"cast({x} as double)" for x in query_vec) + ")"
+    qsim = F.expr(cosine_col("c", lit, dim, SPARK))
+    probe = (cents.select("cell", qsim.alias("qs"))
+             .orderBy(F.desc("qs"), F.asc("cell")).limit(IVF_PROBE)
+             .select("cell"))
+    cos = F.expr(cosine_col("v", lit, dim, SPARK))
+    return (assigned.join(F.broadcast(probe), "cell")
+            .select("vec_id", cos.alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(k))
+
+
+def ivf_topk_sql(query_vec: list[float], *, k: int = 10, dim: int = DIM,
+                 table: str = "embeddings") -> str:
+    lit = "[" + ", ".join(f"{x}::DOUBLE" for x in query_vec) + "]"
+    ccos = cosine_col("e.v", "c.c", dim, DUCKDB)
+    qcos = cosine_col("c", f"{lit}", dim, DUCKDB)
+    vcos = cosine_col("v", f"{lit}", dim, DUCKDB)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+cents AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < {IVF_C}),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell, {ccos} AS sim FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM cents ORDER BY {qcos} DESC, cell ASC LIMIT {IVF_PROBE}
+)
+SELECT a.vec_id::BIGINT AS vec_id, {vcos.replace('v[', 'a.v[')} AS score
+FROM assigned a JOIN probe USING (cell)
+ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
+# -------------------------------------------------------- sign-LSH buckets
+
+def _bucket_frag(vec: str, dim: int, dialect: str) -> str:
+    """H-char bucket string of sign bits against the literal planes."""
+    bits = []
+    for plane in lsh_planes(LSH_H, dim):
+        if dialect == SPARK:
+            dot = " + ".join(f"element_at({vec}, {i + 1}) * {w}"
+                             for i, w in enumerate(plane))
+        else:
+            dot = " + ".join(f"{vec}[{i + 1}] * {w}"
+                             for i, w in enumerate(plane))
+        bits.append(f"(case when ({dot}) > 0 then '1' else '0' end)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_bucket_neardup(emb_aug: DataFrame, *, dim: int = DIM,
+                       threshold: float = COSINE_T) -> DataFrame:
+    """(vec_a, vec_b, cosine) — near-dup pairs found by sign-LSH
+    bucketing + exact in-bucket verification. The scale path for
+    dedup.embedding_neardup_pairs: the quadratic join runs per bucket
+    (expected size n/2^H), not globally."""
+    bucket = F.expr(_bucket_frag("v", dim, SPARK))
+    bl = emb_aug.select("vec_id", "v", bucket.alias("bucket"))
+    a = bl.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("bucket").alias("ba"))
+    b = bl.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("bucket").alias("bb"))
+    cos = F.expr(cosine_col("va", "vb", dim, SPARK))
+    return (a.join(b, (F.col("ba") == F.col("bb"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+            .select("vec_a", "vec_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+def lsh_bucket_neardup_sql(aug: str, *, dim: int = DIM,
+                           threshold: float = COSINE_T) -> str:
+    bucket = _bucket_frag("v", dim, DUCKDB)
+    cos = cosine_col("a.v", "b.v", dim, DUCKDB)
+    return f"""
+WITH aug AS ({aug}),
+bl AS (SELECT vec_id, v, {bucket} AS bucket FROM aug)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b, {cos} AS cosine
+FROM bl a JOIN bl b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""

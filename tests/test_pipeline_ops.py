@@ -1,0 +1,132 @@
+"""Training-data pipeline operators vs the DuckDB oracle (differential,
+same compare the driver runs) plus targeted semantic properties:
+planted-duplicate recovery, LSH recall, simhash distance axioms,
+multimodal feature/frame invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from inverted_index_and_search_spark.operators import dedup as dd
+from inverted_index_and_search_spark.operators import multimodal as mm
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: the new operator families (older query names covered elsewhere)
+PIPELINE_QUERIES = [
+    "token_counts", "quality_scores", "lang_id", "doc_fingerprint",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "simhash_fingerprint", "dedup_simhash_pairs", "dedup_embedding_cosine",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_neardup",
+    "multimodal_features", "multimodal_frames",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", PIPELINE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    rel = duck.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0].lower() for d in rel.description]
+    drows = sorted(tuple(r) for r in rel.fetchall())
+    assert [c.lower() for c in sdf.columns] == dcols
+    assert srows == drows
+
+
+@pytest.fixture(scope="module")
+def aug_docs(spark):
+    df = dd.docs_with_planted_dups(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    df.cache().count()
+    return df
+
+
+def test_exact_dedup_recovers_planted(aug_docs):
+    rows = dd.exact_dup_groups(aug_docs).collect()
+    # each of the 10 planted exact dups forms a 2-member group
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["canonical_doc_id"], set()).add(r["doc_id"])
+    assert set(groups) == set(range(dd.EXACT_DUP_IDS))
+    for cid, members in groups.items():
+        assert members == {cid, cid + dd.EXACT_OFFSET}
+
+
+def test_lsh_finds_all_planted_near_dups(aug_docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dd.minhash_lsh_pairs(aug_docs).collect()}
+    planted = {(i, i + dd.NEAR_OFFSET) for i in range(dd.NEAR_DUP_IDS)}
+    assert planted <= pairs, planted - pairs
+
+
+def test_lsh_subset_of_exact_jaccard(aug_docs):
+    lsh = {(r["doc_a"], r["doc_b"], r["jaccard"])
+           for r in dd.minhash_lsh_pairs(aug_docs).collect()}
+    exact = {(r["doc_a"], r["doc_b"], r["jaccard"])
+             for r in dd.ngram_jaccard_pairs(aug_docs).collect()}
+    assert lsh <= exact
+
+
+def test_simhash_exact_dup_distance_zero(aug_docs):
+    fp = {r["doc_id"]: r["simhash"]
+          for r in dd.simhash_fingerprints(aug_docs).collect()}
+    for i in range(dd.EXACT_DUP_IDS):
+        assert fp[i] == fp[i + dd.EXACT_OFFSET]
+        assert len(fp[i]) == 16
+
+
+def test_simhash_pairs_include_exact_dups(aug_docs):
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dd.simhash_pairs(aug_docs).collect()}
+    for i in range(dd.EXACT_DUP_IDS):
+        assert got.get((i, i + dd.EXACT_OFFSET)) == 0
+
+
+def test_embedding_neardup_planted(spark):
+    emb = dd.embeddings_with_planted_dups(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+    rows = dd.embedding_neardup_pairs(emb).collect()
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
+    for i in range(dd.NEAR_DUP_IDS):
+        assert pairs.get((i, i + dd.NEAR_OFFSET)) == 1.0
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feats = mm.extract_features(mm.media_table(docs)).collect()
+    assert len(feats) == docs.count()
+    for r in feats[:20]:
+        assert len(r["features"]) == mm.FEAT_DIM
+        assert abs(sum(r["features"]) - 1.0) < 1e-4
+        assert r["n_bytes"] > 0 and r["byte_sum"] > 0
+
+
+def test_multimodal_frame_math(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    media = mm.media_table(docs)
+    frames = mm.sample_frames(media).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in media.collect():
+        n_frames_total = -(-d["n_bytes"] // mm.FRAME_BYTES)
+        expect = len(range(0, n_frames_total, mm.FRAME_EVERY))
+        got = by_doc.get(d["doc_id"], [])
+        assert len(got) == expect
+        assert sum(r["frame_len"] for r in got) <= d["n_bytes"]
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x89PNG", "image/png")
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"RIFF", "audio/wav")
