@@ -192,6 +192,7 @@ def _aug_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QV = sim.fixture_query_vec()
+_BUDGET_BYTES = int(0.1 * 1024 * 1024)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -212,6 +213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_emb(s, d), _QV),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d), _QV),
         "ann_lsh_neardup": lambda s, d: sim.lsh_bucket_neardup(_aug_emb(s, d)),
+        # input budgeting (reference --limit-mb semantics)
+        "input_budget": lambda s, d: ib.budget_input(
+            _docs(s, d).select("doc_id", "text"), 0.1, content_col="text"
+        ).select(F.col("doc_id").cast("long").alias("doc_id")),
         # multimodal plumbing (feature vector itself is pytest-checked)
         "multimodal_features": lambda s, d: mm.extract_features(
             mm.media_table(_docs(s, d))).drop("features"),
@@ -289,6 +294,34 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sim.cosine_topk_sql(_QV),
         "ann_ivf_topk": sim.ivf_topk_sql(_QV),
         "ann_lsh_neardup": sim.lsh_bucket_neardup_sql(_eaug),
+        # greedy skip-and-continue walk (reference choose_input_paths
+        # semantics) as a recursive CTE; fallback to the smallest file
+        # when nothing fits
+        "input_budget": f"""
+WITH RECURSIVE ordered AS (
+  SELECT doc_id, length(text) AS sz,
+         row_number() OVER (ORDER BY length(text) DESC, doc_id ASC) AS rn
+  FROM documents
+),
+walk(rn, doc_id, total, picked) AS (
+  SELECT rn, doc_id,
+         CASE WHEN sz <= {_BUDGET_BYTES} THEN sz ELSE 0 END,
+         sz <= {_BUDGET_BYTES}
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.doc_id,
+         CASE WHEN w.total + o.sz <= {_BUDGET_BYTES}
+              THEN w.total + o.sz ELSE w.total END,
+         w.total + o.sz <= {_BUDGET_BYTES}
+  FROM walk w JOIN ordered o ON o.rn = w.rn + 1
+),
+sel AS (SELECT doc_id FROM walk WHERE picked)
+SELECT doc_id::BIGINT AS doc_id FROM sel
+UNION ALL
+SELECT doc_id::BIGINT FROM (
+  SELECT doc_id FROM ordered ORDER BY sz ASC, doc_id ASC LIMIT 1)
+WHERE NOT EXISTS (SELECT 1 FROM sel)
+""",
         "multimodal_features": mm.features_sql(),
         "multimodal_frames": mm.frames_sql(),
         "term_tf": f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",

@@ -1,0 +1,130 @@
+"""Search REPL + build CLI — the reference's user surface, Spark-native.
+
+Reference parity: ``search-query.py:92-131`` (interactive ``> `` loop,
+boolean AND over a built index, ``"No matches found."`` on empty);
+``spark/inverted_index_search.py:463-545`` (build entry with
+``--limit-mb`` / ``--format`` / output path).
+
+Usage (spark-submit or plain python):
+
+  python -m inverted_index_and_search_spark.cli build \
+      --input /root/testdata/sf0.01/documents.parquet \
+      --content-col text --output /tmp/idx [--limit-mb 8] \
+      [--format parquet|text|json]
+  python -m inverted_index_and_search_spark.cli search --index /tmp/idx \
+      [--bm25 --topk 10] [--query "def return"]   # omit --query for REPL
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from inverted_index_and_search_spark.operators import index_build as ib
+from inverted_index_and_search_spark.operators import query as q
+from inverted_index_and_search_spark.session import get_spark
+
+
+def _session(app_name: str):
+    """(session, created): reuse an active session (e.g. under pytest or
+    an interactive shell) and only own/stop one we created ourselves."""
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return existing, False
+    return get_spark(app_name=app_name), True
+
+
+def _build(args: argparse.Namespace) -> None:
+    spark, created = _session("iis-build")
+    docs = spark.read.parquet(args.input)
+    if args.id_col not in docs.columns:
+        from inverted_index_and_search_spark.corpus import with_doc_id
+        docs = with_doc_id(docs)
+    if args.limit_mb is not None:
+        docs = ib.budget_input(docs, args.limit_mb,
+                               content_col=args.content_col,
+                               id_col=args.id_col)
+    idx = ib.build_index(docs, content_col=args.content_col,
+                         id_col=args.id_col, salt_hot_terms=True)
+    if args.format == "parquet":
+        ib.write_index(idx, args.output)
+    elif args.format == "text":
+        ib.write_index_text(idx, args.output)
+    else:
+        ib.write_index_json(idx, args.output)
+    print(f"index written to {args.output} ({args.format})")
+    if created:
+        spark.stop()
+
+
+def _run_query(index: ib.Index, line: str, bm25: bool, topk: int) -> None:
+    terms = line.split()
+    if not terms:
+        return
+    if bm25:
+        rows = q.bm25_topk(index, terms, k=topk).collect()
+        if not rows:
+            print("No matches found.")
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['score']:.6f}")
+    else:
+        rows = q.boolean_and(index, terms).collect()
+        if not rows:
+            # reference wording, search-query.py:62
+            print("No matches found.")
+        else:
+            print("\n".join(str(r["doc_id"]) for r in rows))
+
+
+def _search(args: argparse.Namespace) -> None:
+    spark, created = _session("iis-search")
+    index = ib.read_index(spark, args.index)
+    index.postings.cache().count()
+    index.doc_stats.cache().count()
+    index.collection_stats()
+    if args.query is not None:
+        _run_query(index, args.query, args.bm25, args.topk)
+    else:
+        # reference REPL loop, search-query.py:120-131
+        try:
+            while True:
+                line = input("> ")
+                _run_query(index, line, args.bm25, args.topk)
+        except EOFError:
+            pass
+    if created:
+        spark.stop()
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="inverted_index_and_search_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True, help="parquet documents table")
+    b.add_argument("--output", required=True)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--limit-mb", type=float, default=None,
+                   help="greedy largest-first input cap (reference --limit-mb)")
+    b.add_argument("--format", choices=["parquet", "text", "json"],
+                   default="parquet")
+    b.set_defaults(fn=_build)
+
+    s = sub.add_parser("search", help="query a built (parquet) index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", default=None,
+                   help="one-shot query; omit for an interactive REPL")
+    s.add_argument("--bm25", action="store_true",
+                   help="ranked BM25 instead of boolean AND")
+    s.add_argument("--topk", type=int, default=10)
+    s.set_defaults(fn=_search)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

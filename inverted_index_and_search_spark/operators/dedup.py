@@ -438,11 +438,17 @@ WHERE {ham} <= {max_hamming}
 
 def _dot_frag(a: str, b: str, dim: int, dialect: str) -> str:
     """Explicit unrolled dot product — left-associated adds parse to the
-    identical float64 expression tree in both engines."""
+    identical float64 expression tree in both engines.
+
+    Spark side uses aggregate(zip_with(...)) — one expression node with
+    an internal loop — because a 64-term unrolled tree makes generated
+    Java exceed the 64 KB method limit on pair joins and drop out of
+    whole-stage codegen. Its fold is acc = 0.0 then left-to-right adds,
+    the same float64 summation order as DuckDB's unrolled
+    left-associated chain (driver-verified bit-equal after round(6))."""
     if dialect == SPARK:
-        return "(" + " + ".join(
-            f"element_at({a}, {i}) * element_at({b}, {i})"
-            for i in range(1, dim + 1)) + ")"
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"cast(0.0 as double), (acc, x) -> acc + x)")
     return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1)) + ")"
 
 

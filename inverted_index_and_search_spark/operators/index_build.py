@@ -62,6 +62,44 @@ def term_doc_tf(tok: DataFrame) -> DataFrame:
     return tok.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
 
 
+def term_doc_tf_arrow(docs: DataFrame, *, content_col: str = "content",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf) computed *inside* the Arrow UDF — in-mapper
+    combining (the reference's ``TokenizerMapperStateful.java:29-66``)
+    done batch-vectorized.
+
+    vs :func:`tokens` + :func:`term_doc_tf`: no JVM explode of one row
+    per token occurrence and no (term, doc_id) shuffle at all — the UDF
+    emits already-unique (doc_id, term, tf) triples, shrinking stage
+    output ~tf-fold and removing the pipeline's biggest exchange. This
+    is the default tf path; the explode path is kept and cross-tested
+    for equality (tests/test_index_build.py).
+    """
+    import pandas as pd
+
+    from inverted_index_and_search_spark.tokenizer import _PY_STRIP
+
+    def count_tf(batches):
+        from collections import Counter
+        for pdf in batches:
+            toks = (pdf[content_col].str.lower()
+                    .str.replace(_PY_STRIP, " ", regex=True).str.split())
+            ids, terms, tfs = [], [], []
+            for doc_id, words in zip(pdf[id_col], toks):
+                c = Counter(words)
+                ids.extend([doc_id] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+            yield pd.DataFrame({
+                "term": pd.Series(terms, dtype="object"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "tf": pd.Series(tfs, dtype="int32"),
+            })
+
+    return docs.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        count_tf, schema="term string, doc_id long, tf int")
+
+
 def doc_stats(docs: DataFrame, tf: DataFrame, *, content_col: str = "content",
               id_col: str = "doc_id") -> DataFrame:
     """(doc_id, dl, content_sha256).
@@ -124,6 +162,8 @@ class Index:
 
     postings: DataFrame  # term, term_bucket, df, cf, postings
     doc_stats: DataFrame  # doc_id, dl, content_sha256
+    tf: DataFrame | None = None  # (term, doc_id, tf) — shared upstream stage
+    n_buckets: int = DEFAULT_BUCKETS
     _n_docs: int | None = None
     _avgdl: float | None = None
 
@@ -141,13 +181,24 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
                 id_col: str = "doc_id", use_pandas_udf: bool = True,
                 n_buckets: int = DEFAULT_BUCKETS,
                 salt_hot_terms: bool = False) -> Index:
-    """End-to-end logical plan for the index build (lazy)."""
-    tok = tokens(docs, use_pandas_udf=use_pandas_udf,
-                 content_col=content_col, id_col=id_col)
-    tf = term_doc_tf(tok)
+    """End-to-end logical plan for the index build (lazy).
+
+    ``use_pandas_udf=True`` (north-star path) counts tf inside the
+    Arrow UDF (:func:`term_doc_tf_arrow`) — zero shuffles before the
+    postings aggregation. ``False`` is the pure-JVM expression path
+    (explode + two-level HashAggregate).
+    """
+    if use_pandas_udf:
+        tf = term_doc_tf_arrow(docs, content_col=content_col, id_col=id_col)
+    else:
+        tok = tokens(docs, use_pandas_udf=False,
+                     content_col=content_col, id_col=id_col)
+        tf = term_doc_tf(tok)
     return Index(
         postings=postings(tf, n_buckets=n_buckets, salt_hot_terms=salt_hot_terms),
         doc_stats=doc_stats(docs, tf, content_col=content_col, id_col=id_col),
+        tf=tf,
+        n_buckets=n_buckets,
     )
 
 
@@ -155,12 +206,106 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
     """Persist the index: postings parquet partitioned by term_bucket
     (query-time ``WHERE term_bucket IN (...)`` prunes files), doc_stats
     as a small side table. Iceberg would use ``writeTo(...).using("iceberg")``
-    with the same partition spec; jars absent in this sandbox."""
-    (index.postings.repartition("term_bucket")
-     .sortWithinPartitions("term")
-     .write.mode(mode).partitionBy("term_bucket")
-     .parquet(f"{out_dir}/postings"))
-    index.doc_stats.write.mode(mode).parquet(f"{out_dir}/doc_stats")
+    with the same partition spec; jars absent in this sandbox.
+
+    The shared (term, doc_id, tf) stage is persisted across the two
+    writes — doc_stats' doc lengths derive from it, and without the
+    cache the whole tokenize+tf pipeline would execute twice.
+    Postings are repartitioned to exactly n_buckets partitions so each
+    bucket directory holds one file (bounded commit/listing cost).
+    """
+    if index.tf is not None:
+        index.tf.persist()
+    try:
+        (index.postings.repartition(index.n_buckets, "term_bucket")
+         .sortWithinPartitions("term")
+         .write.mode(mode).partitionBy("term_bucket")
+         .parquet(f"{out_dir}/postings"))
+        index.doc_stats.write.mode(mode).parquet(f"{out_dir}/doc_stats")
+    finally:
+        if index.tf is not None:
+            index.tf.unpersist()
+
+
+def postings_text_lines(index: Index) -> DataFrame:
+    """Reference text-sink format: ``term \\t doc:tf \\t ...`` with
+    postings in doc_id order (``spark/inverted_index_search.py:220-222``,
+    ``DocumentCountReducer.java:47-60``) — typed postings rendered back
+    to the reference's wire format."""
+    posting_strs = F.transform(
+        "postings",
+        lambda p: F.concat_ws(":", p["doc_id"].cast("string"),
+                              p["tf"].cast("string")),
+    )
+    return index.postings.select(
+        F.concat_ws("\t", F.col("term"), F.concat_ws("\t", posting_strs))
+        .alias("value"))
+
+
+def write_index_text(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
+    """Debug/compat text sink (reference ``--format text``)."""
+    postings_text_lines(index).write.mode(mode).text(out_dir)
+
+
+def write_index_json(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
+    """Reference ``--format json`` sink: ``{word, docs:[...]}`` per line
+    (``spark/inverted_index_search.py:233-236``)."""
+    docs_arr = F.transform(
+        "postings",
+        lambda p: F.concat_ws(":", p["doc_id"].cast("string"),
+                              p["tf"].cast("string")),
+    )
+    (index.postings
+     .select(F.col("term").alias("word"), docs_arr.alias("docs"))
+     .write.mode(mode).json(out_dir))
+
+
+def budget_input(docs: DataFrame, limit_mb: float, *,
+                 content_col: str = "content",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Reference ``--limit-mb`` input budgeting, as a DataFrame op.
+
+    Greedy largest-first selection under the byte cap with
+    skip-and-continue semantics (reference ``choose_input_paths``,
+    ``spark/inverted_index_search.py:125-154``: files sorted by size
+    desc; a file that would overflow the budget is *skipped* and
+    smaller files are still considered, L142-147); if nothing fits,
+    fall back to the single smallest file (L150-153).
+
+    The greedy scan is inherently sequential, so it runs as a stateful
+    single-partition pass — but only over the narrow ``(id, size)``
+    projection (16 bytes/doc; the reference collects its entire HDFS
+    listing to the driver for the same purpose). Content rows are then
+    selected with a broadcast semi-join.
+    """
+    import pandas as pd
+
+    limit_bytes = int(limit_mb * 1024 * 1024)
+    sized = (docs.select(F.col(id_col).alias("_id"),
+                         F.length(content_col).cast("long").alias("_sz"))
+             .orderBy(F.col("_sz").desc(), F.col("_id").asc())
+             .coalesce(1))
+
+    def greedy(batches):
+        total = 0
+        any_picked = False
+        smallest = None  # (sz, id) — tracked for the fallback
+        for pdf in batches:
+            keep = []
+            for i, sz in zip(pdf["_id"], pdf["_sz"]):
+                if total + sz <= limit_bytes:
+                    total += sz
+                    keep.append(i)
+                    any_picked = True
+                if smallest is None or (sz, i) < smallest:
+                    smallest = (int(sz), int(i))
+            yield pd.DataFrame({"_id": pd.Series(keep, dtype="int64")})
+        if not any_picked and smallest is not None:
+            yield pd.DataFrame({"_id": pd.Series([smallest[1]], dtype="int64")})
+
+    picked_ids = sized.mapInPandas(greedy, schema="_id long")
+    return docs.join(F.broadcast(picked_ids),
+                     docs[id_col] == picked_ids["_id"], "inner").drop("_id")
 
 
 def read_index(spark: SparkSession, out_dir: str) -> Index:

@@ -152,8 +152,11 @@ def _bucket_frag(vec: str, dim: int, dialect: str) -> str:
     bits = []
     for plane in lsh_planes(LSH_H, dim):
         if dialect == SPARK:
-            dot = " + ".join(f"element_at({vec}, {i + 1}) * {w}"
-                             for i, w in enumerate(plane))
+            # literal plane array constant-folds; loop-node dot product
+            # keeps generated code under the 64 KB method limit
+            lit = "array(" + ", ".join(f"cast({w} as double)" for w in plane) + ")"
+            dot = (f"aggregate(zip_with({vec}, {lit}, (x, y) -> x * y), "
+                   f"cast(0.0 as double), (acc, x) -> acc + x)")
         else:
             dot = " + ".join(f"{vec}[{i + 1}] * {w}"
                              for i, w in enumerate(plane))
