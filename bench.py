@@ -36,6 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from inverted_index_and_search_spark.corpus import corpus_df, with_doc_id  # noqa: E402
 from inverted_index_and_search_spark.operators import index_build as ib  # noqa: E402
 from inverted_index_and_search_spark.operators import query as q  # noqa: E402
+from inverted_index_and_search_spark.operators import segments as seg  # noqa: E402
 from inverted_index_and_search_spark.session import get_spark  # noqa: E402
 
 BM25_QUERIES = [
@@ -107,6 +108,28 @@ def main() -> None:
         queries["boolean_p50"] = statistics.median(lat_bool)
         extra["bm25_p95"] = sorted(lat_bm25)[int(0.95 * (len(lat_bm25) - 1))]
         extra["docs_rows"] = n_docs
+
+        # --- warm interactive latency over compressed segments (the
+        # reference's query side is in-RAM python; QueryServer is the
+        # scale-valid equivalent: per-term segment cache + WAND kernel)
+        n_d, avgdl = pidx.collection_stats()
+        sidx = seg.build_segment_index(
+            ib.term_doc_tf_arrow(docs, content_col="text", id_col="doc_id"),
+            n_d, avgdl)
+        seg.write_segment_index(sidx, f"{tmp}/seg_docs")
+        server = seg.QueryServer(seg.read_segment_index(spark, f"{tmp}/seg_docs"))
+        for terms in BM25_QUERIES:
+            server.bm25_topk(terms, k=10)  # cold fetch per term, uncounted
+        lat_srv = []
+        for _ in range(5):
+            for terms in BM25_QUERIES:
+                t0 = time.perf_counter()
+                server.bm25_topk(terms, k=10)
+                lat_srv.append(time.perf_counter() - t0)
+        queries["bm25_server_p50"] = statistics.median(lat_srv)
+        extra["bm25_server_p50_ms"] = round(statistics.median(lat_srv) * 1e3, 3)
+        extra["bm25_server_p95_ms"] = round(
+            sorted(lat_srv)[int(0.95 * (len(lat_srv) - 1))] * 1e3, 3)
 
         total = sum(queries.values())
         print(json.dumps({

@@ -93,3 +93,50 @@ def test_wand_skips_work():
     want = bm25.exhaustive_topk([stop2, rare2], 10)
     assert [g[0] for g in got] == [w[0] for w in want]
     assert stats.docs_scored < n_docs * 0.5, stats  # early termination engaged
+
+
+# ----------------------------------------------------------- QueryServer
+
+@pytest.fixture(scope="module")
+def server(seg_index):
+    return seg.QueryServer(seg_index)
+
+
+@pytest.mark.parametrize("terms", QUERY_SET, ids=["-".join(t) for t in QUERY_SET])
+def test_query_server_rank_identical(server, oracle_idx, terms):
+    got = server.bm25_topk(terms, k=10)
+    want = oracle.bm25_topk(oracle_idx, terms, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6
+
+
+@pytest.mark.parametrize("terms", QUERY_SET, ids=["-".join(t) for t in QUERY_SET])
+def test_query_server_boolean(server, oracle_idx, terms):
+    assert server.boolean_and(terms) == oracle.boolean_and(oracle_idx, terms)
+
+
+def test_query_server_caches_and_negative_caches(server):
+    server.bm25_topk(["def", "zzzqqqxx"])
+    assert server._cache.get("def") is not None
+    assert "zzzqqqxx" in server._cache and server._cache["zzzqqqxx"] is None
+    # warm repeat must not touch Spark: stub out the fetch to prove it
+    import inverted_index_and_search_spark.operators.segments as s
+
+    orig = s.fetch_term_postings
+    s.fetch_term_postings = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("warm query hit Spark"))
+    try:
+        r1 = server.bm25_topk(["def", "zzzqqqxx"])
+        r2 = server.bm25_topk(["def"], conjunctive=True)
+        assert r1 and r2
+    finally:
+        s.fetch_term_postings = orig
+
+
+def test_query_server_eviction(seg_index):
+    small = seg.QueryServer(seg_index, max_terms=2)
+    small.bm25_topk(["def"])
+    small.bm25_topk(["return"])
+    small.bm25_topk(["if"])
+    assert len(small._cache) <= 2
