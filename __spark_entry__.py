@@ -23,6 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from inverted_index_and_search_spark.functions import text_stats as ts  # noqa: E402
 from inverted_index_and_search_spark.operators import dedup as dd  # noqa: E402
+from inverted_index_and_search_spark.operators import events as ev  # noqa: E402
 from inverted_index_and_search_spark.operators import index_build as ib  # noqa: E402
 from inverted_index_and_search_spark.operators import multimodal as mm  # noqa: E402
 from inverted_index_and_search_spark.operators import query as q  # noqa: E402
@@ -213,6 +214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_emb(s, d), _QV),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d), _QV),
         "ann_lsh_neardup": lambda s, d: sim.lsh_bucket_neardup(_aug_emb(s, d)),
+        # event analytics (windowed agg, sessionization, JSON extraction)
+        "event_windowed_counts": lambda s, d: ev.windowed_counts(
+            s.read.parquet(f"{d}/events.parquet")),
+        "event_sessions": lambda s, d: ev.sessionize(
+            s.read.parquet(f"{d}/events.parquet")),
+        "event_props_json": lambda s, d: ev.props_json_stats(
+            s.read.parquet(f"{d}/events.parquet")),
         # input budgeting (reference --limit-mb semantics)
         "input_budget": lambda s, d: ib.budget_input(
             _docs(s, d).select("doc_id", "text"), 0.1, content_col="text"
@@ -294,6 +302,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sim.cosine_topk_sql(_QV),
         "ann_ivf_topk": sim.ivf_topk_sql(_QV),
         "ann_lsh_neardup": sim.lsh_bucket_neardup_sql(_eaug),
+        "event_windowed_counts": ev.windowed_counts_sql(),
+        "event_sessions": ev.sessionize_sql(),
+        "event_props_json": ev.props_json_stats_sql(),
         # greedy skip-and-continue walk (reference choose_input_paths
         # semantics) as a recursive CTE; fallback to the smallest file
         # when nothing fits

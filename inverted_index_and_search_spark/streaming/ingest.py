@@ -1,0 +1,105 @@
+"""Incremental (streaming) index maintenance — LSM-style.
+
+The reference rebuilds its index from scratch per run; at 10^12 files
+an index must absorb new documents incrementally. Design (the standard
+LSM shape used by search engines):
+
+- each micro-batch of new documents is tokenized + tf-counted (the same
+  Arrow in-mapper-combining kernel as the batch build) and written as a
+  **delta segment**: a small parquet of (term, doc_id, tf) partitioned
+  by term_bucket, under ``<dir>/delta/batch_id=N`` — append-only, no
+  read-modify-write on the hot path;
+- doc stats (dl, sha256) append the same way;
+- :func:`compact` folds all deltas into the canonical postings layout
+  (identical schema to ``index_build.write_index``) — per-bucket merge,
+  exactly the engine's normal aggregation, run at whatever cadence
+  amortizes write cost;
+- queries before compaction see the merged view via :func:`live_index`
+  (union of canonical tf + deltas re-aggregated) — correctness never
+  waits for compaction.
+
+``ingest_stream`` wires this into Structured Streaming via
+``foreachBatch`` with ``availableNow``; the batch-vs-streaming
+equivalence (stream the corpus in chunks -> compact -> byte-identical
+postings rows to the one-shot batch build) is asserted in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inverted_index_and_search_spark.operators import index_build as ib
+
+
+class StreamingIndexWriter:
+    """Accumulates delta segments per micro-batch; compacts on demand."""
+
+    def __init__(self, out_dir: str, *, content_col: str = "content",
+                 id_col: str = "doc_id", n_buckets: int = ib.DEFAULT_BUCKETS):
+        self.out_dir = out_dir
+        self.content_col = content_col
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+
+    # ------------------------------------------------------------ write
+    def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: append this batch's tf + doc-stat deltas."""
+        tf = ib.term_doc_tf_arrow(docs_batch, content_col=self.content_col,
+                                  id_col=self.id_col)
+        tf = tf.withColumn("term_bucket",
+                           ib.term_bucket_col(F.col("term"), self.n_buckets))
+        (tf.write.mode("overwrite")
+         .partitionBy("term_bucket")
+         .parquet(f"{self.out_dir}/delta_tf/batch_id={batch_id}"))
+        ds = ib.doc_stats(docs_batch, tf, content_col=self.content_col,
+                          id_col=self.id_col)
+        (ds.write.mode("overwrite")
+         .parquet(f"{self.out_dir}/delta_ds/batch_id={batch_id}"))
+
+    # ------------------------------------------------------------- read
+    def _delta_tf(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.out_dir}/delta_tf").drop("batch_id")
+
+    def _delta_doc_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.out_dir}/delta_ds").drop("batch_id")
+
+    def live_index(self, spark: SparkSession) -> ib.Index:
+        """Queryable view over everything ingested so far (pre-compaction):
+        postings re-aggregated across delta segments on the fly."""
+        tf = self._delta_tf(spark).drop("term_bucket")
+        return ib.Index(
+            postings=ib.postings(tf, n_buckets=self.n_buckets),
+            doc_stats=self._delta_doc_stats(spark),
+            tf=tf,
+            n_buckets=self.n_buckets,
+        )
+
+    # --------------------------------------------------------- compact
+    def compact(self, spark: SparkSession, index_dir: str) -> None:
+        """Fold all delta segments into the canonical index layout
+        (identical to a one-shot batch build over the same docs)."""
+        ib.write_index(self.live_index(spark), index_dir)
+
+
+def ingest_stream(spark: SparkSession, input_dir: str, out_dir: str, *,
+                  content_col: str = "content", id_col: str = "doc_id",
+                  checkpoint: str | None = None,
+                  max_files_per_trigger: int = 1):
+    """Stream a directory of document parquet files into delta segments
+    (availableNow: drains what exists, then stops — cron-friendly)."""
+    writer = StreamingIndexWriter(out_dir, content_col=content_col,
+                                  id_col=id_col)
+    schema = spark.read.parquet(input_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_dir))
+    q = (stream.writeStream
+         .foreachBatch(writer.process_batch)
+         .option("checkpointLocation",
+                 checkpoint or f"{out_dir}/_checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return writer

@@ -21,13 +21,15 @@ PIPELINE_QUERIES = [
     "simhash_fingerprint", "dedup_simhash_pairs", "dedup_embedding_cosine",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_neardup",
     "multimodal_features", "multimodal_frames",
+    "event_windowed_counts", "event_sessions", "event_props_json",
+    "input_budget",
 ]
 
 
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con
 

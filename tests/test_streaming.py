@@ -1,0 +1,109 @@
+"""Streaming surface vs batch twins: watermarked windowed aggregation,
+applyInPandasWithState running totals, and incremental index ingest
+(delta segments -> compaction == one-shot batch build)."""
+
+from __future__ import annotations
+
+import pytest
+
+from inverted_index_and_search_spark.operators import events as ev
+from inverted_index_and_search_spark.operators import index_build as ib
+from inverted_index_and_search_spark.streaming import ingest, stream_ops
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    df = spark.read.parquet(EVENTS)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-source streams need a directory; stage the single parquet
+    file into one."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(EVENTS, d / "part-0.parquet")
+    return str(d)
+
+
+def test_windowed_stream_equals_batch(spark, events_df, events_dir):
+    got = sorted(tuple(r) for r in
+                 stream_ops.windowed_counts_stream(spark, events_dir).collect())
+    want = sorted(tuple(r) for r in ev.windowed_counts(events_df).collect())
+    assert got == want and got
+
+
+def test_stateful_user_counts_equal_batch(spark, events_df, events_dir):
+    rows = stream_ops.user_counts_stateful_stream(spark, events_dir).collect()
+    # last update per user = max n_events (counts are monotone)
+    final: dict[int, tuple[int, float]] = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in events_df.groupBy("user_id")
+        .agg(ib.F.count("*").alias("n"),
+             ib.F.round(ib.F.sum("value"), 6).alias("tv")).collect()
+    }
+    assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in want.items()}
+    for u in want:
+        assert abs(final[u][1] - want[u][1]) < 1e-6
+
+
+def test_incremental_ingest_matches_batch_build(spark, docs_df, tmp_path):
+    # stream the corpus in 3 chunks
+    chunks_dir = str(tmp_path / "chunks")
+    docs = docs_df.select("doc_id", "content")
+    for i in range(3):
+        (docs.filter((ib.F.col("doc_id") % 3) == i)
+         .coalesce(1).write.mode("append").parquet(chunks_dir))
+
+    out = str(tmp_path / "ingest")
+    writer = ingest.ingest_stream(spark, chunks_dir, out)
+
+    # pre-compaction live view == batch build (postings rows)
+    live = writer.live_index(spark)
+    batch = ib.build_index(docs)
+    cols = ["term", "term_bucket", "df", "cf", "postings"]
+    live_rows = sorted(tuple(r) for r in live.postings.select(cols).collect())
+    batch_rows = sorted(tuple(r) for r in batch.postings.select(cols).collect())
+    assert live_rows == batch_rows
+
+    # compaction produces the canonical layout, identical rows
+    idx_dir = str(tmp_path / "compacted")
+    writer.compact(spark, idx_dir)
+    compacted = ib.read_index(spark, idx_dir)
+    comp_rows = sorted(tuple(r) for r in compacted.postings.select(cols).collect())
+    assert comp_rows == batch_rows
+
+    ds_cols = ["doc_id", "dl", "content_sha256"]
+    live_ds = sorted(tuple(r) for r in compacted.doc_stats.select(ds_cols).collect())
+    batch_ds = sorted(tuple(r) for r in batch.doc_stats.select(ds_cols).collect())
+    assert live_ds == batch_ds
+
+
+def test_ingest_is_restartable(spark, docs_df, tmp_path):
+    """availableNow + checkpoint: a second invocation with no new files
+    is a no-op; adding files ingests only the new ones."""
+    chunks_dir = str(tmp_path / "chunks")
+    docs = docs_df.select("doc_id", "content")
+    docs.filter(ib.F.col("doc_id") < 30).coalesce(1).write.mode("append").parquet(chunks_dir)
+
+    out = str(tmp_path / "ingest")
+    writer = ingest.ingest_stream(spark, chunks_dir, out)
+    n1 = writer.live_index(spark).doc_stats.count()
+    assert n1 == 30
+
+    ingest.ingest_stream(spark, chunks_dir, out)  # no new files -> no-op
+    assert writer.live_index(spark).doc_stats.count() == 30
+
+    docs.filter(ib.F.col("doc_id") >= 30).coalesce(1).write.mode("append").parquet(chunks_dir)
+    ingest.ingest_stream(spark, chunks_dir, out)
+    assert writer.live_index(spark).doc_stats.count() == docs.count()
