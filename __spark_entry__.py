@@ -27,6 +27,7 @@ from inverted_index_and_search_spark.operators import events as ev  # noqa: E402
 from inverted_index_and_search_spark.operators import index_build as ib  # noqa: E402
 from inverted_index_and_search_spark.operators import multimodal as mm  # noqa: E402
 from inverted_index_and_search_spark.operators import query as q  # noqa: E402
+from inverted_index_and_search_spark.operators import relational as rel  # noqa: E402
 from inverted_index_and_search_spark.operators import segments as seg  # noqa: E402
 from inverted_index_and_search_spark.operators import similarity as sim  # noqa: E402
 from inverted_index_and_search_spark.tokenizer import tokens_sql_duckdb  # noqa: E402
@@ -214,6 +215,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_emb(s, d), _QV),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d), _QV),
         "ann_lsh_neardup": lambda s, d: sim.lsh_bucket_neardup(_aug_emb(s, d)),
+        # relational join/agg coverage (TPC-H-style; §2.3 joins absent
+        # in the reference, native here)
+        "tpch_pricing_summary": lambda s, d: rel.pricing_summary(
+            s.read.parquet(f"{d}/lineitem.parquet")),
+        "tpch_shipping_priority": lambda s, d: rel.shipping_priority(
+            s.read.parquet(f"{d}/customer.parquet"),
+            s.read.parquet(f"{d}/orders.parquet"),
+            s.read.parquet(f"{d}/lineitem.parquet")),
+        "tpch_region_revenue": lambda s, d: rel.region_revenue(
+            s.read.parquet(f"{d}/customer.parquet"),
+            s.read.parquet(f"{d}/orders.parquet"),
+            s.read.parquet(f"{d}/lineitem.parquet"),
+            s.read.parquet(f"{d}/nation.parquet"),
+            s.read.parquet(f"{d}/region.parquet")),
         # event analytics (windowed agg, sessionization, JSON extraction)
         "event_windowed_counts": lambda s, d: ev.windowed_counts(
             s.read.parquet(f"{d}/events.parquet")),
@@ -302,6 +317,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sim.cosine_topk_sql(_QV),
         "ann_ivf_topk": sim.ivf_topk_sql(_QV),
         "ann_lsh_neardup": sim.lsh_bucket_neardup_sql(_eaug),
+        "tpch_pricing_summary": rel.pricing_summary_sql(),
+        "tpch_shipping_priority": rel.shipping_priority_sql(),
+        "tpch_region_revenue": rel.region_revenue_sql(),
         "event_windowed_counts": ev.windowed_counts_sql(),
         "event_sessions": ev.sessionize_sql(),
         "event_props_json": ev.props_json_stats_sql(),

@@ -22,8 +22,6 @@ segments.py).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -93,10 +91,12 @@ def bm25_topk(
     """(doc_id, score) — BM25 top-k, score desc then doc_id asc.
 
     Disjunctive by default (standard BM25); ``conjunctive=True`` scores
-    only docs containing all terms (and inherits the missing-term
-    short-circuit). Scores are float64 and match the pure-Python oracle
-    to 1e-6: IDF is computed driver-side from (N, df) per term — exact
-    same ``math.log`` formulation as the oracle.
+    only docs containing all terms (the missing-term short-circuit of
+    search-query.py:61-62 falls out of the n_matched == k filter).
+    Scores are float64 and match the pure-Python oracle to 1e-6: IDF is
+    computed in-plan from each postings row's df column with the exact
+    ``ln(1 + (N - df + .5)/(df + .5))`` formulation — one Spark job per
+    query, no driver-side stats collect.
     """
     norm = _norm_terms(terms)
     spark = index.postings.sparkSession
@@ -105,27 +105,24 @@ def bm25_topk(
     n_docs, avgdl = index.collection_stats()
     qp = _query_postings(index, norm)
 
-    # df per query term -> IDF as literals (tiny collect; ≤ #terms rows)
-    dfs = {r["term"]: int(r["df"]) for r in qp.select("term", "df").collect()}
-    if not dfs or (conjunctive and len(dfs) < len(norm)):
-        # no query term occurs in the corpus (or conjunctive missing-term
-        # short-circuit, search-query.py:61-62) -> empty result
-        return spark.createDataFrame([], "doc_id long, score double")
-    idf = {
-        t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
-    }
-    idf_map = F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))])
+    # IDF in-plan from the postings rows' own df column (same float64
+    # ops as math.log in the oracle: ln(1 + (N - df + .5)/(df + .5))) —
+    # no per-query driver collect; one job end-to-end.
+    idf_col = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
 
     exploded = qp.select(
-        "term", F.explode("postings").alias("p")
-    ).select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+        "term", idf_col.alias("idf"), F.explode("postings").alias("p")
+    ).select("term", "idf", F.col("p.doc_id").alias("doc_id"),
+             F.col("p.tf").alias("tf"))
 
     dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
     scored = (
         exploded.join(dl, "doc_id")
         .withColumn(
             "term_score",
-            idf_map[F.col("term")]
+            F.col("idf")
             * (F.col("tf") * (K1 + 1.0))
             / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl)),
         )

@@ -233,6 +233,63 @@ def topk(
     return bm25.exhaustive_topk(cursors, k, conjunctive=conjunctive)
 
 
+def batch_topk(idx: SegmentIndex, queries: list[tuple[int, list[str]]],
+               k: int = 10, *, conjunctive: bool = False) -> DataFrame:
+    """Distributed batch query evaluation: run the block-max WAND kernel
+    ON EXECUTORS for a whole workload of queries at once.
+
+    (query_id, terms) pairs are joined to their terms' compressed
+    segments (bucket-pruned scan, the only data movement: each query
+    ships only its own terms' segments), grouped by query_id, and each
+    group runs the same numpy WAND kernel as the driver path inside
+    ``applyInPandas``. Returns (query_id, rank, doc_id, score).
+
+    This is the offline/throughput twin of :class:`QueryServer` (online
+    latency) and of :func:`topk` (single-query driver eval) — all three
+    are rank-identical by construction (asserted in tests). At 10^12
+    docs the per-query shipped bytes stay proportional to the query's
+    own posting lists, and query evaluation parallelism = #queries.
+    """
+    import pandas as pd
+
+    spark = idx.segments.sparkSession
+    norm_pairs = [(int(qid), sorted({t.lower() for t in terms}))
+                  for qid, terms in queries]
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in norm_pairs for t in ts],
+        "query_id long, term string")
+    n_terms = {qid: len(ts) for qid, ts in norm_pairs}
+
+    seg_cols = ["term", "df", "n", "doc_ids_enc", "tfs_enc", "dls_enc",
+                "block_max", "block_last"]
+    joined = qdf.join(idx.segments.select(*seg_cols), "term", "left")
+
+    avgdl, n_docs, block = idx.avgdl, idx.n_docs, idx.block
+    n_terms_b = spark.sparkContext.broadcast(n_terms)
+
+    def eval_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        present = pdf[pdf["n"].notna()]
+        cursors = [
+            _decode_row(row, avgdl, n_docs, block)
+            for _, row in present.iterrows()
+        ]
+        want = n_terms_b.value[qid]
+        if not cursors or (conjunctive and len(cursors) < want):
+            hits = []
+        else:
+            hits = bm25.wand_topk(cursors, k, conjunctive=conjunctive)
+        return pd.DataFrame({
+            "query_id": pd.Series([qid] * len(hits), dtype="int64"),
+            "rank": pd.Series(range(1, len(hits) + 1), dtype="int32"),
+            "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
+            "score": pd.Series([s for _, s in hits], dtype="float64"),
+        })
+
+    return (joined.groupBy("query_id").applyInPandas(
+        eval_query, "query_id long, rank int, doc_id long, score double"))
+
+
 class QueryServer:
     """Warm interactive query endpoint over a persisted segment index.
 

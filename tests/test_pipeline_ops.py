@@ -23,13 +23,15 @@ PIPELINE_QUERIES = [
     "multimodal_features", "multimodal_frames",
     "event_windowed_counts", "event_sessions", "event_props_json",
     "input_budget",
+    "tpch_pricing_summary", "tpch_shipping_priority", "tpch_region_revenue",
 ]
 
 
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "nation", "region"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con
 

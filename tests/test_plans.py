@@ -1,0 +1,101 @@
+"""Physical-plan quality gates: the properties that make the pipelines
+scale are asserted, not assumed — filter/column pushdown reaches the
+parquet scan, dims broadcast, shuffle counts stay at the designed
+minimum, top-k compiles to TakeOrderedAndProject, and the persisted
+index scan prunes term_bucket partitions."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from inverted_index_and_search_spark.operators import index_build as ib
+from inverted_index_and_search_spark.operators import query as q
+from inverted_index_and_search_spark.operators import relational as rel
+from inverted_index_and_search_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count physical nodes in a formatted plan (each node appears once
+    as a '(N) Op' detail header)."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, re.MULTILINE))
+
+
+def test_postings_build_has_two_exchanges_jvm_path(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tf = ib.term_doc_tf(ib.tokens(docs, use_pandas_udf=False,
+                                  content_col="text", id_col="doc_id"))
+    plan = explain(ib.postings(tf))
+    assert n_nodes(plan, "Exchange") == 2, plan
+    assert "partial_count" in plan  # map-side combine = reference's IMC
+
+
+def test_arrow_tf_path_has_no_pre_agg_exchange(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tf = ib.term_doc_tf_arrow(docs, content_col="text", id_col="doc_id")
+    plan = explain(ib.postings(tf))
+    # only the postings agg exchanges; tf itself is shuffle-free
+    assert n_nodes(plan, "Exchange") == 1, plan
+    assert "MapInPandas" in plan
+
+
+def test_scan_prunes_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tf = ib.term_doc_tf_arrow(docs, content_col="text", id_col="doc_id")
+    plan = explain(tf)
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "lang" not in rs[0] and "source" not in rs[0], plan
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    plan = explain(rel.pricing_summary(spark.read.parquet(f"{SF}/lineitem.parquet")))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_shipdate" in pushed[0], plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert "l_partkey" not in rs[0], "unused column not pruned"
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    plan = explain(rel.region_revenue(
+        spark.read.parquet(f"{SF}/customer.parquet"),
+        spark.read.parquet(f"{SF}/orders.parquet"),
+        spark.read.parquet(f"{SF}/lineitem.parquet"),
+        spark.read.parquet(f"{SF}/nation.parquet"),
+        spark.read.parquet(f"{SF}/region.parquet")))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_cosine_topk_is_take_ordered(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = explain(sim.cosine_topk(emb, sim.fixture_query_vec()))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert n_nodes(plan, "Exchange") == 0, "top-k must not shuffle"
+
+
+@pytest.fixture(scope="module")
+def persisted_index(spark, tmp_path_factory):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = ib.build_index(docs, content_col="text", id_col="doc_id")
+    out = str(tmp_path_factory.mktemp("planidx"))
+    ib.write_index(idx, out)
+    return ib.read_index(spark, out)
+
+
+def test_query_prunes_term_bucket_partitions(spark, persisted_index):
+    plan = explain(q.boolean_and(persisted_index, ["table", "query"]))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "term_bucket" in pf[0], plan
+
+
+def test_bm25_broadcasts_doc_stats(spark, persisted_index):
+    plan = explain(q.bm25_topk(persisted_index, ["table", "query"], k=10))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

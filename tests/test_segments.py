@@ -140,3 +140,25 @@ def test_query_server_eviction(seg_index):
     small.bm25_topk(["return"])
     small.bm25_topk(["if"])
     assert len(small._cache) <= 2
+
+
+def test_batch_topk_matches_driver_topk(seg_index):
+    queries = list(enumerate(QUERY_SET))
+    rows = seg.batch_topk(seg_index, queries, k=10).collect()
+    got: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in queries:
+        want = seg.topk(seg_index, terms, k=10)
+        assert got.get(qid, []) == pytest.approx(want), terms
+
+
+def test_batch_topk_conjunctive(seg_index):
+    queries = list(enumerate(QUERY_SET))
+    rows = seg.batch_topk(seg_index, queries, k=10, conjunctive=True).collect()
+    got: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in queries:
+        want = seg.topk(seg_index, terms, k=10, conjunctive=True)
+        assert got.get(qid, []) == pytest.approx(want), terms
