@@ -78,8 +78,12 @@ def main() -> None:
         queries["index_build_docs"] = time.perf_counter() - t0
 
         # --- index build over the synthetic source-code corpus
+        # (materialized to parquet first so the timed section measures
+        # the index build, not the python corpus generator)
         n_synth = max(200, int(200_000 * sf))
-        corpus = with_doc_id(corpus_df(spark, n_synth))
+        (with_doc_id(corpus_df(spark, n_synth)).repartition(64)
+         .write.mode("overwrite").parquet(f"{tmp}/corpus"))
+        corpus = spark.read.parquet(f"{tmp}/corpus")
         corpus_bytes = corpus.agg(F.sum(F.length("content"))).collect()[0][0]
         t0 = time.perf_counter()
         sidx = ib.build_index(corpus, use_pandas_udf=True, salt_hot_terms=True)

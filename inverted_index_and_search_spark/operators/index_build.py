@@ -77,13 +77,12 @@ def term_doc_tf_arrow(docs: DataFrame, *, content_col: str = "content",
     """
     import pandas as pd
 
-    from inverted_index_and_search_spark.tokenizer import _PY_STRIP
+    from inverted_index_and_search_spark.tokenizer import _PY_TOKEN
 
     def count_tf(batches):
         from collections import Counter
         for pdf in batches:
-            toks = (pdf[content_col].str.lower()
-                    .str.replace(_PY_STRIP, " ", regex=True).str.split())
+            toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
             ids, terms, tfs = [], [], []
             for doc_id, words in zip(pdf[id_col], toks):
                 c = Counter(words)

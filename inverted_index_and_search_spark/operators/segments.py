@@ -213,14 +213,32 @@ def fetch_term_postings(idx: SegmentIndex, terms: list[str]) -> dict[str, bm25.T
     return {r["term"]: _decode_row(r, idx.avgdl, idx.n_docs, idx.block) for r in rows}
 
 
+#: below this many total candidate postings, vectorized exhaustive
+#: scoring beats the per-doc WAND loop (~0.8 ms vs ~42 ms measured at
+#: 5k docs) — block-max skipping only pays once lists are long enough
+#: that skipped work dominates python loop overhead.
+AUTO_WAND_MIN_POSTINGS = 2_000_000
+
+
+def _run_kernel(cursors, k, *, conjunctive, method, stats=None):
+    if method == "auto":
+        total = sum(c.doc_ids.size for c in cursors)
+        method = "wand" if total >= AUTO_WAND_MIN_POSTINGS else "exhaustive"
+    if method == "wand":
+        return bm25.wand_topk(cursors, k, conjunctive=conjunctive, stats=stats)
+    return bm25.exhaustive_topk(cursors, k, conjunctive=conjunctive)
+
+
 def topk(
     idx: SegmentIndex, terms: list[str], k: int = 10,
     *, conjunctive: bool = False, method: str = "wand",
     stats: bm25.WandStats | None = None,
 ) -> list[tuple[int, float]]:
     """BM25 top-k over compressed segments. ``method`` = "wand"
-    (block-max early termination) or "exhaustive" (vectorized full
-    scoring) — rank-identical by construction, asserted in tests."""
+    (block-max early termination), "exhaustive" (vectorized full
+    scoring), or "auto" (exhaustive below AUTO_WAND_MIN_POSTINGS
+    candidate postings, WAND above) — rank-identical by construction,
+    asserted in tests."""
     norm = sorted({t.lower() for t in terms})
     fetched = fetch_term_postings(idx, norm)
     if conjunctive and len(fetched) < len(norm):
@@ -228,9 +246,8 @@ def topk(
     cursors = list(fetched.values())
     if not cursors:
         return []
-    if method == "wand":
-        return bm25.wand_topk(cursors, k, conjunctive=conjunctive, stats=stats)
-    return bm25.exhaustive_topk(cursors, k, conjunctive=conjunctive)
+    return _run_kernel(cursors, k, conjunctive=conjunctive, method=method,
+                       stats=stats)
 
 
 def batch_topk(idx: SegmentIndex, queries: list[tuple[int, list[str]]],
@@ -322,7 +339,7 @@ class QueryServer:
 
     def bm25_topk(self, terms: list[str], k: int = 10, *,
                   conjunctive: bool = False,
-                  method: str = "wand") -> list[tuple[int, float]]:
+                  method: str = "auto") -> list[tuple[int, float]]:
         norm = sorted({t.lower() for t in terms})
         if not norm:
             return []
@@ -332,9 +349,7 @@ class QueryServer:
             return []
         for c in cursors:  # WAND advances pos; cached cursors must rewind
             c.pos = 0
-        if method == "wand":
-            return bm25.wand_topk(cursors, k, conjunctive=conjunctive)
-        return bm25.exhaustive_topk(cursors, k, conjunctive=conjunctive)
+        return _run_kernel(cursors, k, conjunctive=conjunctive, method=method)
 
     def boolean_and(self, terms: list[str]) -> list[int]:
         norm = sorted({t.lower() for t in terms})
