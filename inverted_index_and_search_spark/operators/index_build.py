@@ -307,6 +307,18 @@ def budget_input(docs: DataFrame, limit_mb: float, *,
                      docs[id_col] == picked_ids["_id"], "inner").drop("_id")
 
 
+def versioned_output_path(base: str) -> str:
+    """Reference output-dir auto-versioning (``choose_output_path``,
+    ``spark/inverted_index_search.py:156-161`` /
+    ``InvertedIndexAndSearch.java:79-92``): first free ``{base}-N``."""
+    import os
+
+    i = 0
+    while os.path.exists(f"{base}-{i}"):
+        i += 1
+    return f"{base}-{i}"
+
+
 def read_index(spark: SparkSession, out_dir: str) -> Index:
     return Index(
         postings=spark.read.parquet(f"{out_dir}/postings"),

@@ -97,3 +97,12 @@ def test_cli_text_format_build(spark, tmp_path, capsys):
     cli.main(["build", "--input", docs, "--content-col", "text",
               "--output", out, "--format", "text"])
     assert spark.read.text(out).count() > 0
+
+
+def test_versioned_output_path(tmp_path):
+    base = str(tmp_path / "output-spark")
+    assert ib.versioned_output_path(base) == f"{base}-0"
+    import os
+    os.makedirs(f"{base}-0")
+    os.makedirs(f"{base}-1")
+    assert ib.versioned_output_path(base) == f"{base}-2"

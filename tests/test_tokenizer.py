@@ -60,3 +60,20 @@ def test_duckdb_sql_matches_py(corpus_pdf):
     for t in texts:
         got = duckdb.execute(f"select {frag}", [t]).fetchone()[0]
         assert got == tokenize_py(t), t[:60]
+
+
+# --------------------------------------------------- property (hypothesis)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from inverted_index_and_search_spark.tokenizer import _PY_TOKEN  # noqa: E402
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=500, deadline=None)
+def test_findall_form_equals_strip_split_form(text):
+    """The single-pass findall([^\\W_]+) tokenizer used by the Arrow
+    kernels is token-identical to the canonical strip+split oracle on
+    arbitrary unicode input."""
+    assert _PY_TOKEN.findall(text.lower()) == tokenize_py(text)
