@@ -95,6 +95,35 @@ def main() -> None:
         extra["synth_files_per_sec"] = round(n_synth / dt, 2)
         extra["synth_mb_per_sec"] = round(corpus_bytes / 1e6 / dt, 2)
 
+        # --- compressed-segment build over the same synth corpus (the
+        # north-star index format: delta+varint + block-max metadata)
+        def _dir_mb(d: str) -> float:
+            total = 0
+            for root, _, files in os.walk(d):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return round(total / 1e6, 2)
+
+        from inverted_index_and_search_spark.operators import segments as seg
+        n_c = corpus.count()
+        avgdl_c = float(sidx.doc_stats.agg(F.avg("dl")).collect()[0][0] or 0.0)
+        t0 = time.perf_counter()
+        tf_c = ib.term_doc_tf_arrow(corpus)
+        segidx = seg.build_segment_index(tf_c, n_c, avgdl_c)
+        seg.write_segment_index(segidx, f"{tmp}/seg_synth")
+        queries["segment_build"] = time.perf_counter() - t0
+        extra["segments_mb"] = _dir_mb(f"{tmp}/seg_synth")
+        extra["postings_mb"] = _dir_mb(f"{tmp}/idx_synth/postings")
+
+        # --- scale-path dedup timing (MinHash signatures + LSH banding
+        # + candidate verify over the full synth corpus)
+        from inverted_index_and_search_spark.operators import dedup as dd
+        t0 = time.perf_counter()
+        n_pairs = dd.minhash_lsh_pairs(
+            corpus.selectExpr("doc_id", "content AS text"),
+            max_bucket_size=50).count()
+        extra["dedup_minhash_sec"] = round(time.perf_counter() - t0, 3)
+        extra["dedup_pairs"] = n_pairs
+
         # --- query latencies against the persisted docs index
         pidx = ib.read_index(spark, f"{tmp}/idx_docs")
         pidx.postings.cache().count()

@@ -249,26 +249,63 @@ def _minhash_aggs() -> list[Column]:
     ]
 
 
+def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Boilerplate guard: shingles present in more than max_shingle_df
+    docs carry no dedup signal (license headers, shared keyword runs)
+    and make both LSH buckets and verification joins degenerate."""
+    if max_shingle_df is None:
+        return sh
+    hot = (sh.groupBy("shingle").count()
+           .where(F.col("count") > max_shingle_df).select("shingle"))
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def minhash_signatures(docs: DataFrame, *, text_col: str = "text",
-                       n: int = SHINGLE_N) -> DataFrame:
+                       n: int = SHINGLE_N,
+                       max_shingle_df: int | None = None) -> DataFrame:
     """(doc_id, sig_0..sig_{K-1}) — one groupBy(doc_id); the K mins are
     partial-aggregated map-side so shuffle volume is K hashes per doc."""
-    return (shingle_df(docs, text_col=text_col, n=n)
-            .groupBy("doc_id").agg(*_minhash_aggs()))
+    sh = _drop_hot_shingles(
+        shingle_df(docs, text_col=text_col, n=n), max_shingle_df)
+    return sh.groupBy("doc_id").agg(*_minhash_aggs())
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
                       n: int = SHINGLE_N,
-                      threshold: float = JACCARD_T) -> DataFrame:
+                      threshold: float = JACCARD_T,
+                      max_bucket_size: int | None = None,
+                      max_shingle_df: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH-banded candidates, then exact
-    Jaccard verification >= threshold. The web-scale dedup path."""
-    sig = minhash_signatures(docs, text_col=text_col, n=n)
+    Jaccard verification >= threshold. The web-scale dedup path.
+
+    ``max_bucket_size``: skip LSH buckets with more members than this
+    before pairing — on corpora where many documents share the
+    globally-min-hashed shingle (hot boilerplate), a bucket can hold
+    thousands of docs and the candidate join degenerates to
+    O(bucket^2); such clusters are better handled by exact dedup /
+    clustering than pairwise output.
+
+    ``max_shingle_df``: drop shingles occurring in more than this many
+    docs before signatures AND verification — removes boilerplate
+    self-similarity at the source (both Jaccard and the LSH buckets
+    then measure only the discriminative shingles).
+
+    ``None`` for both keeps exact LSH semantics (what the driver
+    oracle replicates).
+    """
+    sig = minhash_signatures(docs, text_col=text_col, n=n,
+                             max_shingle_df=max_shingle_df)
     bands = F.array(*[
         F.md5(F.concat_ws("|", *[F.col(f"sig_{b * LSH_ROWS + r}")
                                  for r in range(LSH_ROWS)]))
         for b in range(LSH_BANDS)
     ])
     banded = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
+    if max_bucket_size is not None:
+        big = (banded.groupBy("band", "bucket").count()
+               .where(F.col("count") > max_bucket_size)
+               .select("band", "bucket"))
+        banded = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -279,7 +316,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
             .distinct())
     # exact-Jaccard verification restricted to the candidate pairs —
     # the whole point of LSH: shingle joins touch only candidate docs.
-    sh = shingle_df(docs, text_col=text_col, n=n)
+    sh = _drop_hot_shingles(
+        shingle_df(docs, text_col=text_col, n=n), max_shingle_df)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("s"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b2"),
