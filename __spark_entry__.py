@@ -165,15 +165,25 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_metric_query(builders):
-    """Query factory: documents -> (doc_id, <generated metric cols>)."""
+    """Query factory: documents -> (doc_id, <generated metric cols>).
+
+    Two-level select: the expensive helper values (token array,
+    normalized text — ts.bindings) are bound once per row in a parent
+    projection; the metric exprs reference those columns. Binding
+    helpers as real columns (not textual inlining) keeps the tokenizer
+    out of per-element lambda bodies — O(L) per doc, not O(L^2)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         exprs = {}
         for b in builders:
             exprs.update(b("text", ts.SPARK))
-        return _docs(spark, sf_dir).select(
+        binds = ts.bindings("text", ts.SPARK)
+        bound = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            *[F.expr(e).alias(n) for n, e in exprs.items()],
+            F.col("text"),
+            *[F.expr(e).alias(n) for n, e in binds.items()],
         )
+        return bound.select(
+            "doc_id", *[F.expr(e).alias(n) for n, e in exprs.items()])
     return run
 
 
@@ -181,8 +191,11 @@ def _text_metric_sql(builders) -> str:
     exprs = {}
     for b in builders:
         exprs.update(b("text", ts.DUCKDB))
+    binds = ts.bindings("text", ts.DUCKDB)
+    bsel = ", ".join(f"{e} AS {n}" for n, e in binds.items())
     sel = ", ".join(f"{e} AS {n}" for n, e in exprs.items())
-    return f"SELECT doc_id::BIGINT AS doc_id, {sel} FROM documents"
+    return (f"SELECT doc_id::BIGINT AS doc_id, {sel} FROM "
+            f"(SELECT doc_id, text, {bsel} FROM documents)")
 
 
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

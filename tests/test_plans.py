@@ -99,3 +99,40 @@ def test_bm25_broadcasts_doc_stats(spark, persisted_index):
     plan = explain(q.bm25_topk(persisted_index, ["table", "query"], k=10))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_shingle_plan_tokenizes_once_per_row(spark):
+    """Regression gate for the round-1 O(L^2) scale-killer: the shingle
+    expression must reference a bound token-array column, never inline
+    the tokenizer (a regexp_replace over the full doc) inside the
+    transform() lambda where it would re-run per shingle position."""
+    from inverted_index_and_search_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .selectExpr("doc_id", "text")
+    plan = explain(dd.shingle_df(docs))
+    # exactly one tokenizing regexp_replace in the whole physical plan
+    assert plan.count("regexp_replace") == 1, plan
+
+
+def test_fingerprint_plan_normalizes_once_per_row(spark):
+    """Same bug class: __norm must be a bound column, not re-evaluated
+    per character position inside the k-gram lambda."""
+    import __spark_entry__ as e
+    from inverted_index_and_search_spark.functions import text_stats as ts
+
+    df = e._text_metric_query([ts.fingerprint_exprs])(spark, SF)
+    plan = explain(df)
+    assert plan.count("regexp_replace") == 1, plan
+
+
+def test_lang_quality_plans_tokenize_once_per_row(spark):
+    """quality/lang-id metrics share ONE bound token array: the
+    tokenizing regexp (lower+strip, '[^a-z0-9]') appears once; the only
+    other regexps are quality's independent char-class counters."""
+    import __spark_entry__ as e
+    from inverted_index_and_search_spark.functions import text_stats as ts
+
+    df = e._text_metric_query([ts.quality_exprs, ts.lang_id_expr])(spark, SF)
+    plan = explain(df)
+    assert plan.count("[^a-z0-9]") == 1, plan
