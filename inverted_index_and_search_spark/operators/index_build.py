@@ -213,6 +213,9 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
     Postings are repartitioned to exactly n_buckets partitions so each
     bucket directory holds one file (bounded commit/listing cost).
     """
+    import json
+    import os
+
     if index.tf is not None:
         index.tf.persist()
     try:
@@ -221,6 +224,12 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
          .write.mode(mode).partitionBy("term_bucket")
          .parquet(f"{out_dir}/postings"))
         index.doc_stats.write.mode(mode).parquet(f"{out_dir}/doc_stats")
+        # persist the bucketing modulus: query-time pruning recomputes
+        # pmod(xxhash64(term), n_buckets) and MUST use the build-time
+        # value or matching postings are silently filtered out
+        os.makedirs(out_dir, exist_ok=True)
+        with open(f"{out_dir}/meta.json", "w") as f:
+            json.dump({"n_buckets": index.n_buckets}, f)
     finally:
         if index.tf is not None:
             index.tf.unpersist()
@@ -320,7 +329,16 @@ def versioned_output_path(base: str) -> str:
 
 
 def read_index(spark: SparkSession, out_dir: str) -> Index:
+    import json
+    import os
+
+    n_buckets = DEFAULT_BUCKETS
+    meta_path = f"{out_dir}/meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            n_buckets = int(json.load(f)["n_buckets"])
     return Index(
         postings=spark.read.parquet(f"{out_dir}/postings"),
         doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
+        n_buckets=n_buckets,
     )

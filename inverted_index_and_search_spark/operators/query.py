@@ -39,9 +39,13 @@ def _norm_terms(terms: list[str]) -> list[str]:
     return sorted({t.lower() for t in terms})
 
 
-def _query_postings(index: Index, norm: list[str], n_buckets: int | None = None) -> DataFrame:
+def _query_postings(index: Index, norm: list[str]) -> DataFrame:
     """Postings rows for the query's terms, with bucket pruning when the
-    postings DF carries term_bucket (persisted layout)."""
+    postings DF carries term_bucket (persisted layout).
+
+    Bucket values are computed with the INDEX's own n_buckets (persisted
+    in meta.json and restored by read_index) — a wrong modulus here
+    would silently prune away matching postings."""
     p = index.postings
     if "term_bucket" in p.columns:
         # Partition-pruned scan: xxhash64 is only exposed as an
@@ -50,8 +54,8 @@ def _query_postings(index: Index, norm: list[str], n_buckets: int | None = None)
         # then prune to `term_bucket IN (...)` — Catalyst turns this
         # into parquet directory pruning on the persisted layout.
         bdf = p.sparkSession.createDataFrame([(t,) for t in norm], "term string")
-        nb = n_buckets or 32
-        bvals = [r[0] for r in bdf.select(term_bucket_col(F.col("term"), nb)).collect()]
+        bvals = [r[0] for r in bdf.select(
+            term_bucket_col(F.col("term"), index.n_buckets)).collect()]
         p = p.filter(F.col("term_bucket").isin(bvals))
     return p.filter(F.col("term").isin(norm))
 

@@ -279,7 +279,21 @@ def batch_topk(idx: SegmentIndex, queries: list[tuple[int, list[str]]],
 
     seg_cols = ["term", "df", "n", "doc_ids_enc", "tfs_enc", "dls_enc",
                 "block_max", "block_last"]
-    joined = qdf.join(idx.segments.select(*seg_cols), "term", "left")
+    # Prune the segment scan to the workload's own terms BEFORE the
+    # join (round-1 left-joined the unfiltered table, shuffling every
+    # segment): term_bucket IN (...) prunes parquet partitions and
+    # term IN (...) pushes to row groups, exactly like the single-query
+    # path (fetch_term_postings). Inner join is safe — missing-term
+    # handling lives in the n_terms broadcast inside eval_query.
+    terms_all = sorted({t for _, ts in norm_pairs for t in ts})
+    seg = idx.segments
+    if "term_bucket" in seg.columns:
+        bdf = spark.createDataFrame([(t,) for t in terms_all], "term string")
+        bvals = [r[0] for r in bdf.select(
+            term_bucket_col(F.col("term"), idx.n_buckets)).collect()]
+        seg = seg.filter(F.col("term_bucket").isin(bvals))
+    seg = seg.filter(F.col("term").isin(terms_all)).select(*seg_cols)
+    joined = qdf.join(seg, "term", "inner")
 
     avgdl, n_docs, block = idx.avgdl, idx.n_docs, idx.block
     n_terms_b = spark.sparkContext.broadcast(n_terms)
@@ -318,8 +332,9 @@ class QueryServer:
     queries run entirely in the numpy WAND kernel — microseconds to
     milliseconds, no Spark job. Absent terms are negatively cached.
 
-    ``max_terms`` bounds residency (FIFO eviction): the server's memory
-    is O(cached terms), independent of corpus size.
+    ``max_terms`` bounds residency (LRU eviction; the in-flight query's
+    terms are touched to MRU first so they are never evicted mid-query):
+    the server's memory is O(cached terms), independent of corpus size.
     """
 
     def __init__(self, idx: SegmentIndex, *, max_terms: int = 100_000):
@@ -329,13 +344,23 @@ class QueryServer:
 
     def _ensure(self, norm: list[str]) -> None:
         missing = [t for t in norm if t not in self._cache]
-        if not missing:
-            return
-        fetched = fetch_term_postings(self.idx, missing)
-        for t in missing:
-            self._cache[t] = fetched.get(t)
-        while len(self._cache) > self.max_terms:
-            self._cache.pop(next(iter(self._cache)))
+        if missing:
+            fetched = fetch_term_postings(self.idx, missing)
+            for t in missing:
+                self._cache[t] = fetched.get(t)
+        # LRU touch: move the in-flight query's terms to MRU position,
+        # then evict only NON-query terms — a long-cached term at the
+        # eviction head would otherwise be dropped mid-query and
+        # silently treated as absent (wrong scores / short-circuited
+        # conjunctions). The cache may transiently exceed max_terms when
+        # a single query has more terms than the cap.
+        for t in norm:
+            if t in self._cache:
+                self._cache[t] = self._cache.pop(t)
+        norm_set = set(norm)
+        evictable = [t for t in self._cache if t not in norm_set]
+        while len(self._cache) > self.max_terms and evictable:
+            self._cache.pop(evictable.pop(0))
 
     def bm25_topk(self, terms: list[str], k: int = 10, *,
                   conjunctive: bool = False,

@@ -51,3 +51,29 @@ def test_bm25_topk_conjunctive(index, oracle_idx, terms):
 def test_empty_query(index):
     assert q.boolean_and(index, []).count() == 0
     assert q.bm25_topk(index, []).count() == 0
+
+
+def test_nondefault_bucket_count_roundtrip(spark, docs_df, tmp_path_factory):
+    """n_buckets is persisted with the index and used for query-time
+    bucket pruning: an index built with a non-default modulus must
+    return complete results after write/read (round-1 hardcoded 32 at
+    query time, silently pruning away matching postings)."""
+    import inverted_index_and_search_spark.operators.index_build as ib
+
+    idx7 = ib.build_index(docs_df, n_buckets=7)
+    out = str(tmp_path_factory.mktemp("idx7"))
+    ib.write_index(idx7, out)
+    r7 = ib.read_index(spark, out)
+    assert r7.n_buckets == 7
+    base = ib.build_index(docs_df)  # in-memory default
+    for terms in [["def"], ["def", "return", "if", "int"], ["var_3_0"]]:
+        got = [r["doc_id"] for r in q.boolean_and(r7, terms).collect()]
+        want = [r["doc_id"] for r in q.boolean_and(base, terms).collect()]
+        assert got == want, terms
+        if terms == ["def"]:
+            assert want, "hot keyword must match docs"
+        gb = [(r["doc_id"], round(r["score"], 9))
+              for r in q.bm25_topk(r7, terms, k=10).collect()]
+        wb = [(r["doc_id"], round(r["score"], 9))
+              for r in q.bm25_topk(base, terms, k=10).collect()]
+        assert gb == wb, terms

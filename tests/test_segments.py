@@ -162,3 +162,36 @@ def test_batch_topk_conjunctive(seg_index):
     for qid, terms in queries:
         want = seg.topk(seg_index, terms, k=10, conjunctive=True)
         assert got.get(qid, []) == pytest.approx(want), terms
+
+
+def test_query_server_never_evicts_inflight_terms(seg_index):
+    """A term cached long ago must not be evicted by the very query
+    that is about to read it (round-1 FIFO eviction could drop it and
+    silently treat it as absent)."""
+    small = seg.QueryServer(seg_index, max_terms=2)
+    small.bm25_topk(["def"])      # 'def' now oldest in cache
+    small.bm25_topk(["return"])   # cache full: [def, return]
+    got = small.bm25_topk(["def", "return", "if"])
+    want = seg.QueryServer(seg_index).bm25_topk(["def", "return", "if"])
+    assert got == pytest.approx(want)
+    # conjunctive variant: an evicted present-term would short-circuit to []
+    small2 = seg.QueryServer(seg_index, max_terms=1)
+    small2.bm25_topk(["def"])
+    small2.bm25_topk(["return"])
+    got_c = small2.bm25_topk(["def", "return"], conjunctive=True)
+    want_c = seg.QueryServer(seg_index).bm25_topk(["def", "return"], conjunctive=True)
+    assert got_c == pytest.approx(want_c) and got_c
+
+
+def test_batch_topk_prunes_segment_scan(seg_index):
+    """The batch path must ship only the workload's own terms' segments:
+    term IN (...) pushed to the parquet scan, term_bucket partition
+    pruning, and no outer join of the full segment table."""
+    from tests.test_plans import explain
+
+    plan = explain(seg.batch_topk(seg_index, [(0, ["def", "return"])], k=5))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "In(term" in pushed[0], plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "term_bucket" in pf[0], plan
+    assert "LeftOuter" not in plan, plan
