@@ -80,7 +80,15 @@ def build_resumable(
 
     ``on_bucket_done`` is a test hook invoked after each bucket commit
     (used to simulate a mid-build crash).
+
+    After the last bucket commits, a run-level metrics artifact
+    (``run_metrics.json``: wall seconds, shuffle/input bytes, executor
+    CPU/GC — metrics.write_run_metrics) is written next to the index,
+    with a lineage back-pointer recorded so the manifest view links the
+    run to its input snapshot (reference ``collect_and_log_metrics``,
+    ``spark/inverted_index_search.py:262-457``).
     """
+    run_t0 = time.perf_counter()
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
 
     # ---- stage 0: tokenize + tf + dl, bucketed materialization
@@ -144,6 +152,14 @@ def build_resumable(
         })
         if on_bucket_done is not None:
             on_bucket_done(b)
+
+    from inverted_index_and_search_spark.metrics import write_run_metrics
+
+    write_run_metrics(
+        spark, out_dir, wall_seconds=time.perf_counter() - run_t0,
+        job="resumable_build",
+        extra={"n_buckets": n_buckets,
+               "lineage": {"stage0": _manifest_path(out_dir, "stage0")}})
 
     return seg.SegmentIndex(
         segments=spark.read.parquet(f"{out_dir}/segments"),

@@ -36,9 +36,35 @@ def _session(app_name: str):
     return get_spark(app_name=app_name), True
 
 
+def _looks_like_parquet(path: str) -> bool:
+    """Input auto-detection: a parquet file/dataset vs a directory of
+    raw text files (the reference's primary input shape)."""
+    import os
+
+    if path.endswith(".parquet") or not os.path.isdir(path):
+        return True
+    for root, _dirs, fs in os.walk(path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                return True
+            if f.endswith(".txt"):
+                return False
+    return True
+
+
 def _build(args: argparse.Namespace) -> None:
     spark, created = _session("iis-build")
-    docs = spark.read.parquet(args.input)
+    in_fmt = args.input_format
+    if in_fmt == "auto":
+        in_fmt = "parquet" if _looks_like_parquet(args.input) else "text-dir"
+    if in_fmt == "text-dir":
+        # reference entry path: directory tree of plaintext files,
+        # basename = docID (safe_read, spark/inverted_index_search.py:72-100)
+        from inverted_index_and_search_spark.sources.files import docs_from_files
+        docs = docs_from_files(spark, args.input, glob=args.glob)
+        args.content_col, args.id_col = "content", "doc_id"
+    else:
+        docs = spark.read.parquet(args.input)
     if args.id_col not in docs.columns:
         from inverted_index_and_search_spark.corpus import with_doc_id
         docs = with_doc_id(docs)
@@ -46,6 +72,9 @@ def _build(args: argparse.Namespace) -> None:
         docs = ib.budget_input(docs, args.limit_mb,
                                content_col=args.content_col,
                                id_col=args.id_col)
+    import time
+
+    t0 = time.perf_counter()
     idx = ib.build_index(docs, content_col=args.content_col,
                          id_col=args.id_col, salt_hot_terms=True)
     if args.format == "parquet":
@@ -54,6 +83,13 @@ def _build(args: argparse.Namespace) -> None:
         ib.write_index_text(idx, args.output)
     else:
         ib.write_index_json(idx, args.output)
+    from inverted_index_and_search_spark.metrics import write_run_metrics
+    # text/json sinks are flat line-file dirs a reader globs whole —
+    # park the metrics artifact alongside, not inside, those
+    mdir = args.output if args.format == "parquet" else f"{args.output}-metrics"
+    write_run_metrics(spark, mdir,
+                      wall_seconds=time.perf_counter() - t0,
+                      extra={"input": args.input, "format": args.format})
     print(f"index written to {args.output} ({args.format})")
     if created:
         spark.stop()
@@ -80,7 +116,12 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int) -> None:
 
 def _search(args: argparse.Namespace) -> None:
     spark, created = _session("iis-search")
-    index = ib.read_index(spark, args.index)
+    if args.index_format == "text":
+        # reference-variant interchange: consume a `term\tdoc:tf...`
+        # text index from any builder (search-query.py:75-90 parity)
+        index = ib.read_index_text(spark, args.index)
+    else:
+        index = ib.read_index(spark, args.index)
     index.postings.cache().count()
     index.doc_stats.cache().count()
     index.collection_stats()
@@ -103,7 +144,14 @@ def main(argv: list[str] | None = None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the inverted index")
-    b.add_argument("--input", required=True, help="parquet documents table")
+    b.add_argument("--input", required=True,
+                   help="parquet documents table OR a directory of raw "
+                        "text files (auto-detected; see --input-format)")
+    b.add_argument("--input-format", choices=["auto", "parquet", "text-dir"],
+                   default="auto")
+    b.add_argument("--glob", default="*.txt",
+                   help="filename glob for text-dir input (reference "
+                        ".txt predicate); use '*' for all files")
     b.add_argument("--output", required=True)
     b.add_argument("--content-col", default="content")
     b.add_argument("--id-col", default="doc_id")
@@ -113,8 +161,12 @@ def main(argv: list[str] | None = None) -> None:
                    default="parquet")
     b.set_defaults(fn=_build)
 
-    s = sub.add_parser("search", help="query a built (parquet) index")
+    s = sub.add_parser("search", help="query a built index")
     s.add_argument("--index", required=True)
+    s.add_argument("--index-format", choices=["parquet", "text"],
+                   default="parquet",
+                   help="'text' consumes a reference-wire-format "
+                        "term\\tdoc:tf index from any variant")
     s.add_argument("--query", default=None,
                    help="one-shot query; omit for an interactive REPL")
     s.add_argument("--bm25", action="store_true",

@@ -235,16 +235,26 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
             index.tf.unpersist()
 
 
-def postings_text_lines(index: Index) -> DataFrame:
-    """Reference text-sink format: ``term \\t doc:tf \\t ...`` with
-    postings in doc_id order (``spark/inverted_index_search.py:220-222``,
+def postings_text_lines(index: Index, *, lexicographic: bool = False) -> DataFrame:
+    """Reference text-sink format: ``term \\t doc:tf \\t ...``
+    (``spark/inverted_index_search.py:220-222``,
     ``DocumentCountReducer.java:47-60``) — typed postings rendered back
-    to the reference's wire format."""
+    to the reference's wire format.
+
+    Posting order: the default is numeric ``doc_id`` ascending — an
+    intentional deviation from the reference, which sorts the rendered
+    ``doc:tf`` strings lexicographically (``sort_array(collect_list)``
+    over strings, so ``10:1`` < ``2:1``); numeric order is what the
+    delta codec and the driver oracle use. Pass ``lexicographic=True``
+    for byte-for-byte reference parity (consumers are order-insensitive
+    either way: search-query.py rebuilds per-term dicts)."""
     posting_strs = F.transform(
         "postings",
         lambda p: F.concat_ws(":", p["doc_id"].cast("string"),
                               p["tf"].cast("string")),
     )
+    if lexicographic:
+        posting_strs = F.sort_array(posting_strs)
     return index.postings.select(
         F.concat_ws("\t", F.col("term"), F.concat_ws("\t", posting_strs))
         .alias("value"))
@@ -266,6 +276,64 @@ def write_index_json(index: Index, out_dir: str, *, mode: str = "overwrite") -> 
     (index.postings
      .select(F.col("term").alias("word"), docs_arr.alias("docs"))
      .write.mode(mode).json(out_dir))
+
+
+def read_index_text(spark: SparkSession, path: str, *,
+                    n_buckets: int = DEFAULT_BUCKETS) -> Index:
+    """Parse a reference-wire-format text index (``term\\tdoc:tf\\t...``)
+    back into a typed :class:`Index` — the inverse of
+    :func:`postings_text_lines`.
+
+    This is the cross-format interchange the reference's query tool has
+    (``search-query.py:75-90`` consumes any variant's text output): an
+    index written by the reference's Hadoop / Spark-DF / Spark-RDD /
+    SPIMI builders — or by :func:`write_index_text` — is queryable with
+    the engine's boolean/BM25 operators.
+
+    Parsing notes (reference parity):
+    - a docID may itself contain ``:``; split on the LAST colon like
+      the reference reducer (``DocumentCountReducer.java:28-36``);
+    - malformed entries (no tab, unparsable tf) are skipped like the
+      reference loader (``search-query.py:40-49``, ``:28-44``);
+    - numeric doc keys (our own sink) become doc_id directly; filename
+      keys (reference variants) get a dense 0-based rank, and the
+      returned ``doc_stats`` carries the original key in ``doc_key``;
+    - ``dl`` is reconstructed exactly as ``sum(tf)`` per doc (every
+      token occurrence is indexed, so the sums are the doc lengths);
+      ``content_sha256`` is null — unavailable from an index alone.
+    """
+    parts = F.split(F.col("value"), "\t")
+    raw = (spark.read.text(path)
+           .where(F.size(parts) >= 2)
+           .select(parts[0].alias("term"),
+                   F.slice(parts, 2, F.size(parts) - 1).alias("posts")))
+    ps = F.col("ps")
+    doc_key = F.expr(
+        "substring(ps, 1, length(ps) - length(substring_index(ps, ':', -1)) - 1)")
+    tf_col = F.substring_index(ps, ":", -1).cast("int")
+    tfk = (raw.select("term", F.explode("posts").alias("ps"))
+           .select("term", doc_key.alias("doc_key"), tf_col.alias("tf"))
+           .where(F.col("tf").isNotNull() & (F.col("doc_key") != "")))
+    all_numeric = tfk.select("doc_key").where(
+        ~F.col("doc_key").rlike("^[0-9]+$")).isEmpty()
+    if all_numeric:
+        doc_map = (tfk.select("doc_key").distinct()
+                   .select(F.col("doc_key").cast("long").alias("doc_id"),
+                           "doc_key"))
+    else:
+        from inverted_index_and_search_spark.corpus import with_doc_id
+
+        doc_map = with_doc_id(tfk.select("doc_key").distinct(),
+                              key=("doc_key",)).select("doc_id", "doc_key")
+    tf = (tfk.join(doc_map, "doc_key")
+          .select("term", "doc_id", "tf"))
+    stats = (tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+             .join(doc_map, "doc_id")
+             .select("doc_id", "dl",
+                     F.lit(None).cast("string").alias("content_sha256"),
+                     "doc_key"))
+    return Index(postings=postings(tf, n_buckets=n_buckets),
+                 doc_stats=stats, tf=tf, n_buckets=n_buckets)
 
 
 def budget_input(docs: DataFrame, limit_mb: float, *,

@@ -74,3 +74,22 @@ def test_manifest_records_lineage_and_metrics(spark, docs_df, tmp_path):
         assert e["lineage"]["stage0"].endswith("stage0.json")
     # df totals across buckets == number of (term, doc) pairs
     assert sum(m[f"bucket_{b}"]["sum_df"] for b in range(4)) > 0
+
+
+def test_run_metrics_artifact(spark, docs_df, tmp_path):
+    """Run-level metrics JSON (engine analogue of the reference's
+    collect_and_log_metrics, spark/inverted_index_search.py:262-457) is
+    written next to the index with real shuffle/task numbers sourced
+    from the AppStatusStore, and carries the lineage back-pointer."""
+    from inverted_index_and_search_spark import metrics as mx
+
+    out = str(tmp_path / "mx")
+    cp.build_resumable(spark, docs_df, out, n_buckets=2)
+    m = mx.read_run_metrics(out)
+    assert m is not None and m["job"] == "resumable_build"
+    assert m["wall_seconds"] > 0
+    assert m["source"] == "status_store", m
+    assert m["stages"]["shuffleWriteBytes"] > 0   # the build shuffles
+    assert m["total_tasks"] > 0
+    assert m["n_executors"] >= 1
+    assert m["extra"]["lineage"]["stage0"].endswith("stage0.json")

@@ -106,3 +106,119 @@ def test_versioned_output_path(tmp_path):
     os.makedirs(f"{base}-0")
     os.makedirs(f"{base}-1")
     assert ib.versioned_output_path(base) == f"{base}-2"
+
+
+# ------------------------------------------------ raw-file ingestion
+
+@pytest.fixture(scope="module")
+def txt_dir(spark, corpus_pdf, tmp_path_factory):
+    """20 corpus docs as raw .txt files (with a nested subdir and a
+    non-.txt decoy), mirroring the reference's input shape."""
+    root = tmp_path_factory.mktemp("rawtxt")
+    (root / "sub").mkdir()
+    for i in range(20):
+        where = root if i % 2 == 0 else root / "sub"
+        (where / f"doc_{i:03d}.txt").write_text(
+            corpus_pdf["content"].iloc[i], encoding="utf-8")
+    (root / "ignore_me.py").write_text("not indexed", encoding="utf-8")
+    return str(root)
+
+
+def test_docs_from_files_matches_table_build(spark, txt_dir, corpus_pdf):
+    """Index built from a raw .txt directory == index built from the
+    equivalent in-memory table over the same content (reference
+    safe_read parity: recursive, .txt-filtered, basename docID)."""
+    from inverted_index_and_search_spark.sources.files import docs_from_files
+
+    docs = docs_from_files(spark, txt_dir)
+    rows = {r["doc_key"]: (r["doc_id"], r["content"]) for r in docs.collect()}
+    assert len(rows) == 20 and "ignore_me.py" not in {k for k in rows}
+    # doc_id = dense rank over basename, 0-based
+    assert sorted(v[0] for v in rows.values()) == list(range(20))
+    assert rows["doc_003.txt"][1] == corpus_pdf["content"].iloc[3]
+
+    idx_files = ib.build_index(docs)
+    table = spark.createDataFrame(
+        [(v[0], v[1]) for v in rows.values()], "doc_id long, content string")
+    idx_table = ib.build_index(table)
+    a = {(r["term"], tuple((p["doc_id"], p["tf"]) for p in r["postings"]))
+         for r in idx_files.postings.collect()}
+    b = {(r["term"], tuple((p["doc_id"], p["tf"]) for p in r["postings"]))
+         for r in idx_table.postings.collect()}
+    assert a == b
+
+
+def test_read_text_files_skips_bad_paths(spark, txt_dir):
+    from inverted_index_and_search_spark.sources.files import read_text_files
+
+    df = read_text_files(
+        spark, ["/nonexistent/nowhere", txt_dir], verbose=False)
+    assert df.count() == 20
+    with pytest.raises(FileNotFoundError):
+        read_text_files(spark, ["/nonexistent/nowhere"], verbose=False)
+
+
+def test_cli_build_from_text_dir(spark, txt_dir, tmp_path, capsys):
+    idx_dir = str(tmp_path / "rawidx")
+    cli.main(["build", "--input", txt_dir, "--output", idx_dir])
+    cli.main(["search", "--index", idx_dir, "--query", "def return"])
+    out = capsys.readouterr().out
+    assert "index written" in out
+
+
+# ------------------------------------- text-index interchange (read back)
+
+def test_text_index_roundtrip_queries(spark, docs_df, tmp_path):
+    """write text sink -> read_index_text -> boolean/BM25 results equal
+    the original parquet-path index (VERDICT r01 missing #2)."""
+    from inverted_index_and_search_spark.operators import query as q
+
+    idx = ib.build_index(docs_df)
+    out = str(tmp_path / "wire")
+    ib.write_index_text(idx, out)
+    rt = ib.read_index_text(spark, out)
+    for terms in [["def"], ["def", "return", "if"], ["zzzqqqxx"]]:
+        got = [r["doc_id"] for r in q.boolean_and(rt, terms).collect()]
+        want = [r["doc_id"] for r in q.boolean_and(idx, terms).collect()]
+        assert got == want, terms
+        gb = [(r["doc_id"], round(r["score"], 9))
+              for r in q.bm25_topk(rt, terms, k=10).collect()]
+        wb = [(r["doc_id"], round(r["score"], 9))
+              for r in q.bm25_topk(idx, terms, k=10).collect()]
+        assert gb == wb, terms
+
+
+def test_read_text_index_reference_filenames(spark, tmp_path):
+    """Reference-variant outputs use filename docIDs (which may contain
+    ':'); parse with last-colon split and dense-rank the keys."""
+    from inverted_index_and_search_spark.operators import query as q
+
+    lines = [
+        "alpha\ta.txt:2\tb.txt:1",
+        "beta\tb.txt:3\tweird:name.txt:1",
+        "gamma\ta.txt:1",
+        "malformed_line_no_tab",
+    ]
+    src = tmp_path / "refidx"
+    src.mkdir()
+    (src / "part-00000").write_text("\n".join(lines), encoding="utf-8")
+    idx = ib.read_index_text(spark, str(src))
+    dm = {r["doc_key"]: r["doc_id"] for r in idx.doc_stats.collect()}
+    assert set(dm) == {"a.txt", "b.txt", "weird:name.txt"}
+    # dense rank over sorted keys: a.txt < b.txt < weird:name.txt
+    assert dm["a.txt"] == 0 and dm["b.txt"] == 1 and dm["weird:name.txt"] == 2
+    dl = {r["doc_key"]: r["dl"] for r in idx.doc_stats.collect()}
+    assert dl == {"a.txt": 3, "b.txt": 4, "weird:name.txt": 1}
+    got = [r["doc_id"] for r in q.boolean_and(idx, ["alpha", "beta"]).collect()]
+    assert got == [dm["b.txt"]]
+
+
+def test_text_sink_lexicographic_option(spark):
+    """lexicographic=True reproduces the reference's string sort
+    byte-for-byte ('10:1' sorts before '2:1')."""
+    tf = spark.createDataFrame(
+        [("t", 2, 1), ("t", 10, 1)], "term string, doc_id long, tf int")
+    idx = ib.Index(postings=ib.postings(tf), doc_stats=None)
+    lex = ib.postings_text_lines(idx, lexicographic=True).collect()[0]["value"]
+    num = ib.postings_text_lines(idx).collect()[0]["value"]
+    assert lex == "t\t10:1\t2:1" and num == "t\t2:1\t10:1"

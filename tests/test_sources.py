@@ -22,3 +22,34 @@ def test_write_table_parquet_roundtrip(spark, tmp_path):
     back = sources.load_documents(spark, out)
     assert back.count() == 20
     assert set(back.columns) == set(df.columns)
+
+
+def test_with_doc_id_is_global_rank_and_parallel(spark):
+    """doc_id = 0-based global rank over (repo, path, commit), identical
+    at any partition count, with no single-task global sort in the plan
+    (round-1's partition-less Window forced all rows through one task)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from inverted_index_and_search_spark.corpus import corpus_df, with_doc_id
+    from tests.test_plans import explain
+
+    base = corpus_df(spark, 500, partitions=16)
+    want = {tuple(r[c] for c in ("repo", "path", "commit")): r["doc_id"]
+            for r in base.withColumn(
+                "doc_id",
+                F.row_number().over(Window.orderBy("repo", "path", "commit"))
+                .cast("long") - 1).collect()}
+    for p in (3, 8):
+        got = {tuple(r[c] for c in ("repo", "path", "commit")): r["doc_id"]
+               for r in with_doc_id(base, num_partitions=p).collect()}
+        assert got == want, f"num_partitions={p}"
+    # exactly one single-partition exchange, and it carries only the
+    # P-row partition-counter table (_pid, _cnt) for the prefix sum —
+    # never the data rows (round-1 sorted ALL rows in one task)
+    plan = explain(with_doc_id(base))
+    assert plan.count("SinglePartition") == 1, plan
+    import re
+    m = re.search(r"\((\d+)\) Exchange\nInput \[\d+\]: \[([^\]]*)\]"
+                  r"\nArguments: SinglePartition", plan)
+    assert m and "_cnt" in m.group(2), plan
