@@ -114,15 +114,30 @@ def main() -> None:
         extra["segments_mb"] = _dir_mb(f"{tmp}/seg_synth")
         extra["postings_mb"] = _dir_mb(f"{tmp}/idx_synth/postings")
 
-        # --- scale-path dedup timing (MinHash signatures + LSH banding
-        # + candidate verify over the full synth corpus)
+        # --- scale-path dedup (MinHash signatures + LSH banding +
+        # candidate verify over the full synth corpus). Counted in the
+        # headline `value`: round-1 parked this under extra while it
+        # was the slowest stage by far (VERDICT r01 #5) — a curation
+        # stage the 100 TB pipeline runs is part of the bill.
         from inverted_index_and_search_spark.operators import dedup as dd
         t0 = time.perf_counter()
         n_pairs = dd.minhash_lsh_pairs(
             corpus.selectExpr("doc_id", "content AS text"),
             max_bucket_size=50).count()
-        extra["dedup_minhash_sec"] = round(time.perf_counter() - t0, 3)
+        queries["dedup_minhash"] = time.perf_counter() - t0
+        extra["dedup_minhash_sec"] = round(queries["dedup_minhash"], 3)
         extra["dedup_pairs"] = n_pairs
+
+        # --- ANN quality: recall@10 of IVF probing (k-means cells)
+        # vs exact brute-force cosine over the sf embeddings table
+        from inverted_index_and_search_spark.operators import similarity as sim
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = sim.kmeans_centroids(emb)
+        qvs = [sim.fixture_query_vec(seed=s) for s in (13, 14, 15)]
+        extra["ivf_recall_at10_kmeans"] = round(
+            sim.ivf_recall_at_k(emb, qvs, centroids=cents), 3)
+        extra["ivf_recall_at10_firstc"] = round(
+            sim.ivf_recall_at_k(emb, qvs), 3)
 
         # --- query latencies against the persisted docs index
         pidx = ib.read_index(spark, f"{tmp}/idx_docs")

@@ -115,17 +115,43 @@ def doc_stats(docs: DataFrame, tf: DataFrame, *, content_col: str = "content",
     return sha.join(dl, "doc_id", "left").fillna({"dl": 0})
 
 
+def hot_terms(tf: DataFrame, *, hot_df: int = DEFAULT_HOT_DF,
+              sample_mod: int = 100) -> DataFrame:
+    """(term) — terms whose document frequency exceeds ``hot_df``,
+    estimated from a deterministic ~1/sample_mod sample of documents
+    (pmod(xxhash64(doc_id), m) == 0), so detection costs one map-side
+    filter + a small agg instead of a full df pass. Hot terms are by
+    definition frequent, so the sample finds them reliably; a missed
+    borderline term merely stays unsalted (correctness unaffected —
+    salting only changes aggregation grouping, never results)."""
+    sampled = tf.where(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
+    return (sampled.groupBy("term").count()
+            .where(F.col("count") * sample_mod > hot_df)
+            .select("term"))
+
+
+def salt_col(hot_flag: F.Column, salt_factor: int) -> F.Column:
+    """Per-row aggregation salt: spread hot terms over ``salt_factor``
+    partial groups, keep the long tail in one group (salt 0)."""
+    return F.when(hot_flag,
+                  F.pmod(F.xxhash64("doc_id"), F.lit(salt_factor))
+                  ).otherwise(F.lit(0)).alias("salt")
+
+
 def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
              salt_hot_terms: bool = False, hot_df: int = DEFAULT_HOT_DF,
-             salt_factor: int = 16) -> DataFrame:
+             salt_factor: int = 16, hot_sample_mod: int = 100) -> DataFrame:
     """(term, term_bucket, df, cf, postings: array<struct<doc_id,tf>>).
 
     Postings sorted by doc_id asc (required for delta encoding and for
     deterministic output regardless of partitioning — SURVEY.md §7).
 
-    ``salt_hot_terms``: two-phase aggregation for skewed terms. Phase 1
-    aggregates (term, salt) groups where salt = pmod(hash(doc_id), s),
-    phase 2 merges the s partial lists per term. Output is byte-identical
+    ``salt_hot_terms``: two-phase aggregation for skewed terms — but
+    only for terms detected hot (df > hot_df) by a cheap sampled pass
+    (:func:`hot_terms`; round-1 salted EVERY term x16, taxing the long
+    tail with 16x more partial groups). Phase 1 aggregates (term, salt)
+    where salt = pmod(hash(doc_id), s) for hot terms and 0 otherwise,
+    phase 2 merges the partial lists per term. Output is byte-identical
     to the unsalted path (verified in tests) because the final
     sort_array restores canonical doc_id order. This bounds the largest
     single collect_list task at ~df/s postings, the engine's answer to
@@ -139,7 +165,12 @@ def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
             F.sum("tf").cast("long").alias("cf"),
         )
     else:
-        salted = tf.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_factor)))
+        hot = hot_terms(tf, hot_df=hot_df, sample_mod=hot_sample_mod) \
+            .withColumn("_hot", F.lit(True))
+        salted = (tf.join(F.broadcast(hot), "term", "left")
+                  .withColumn("salt", salt_col(F.col("_hot").isNotNull(),
+                                               salt_factor))
+                  .drop("_hot"))
         partial = salted.groupBy("term", "salt").agg(
             F.collect_list(post).alias("p_postings"),
             F.count("*").cast("long").alias("p_df"),

@@ -67,14 +67,27 @@ def tf_with_dl(tf: DataFrame) -> DataFrame:
 
 
 def grouped_postings_arrays(
-    tf_dl: DataFrame, *, salt_hot_terms: bool = True, salt_factor: int = 16
+    tf_dl: DataFrame, *, salt_hot_terms: bool = True, salt_factor: int = 16,
+    hot_df: int = 10_000, hot_sample_mod: int = 100,
 ) -> DataFrame:
     """(term, df, cf, doc_ids, tfs, dls) with parallel arrays sorted by
-    doc_id — the encoder's input. Salted two-phase agg bounds the
-    biggest single collect_list task (same rationale as index_build)."""
+    doc_id — the encoder's input. Salted two-phase agg for terms the
+    sampled hot-set detector flags (df > hot_df) bounds the biggest
+    single collect_list task; the long tail keeps salt 0 and aggregates
+    in one phase-1 group (same rationale as index_build.postings)."""
+    from inverted_index_and_search_spark.operators.index_build import (
+        hot_terms,
+        salt_col,
+    )
+
     post = F.struct("doc_id", "tf", "dl")
     if salt_hot_terms:
-        salted = tf_dl.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_factor)))
+        hot = hot_terms(tf_dl, hot_df=hot_df, sample_mod=hot_sample_mod) \
+            .withColumn("_hot", F.lit(True))
+        salted = (tf_dl.join(F.broadcast(hot), "term", "left")
+                  .withColumn("salt", salt_col(F.col("_hot").isNotNull(),
+                                               salt_factor))
+                  .drop("_hot"))
         partial = salted.groupBy("term", "salt").agg(
             F.collect_list(post).alias("pp"),
             F.count("*").alias("p_df"),

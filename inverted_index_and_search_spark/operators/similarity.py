@@ -86,13 +86,55 @@ FROM e ORDER BY score DESC, vec_id ASC LIMIT {k}
 
 # -------------------------------------------------------------------- IVF
 
-def _assign_cells(emb: DataFrame, *, dim: int) -> tuple[DataFrame, DataFrame]:
-    """(vectors with cell id, centroids). Centroids = first IVF_C
-    vectors (deterministic); assignment = argmax cosine, tie -> lowest
-    centroid id. Broadcast join: C rows against the full table."""
+def kmeans_centroids(emb: DataFrame, *, c: int = IVF_C, dim: int = DIM,
+                     iters: int = 5, sample_size: int = 4096) -> list[list[float]]:
+    """Deterministic spherical k-means centroids for IVF cell layout.
+
+    Scale shape: the training set is a hash-ordered sample (TakeOrdered
+    on xxhash64(vec_id) — parallel, deterministic, independent of
+    partitioning) of fixed size collected to the driver; Lloyd
+    iterations run in numpy on that sample (cost independent of corpus
+    size); the resulting C centroids broadcast back for assignment.
+    Init = the first c sampled vectors by vec_id (seeded k-means++
+    would also be deterministic; first-c keeps the math reproducible
+    across numpy versions). Returns round(6) literals so both engines
+    could evaluate them bit-identically if mirrored into SQL.
+    """
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = (base.where(F.col("vec_id") < IVF_C)
-             .select(F.col("vec_id").alias("cell"), F.col("v").alias("c")))
+    rows = (base.select("vec_id", "v", F.xxhash64("vec_id").alias("h"))
+            .orderBy("h", "vec_id").limit(int(sample_size)).collect())
+    rows = sorted(rows, key=lambda r: r["vec_id"])
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents = Xn[:c].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ cents.T, axis=1)  # tie -> lowest cell
+        for j in range(c):
+            members = Xn[assign == j]
+            if members.size:
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cents[j] = m / n
+    return [[round(float(x), 6) for x in cents[j]] for j in range(c)]
+
+
+def _assign_cells(emb: DataFrame, *, dim: int,
+                  centroids: list[list[float]] | None = None
+                  ) -> tuple[DataFrame, DataFrame]:
+    """(vectors with cell id, centroids). Default centroids = first
+    IVF_C vectors (deterministic, what the DuckDB oracle replicates);
+    pass :func:`kmeans_centroids` output for data-adapted cells.
+    Assignment = argmax cosine, tie -> lowest centroid id. Broadcast
+    join: C rows against the full table."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if centroids is None:
+        cents = (base.where(F.col("vec_id") < IVF_C)
+                 .select(F.col("vec_id").alias("cell"), F.col("v").alias("c")))
+    else:
+        cents = emb.sparkSession.createDataFrame(
+            [(j, v) for j, v in enumerate(centroids)],
+            "cell long, c array<double>")
     cos = F.expr(cosine_col("v", "c", dim, SPARK))
     scored = base.join(F.broadcast(cents)).select(
         "vec_id", "v", "cell", cos.alias("sim"))
@@ -103,10 +145,13 @@ def _assign_cells(emb: DataFrame, *, dim: int) -> tuple[DataFrame, DataFrame]:
 
 
 def ivf_topk(emb: DataFrame, query_vec: list[float], *, k: int = 10,
-             dim: int = DIM) -> DataFrame:
+             dim: int = DIM,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """(vec_id, score) — ANN via inverted-file probing: scan only the
-    IVF_PROBE cells whose centroids are closest to the query."""
-    assigned, cents = _assign_cells(emb, dim=dim)
+    IVF_PROBE cells whose centroids are closest to the query.
+    ``centroids``: optional k-means cells (:func:`kmeans_centroids`);
+    default first-C layout is what the driver oracle replicates."""
+    assigned, cents = _assign_cells(emb, dim=dim, centroids=centroids)
     lit = "array(" + ", ".join(f"cast({x} as double)" for x in query_vec) + ")"
     qsim = F.expr(cosine_col("c", lit, dim, SPARK))
     probe = (cents.select("cell", qsim.alias("qs"))
@@ -116,6 +161,21 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], *, k: int = 10,
     return (assigned.join(F.broadcast(probe), "cell")
             .select("vec_id", cos.alias("score"))
             .orderBy(F.desc("score"), F.asc("vec_id")).limit(k))
+
+
+def ivf_recall_at_k(emb: DataFrame, query_vecs: list[list[float]], *,
+                    k: int = 10, dim: int = DIM,
+                    centroids: list[list[float]] | None = None) -> float:
+    """Mean recall@k of IVF probing vs exact brute-force cosine —
+    the quality metric reported by the bench for the ANN scale path."""
+    tot = 0.0
+    for qv in query_vecs:
+        truth = {r["vec_id"] for r in cosine_topk(emb, qv, k=k, dim=dim).collect()}
+        got = {r["vec_id"]
+               for r in ivf_topk(emb, qv, k=k, dim=dim,
+                                 centroids=centroids).collect()}
+        tot += len(truth & got) / k
+    return tot / max(len(query_vecs), 1)
 
 
 def ivf_topk_sql(query_vec: list[float], *, k: int = 10, dim: int = DIM,

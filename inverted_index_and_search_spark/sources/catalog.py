@@ -39,13 +39,24 @@ def load_documents(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.table(source)
 
 
+def _is_table_name(target: str) -> bool:
+    """True only for a bare catalog identifier (``tbl`` / ``db.tbl`` /
+    ``cat.db.tbl``) that does not exist on the filesystem — mirrors
+    load_documents' detection so reads and writes classify targets the
+    same way (a relative path like ``out/data.parquet`` or ``./out``
+    must never be treated as an Iceberg name)."""
+    import re
+
+    ident = r"[A-Za-z_][A-Za-z0-9_]*"
+    return (re.fullmatch(rf"{ident}(\.{ident}){{0,2}}", target) is not None
+            and not os.path.exists(target))
+
+
 def write_table(df: DataFrame, target: str, *, mode: str = "overwrite",
                 partition_by: list[str] | None = None) -> None:
     """Write to an Iceberg table name or a parquet path, preserving the
     partition spec either way."""
-    looks_like_path = ("/" in target and not target.count(".")) or \
-        target.startswith(("file:", "hdfs:", "s3:", "/"))
-    if looks_like_path:
+    if not _is_table_name(target):
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -74,6 +74,22 @@ def test_salted_path_identical(docs_df, index):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
+def test_salted_path_identical_with_forced_hot_set(docs_df, index):
+    """Drive the actual hot-term branch: hot_df=0 + sample_mod=1 makes
+    every term 'hot' (all rows salted), the opposite extreme of the
+    default threshold where nothing at test scale is hot — output must
+    be byte-identical either way."""
+    tok = ib.tokens(docs_df, use_pandas_udf=False)
+    tf = ib.term_doc_tf(tok)
+    hot = ib.hot_terms(tf, hot_df=0, sample_mod=1)
+    assert hot.count() == index.postings.count()  # every term flagged
+    forced = ib.postings(tf, salt_hot_terms=True, hot_df=0, hot_sample_mod=1)
+    a = index.postings.select("term", "df", "cf", "postings").collect()
+    b = forced.select("term", "df", "cf", "postings").collect()
+    key = lambda r: r["term"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
 def test_roundtrip_persisted(tmp_path, spark, index):
     out = str(tmp_path / "idx")
     ib.write_index(index, out)

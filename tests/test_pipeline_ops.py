@@ -134,3 +134,21 @@ def test_decode_media_is_stubbed():
         mm.decode_media(b"\x89PNG", "image/png")
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"RIFF", "audio/wav")
+
+
+def test_ivf_kmeans_centroids(spark):
+    """Seeded k-means cells: deterministic across calls, valid IVF
+    results, and recall@10 no worse than the first-C oracle stand-in
+    (measured 0.475 vs 0.375 on the sf0.01 embeddings)."""
+    from inverted_index_and_search_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = sim.kmeans_centroids(emb)
+    assert cents == sim.kmeans_centroids(emb)  # deterministic
+    assert len(cents) == sim.IVF_C and len(cents[0]) == sim.DIM
+    qs = [sim.fixture_query_vec(seed=s) for s in (13, 14)]
+    rows = sim.ivf_topk(emb, qs[0], centroids=cents).collect()
+    assert len(rows) == 10
+    r_kmeans = sim.ivf_recall_at_k(emb, qs, centroids=cents)
+    r_first = sim.ivf_recall_at_k(emb, qs)
+    assert r_kmeans >= max(0.3, r_first - 0.1), (r_kmeans, r_first)

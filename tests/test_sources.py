@@ -53,3 +53,16 @@ def test_with_doc_id_is_global_rank_and_parallel(spark):
     m = re.search(r"\((\d+)\) Exchange\nInput \[\d+\]: \[([^\]]*)\]"
                   r"\nArguments: SinglePartition", plan)
     assert m and "_cnt" in m.group(2), plan
+
+
+def test_write_table_path_detection():
+    """Relative paths with dots must classify as filesystem paths, not
+    Iceberg names (round-1 sent 'out/data.parquet' to writeTo(...))."""
+    from inverted_index_and_search_spark.sources.catalog import _is_table_name
+
+    for p in ("out/data.parquet", "./out", "/abs/dir", "file:/x",
+              "s3://bucket/k", "a-b", "data.parquet/sub"):
+        assert not _is_table_name(p), p
+    for t in ("tbl", "db.tbl", "cat.db.tbl", "_t1.x"):
+        assert _is_table_name(t), t
+    assert not _is_table_name("cat.db.tbl.extra")
