@@ -121,9 +121,14 @@ def main() -> None:
         # stage the 100 TB pipeline runs is part of the bill.
         from inverted_index_and_search_spark.operators import dedup as dd
         t0 = time.perf_counter()
+        # scale config: cap degenerate LSH buckets AND drop boilerplate
+        # shingles (df > ~corpus/20) before signatures — the standard
+        # web-dedup guards this operator documents; code keywords make
+        # boilerplate shingles carry no dedup signal
         n_pairs = dd.minhash_lsh_pairs(
             corpus.selectExpr("doc_id", "content AS text"),
-            max_bucket_size=50).count()
+            max_bucket_size=50,
+            max_shingle_df=max(100, n_synth // 20)).count()
         queries["dedup_minhash"] = time.perf_counter() - t0
         extra["dedup_minhash_sec"] = round(queries["dedup_minhash"], 3)
         extra["dedup_pairs"] = n_pairs
