@@ -87,6 +87,29 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same per-term stats, but through the skew-salted two-phase
+    aggregation with a FORCED all-hot set (hot_df=0, sample_mod=1) —
+    driver-checks that salting never changes results, not just pytest."""
+    docs = _docs(spark, sf_dir)
+    tf = ib.term_doc_tf(ib.tokens(docs, content_col="text", id_col="doc_id"))
+    p = ib.postings(tf, salt_hot_terms=True, hot_df=0, hot_sample_mod=1)
+    return p.select("term", F.col("df").cast("long").alias("df"),
+                    F.col("cf").cast("long").alias("cf"))
+
+
+def _q_doc_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe two-pass doc-id assignment (corpus.with_doc_id) vs the
+    oracle's global row_number — rank-identity is driver-checked."""
+    from inverted_index_and_search_spark.corpus import with_doc_id
+
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "lang", "source")
+    out = with_doc_id(base, key=("lang", "source", "orig_id"))
+    return out.select(F.col("orig_id").cast("long").alias("orig_id"),
+                      F.col("doc_id").cast("long").alias("new_id"))
+
+
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _index(spark, sf_dir).doc_stats.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -150,7 +173,9 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl_row = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")) \
         .join(docs.select("doc_id"), "doc_id", "right").fillna({"dl": 0}) \
         .agg(F.avg("dl")).collect()[0]
-    sidx = seg.build_segment_index(tf, n_docs, float(avgdl_row[0]))
+    sidx = seg.build_segment_index(
+        tf, n_docs, float(avgdl_row[0]),
+        hot=ib.hot_terms_from_docs(docs, content_col="text"))
     hits = seg.topk(sidx, Q_BM25, k=10, method="wand")
     out = spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
@@ -260,6 +285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mm.media_table(_docs(s, d))),
         "term_tf": _q_term_tf,
         "term_stats": _q_term_stats,
+        "term_stats_salted": _q_term_stats_salted,
+        "doc_id_assign": _q_doc_id_assign,
         "doc_stats": _q_doc_stats,
         "collection_stats": _q_collection_stats,
         "postings_fmt": _q_postings_fmt,
@@ -370,6 +397,15 @@ WHERE NOT EXISTS (SELECT 1 FROM sel)
         "term_stats": f"""
 WITH {_TOK_CTE}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+""",
+        "term_stats_salted": f"""
+WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+""",
+        "doc_id_assign": """
+SELECT doc_id::BIGINT AS orig_id,
+       (row_number() OVER (ORDER BY lang, source, doc_id) - 1)::BIGINT AS new_id
+FROM documents
 """,
         "doc_stats": f"""
 WITH {_TOK_CTE},

@@ -108,7 +108,8 @@ def main() -> None:
         avgdl_c = float(sidx.doc_stats.agg(F.avg("dl")).collect()[0][0] or 0.0)
         t0 = time.perf_counter()
         tf_c = ib.term_doc_tf_arrow(corpus)
-        segidx = seg.build_segment_index(tf_c, n_c, avgdl_c)
+        segidx = seg.build_segment_index(
+            tf_c, n_c, avgdl_c, hot=ib.hot_terms_from_docs(corpus))
         seg.write_segment_index(segidx, f"{tmp}/seg_synth")
         queries["segment_build"] = time.perf_counter() - t0
         extra["segments_mb"] = _dir_mb(f"{tmp}/seg_synth")
@@ -168,7 +169,8 @@ def main() -> None:
         n_d, avgdl = pidx.collection_stats()
         sidx = seg.build_segment_index(
             ib.term_doc_tf_arrow(docs, content_col="text", id_col="doc_id"),
-            n_d, avgdl)
+            n_d, avgdl,
+            hot=ib.hot_terms_from_docs(docs, content_col="text"))
         seg.write_segment_index(sidx, f"{tmp}/seg_docs")
         server = seg.QueryServer(seg.read_segment_index(spark, f"{tmp}/seg_docs"))
         for terms in BM25_QUERIES:

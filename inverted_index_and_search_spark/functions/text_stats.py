@@ -102,11 +102,12 @@ def _seq1(n_expr: str, dialect: str) -> str:
 
 
 def tokens_expr(col: str, dialect: str) -> str:
-    """Canonical-tokenizer fragment (lower, strip non-alnum, split,
-    drop empties) — same semantics as tokenizer.tokens_col."""
-    stripped = _rr(f"lower({col})", r"[^a-z0-9]", " ", dialect)
-    arr = _split(stripped, _WS, dialect)
-    return _filter(arr, "t -> t <> ''", dialect)
+    """Canonical-tokenizer fragment — same semantics as
+    tokenizer.tokens_col: a token is a maximal run of [a-z0-9] in the
+    lowercased text (single-pass extract-all; token-identical to the
+    strip+split+filter chain but without materializing two
+    full-document intermediate strings)."""
+    return _extract_all(f"lower({col})", "[a-z0-9]+", dialect)
 
 
 def norm_expr(col: str, dialect: str) -> str:

@@ -130,6 +130,29 @@ def hot_terms(tf: DataFrame, *, hot_df: int = DEFAULT_HOT_DF,
             .select("term"))
 
 
+def hot_terms_from_docs(docs: DataFrame, *, content_col: str = "content",
+                        id_col: str = "doc_id", hot_df: int = DEFAULT_HOT_DF,
+                        sample_mod: int = 100,
+                        use_pandas_udf: bool = False) -> DataFrame:
+    """(term) hot set detected by tokenizing a deterministic
+    ~1/sample_mod DOCUMENT sample — the preferred detection source.
+
+    Detecting from the shared ``tf`` relation looks cheaper but is not:
+    ``write_index`` persists tf, so any scan of it materializes the
+    full cache — and because the hot set feeds a broadcast, that scan
+    races the main aggregation and the whole tokenize+tf pipeline runs
+    twice concurrently. Sampling the *docs* plan instead pushes the
+    pmod(doc_id) filter below the tokenizer (a distinct plan, no cache
+    interaction), so detection costs ~1% of one tokenize pass."""
+    sampled = docs.where(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    tok = tokens(sampled, use_pandas_udf=use_pandas_udf,
+                 content_col=content_col, id_col=id_col)
+    df_s = (tok.groupBy("term", "doc_id").count()
+            .groupBy("term").count())
+    return df_s.where(F.col("count") * sample_mod > hot_df).select("term")
+
+
 def salt_col(hot_flag: F.Column, salt_factor: int) -> F.Column:
     """Per-row aggregation salt: spread hot terms over ``salt_factor``
     partial groups, keep the long tail in one group (salt 0)."""
@@ -140,7 +163,8 @@ def salt_col(hot_flag: F.Column, salt_factor: int) -> F.Column:
 
 def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
              salt_hot_terms: bool = False, hot_df: int = DEFAULT_HOT_DF,
-             salt_factor: int = 16, hot_sample_mod: int = 100) -> DataFrame:
+             salt_factor: int = 16, hot_sample_mod: int = 100,
+             hot: DataFrame | None = None) -> DataFrame:
     """(term, term_bucket, df, cf, postings: array<struct<doc_id,tf>>).
 
     Postings sorted by doc_id asc (required for delta encoding and for
@@ -165,8 +189,13 @@ def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
             F.sum("tf").cast("long").alias("cf"),
         )
     else:
-        hot = hot_terms(tf, hot_df=hot_df, sample_mod=hot_sample_mod) \
-            .withColumn("_hot", F.lit(True))
+        # prefer a caller-supplied hot set (hot_terms_from_docs — see
+        # its docstring for why detecting from the shared/cached tf
+        # relation double-computes the pipeline); fall back to tf-based
+        # detection for callers without a docs handle
+        if hot is None:
+            hot = hot_terms(tf, hot_df=hot_df, sample_mod=hot_sample_mod)
+        hot = hot.withColumn("_hot", F.lit(True))
         salted = (tf.join(F.broadcast(hot), "term", "left")
                   .withColumn("salt", salt_col(F.col("_hot").isNotNull(),
                                                salt_factor))
@@ -224,8 +253,13 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
         tok = tokens(docs, use_pandas_udf=False,
                      content_col=content_col, id_col=id_col)
         tf = term_doc_tf(tok)
+    hot = None
+    if salt_hot_terms:
+        hot = hot_terms_from_docs(docs, content_col=content_col,
+                                  id_col=id_col)
     return Index(
-        postings=postings(tf, n_buckets=n_buckets, salt_hot_terms=salt_hot_terms),
+        postings=postings(tf, n_buckets=n_buckets,
+                          salt_hot_terms=salt_hot_terms, hot=hot),
         doc_stats=doc_stats(docs, tf, content_col=content_col, id_col=id_col),
         tf=tf,
         n_buckets=n_buckets,

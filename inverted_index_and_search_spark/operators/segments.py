@@ -69,6 +69,7 @@ def tf_with_dl(tf: DataFrame) -> DataFrame:
 def grouped_postings_arrays(
     tf_dl: DataFrame, *, salt_hot_terms: bool = True, salt_factor: int = 16,
     hot_df: int = 10_000, hot_sample_mod: int = 100,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """(term, df, cf, doc_ids, tfs, dls) with parallel arrays sorted by
     doc_id — the encoder's input. Salted two-phase agg for terms the
@@ -82,8 +83,9 @@ def grouped_postings_arrays(
 
     post = F.struct("doc_id", "tf", "dl")
     if salt_hot_terms:
-        hot = hot_terms(tf_dl, hot_df=hot_df, sample_mod=hot_sample_mod) \
-            .withColumn("_hot", F.lit(True))
+        if hot is None:
+            hot = hot_terms(tf_dl, hot_df=hot_df, sample_mod=hot_sample_mod)
+        hot = hot.withColumn("_hot", F.lit(True))
         salted = (tf_dl.join(F.broadcast(hot), "term", "left")
                   .withColumn("salt", salt_col(F.col("_hot").isNotNull(),
                                                salt_factor))
@@ -166,8 +168,10 @@ class SegmentIndex:
 def build_segment_index(
     tf: DataFrame, n_docs: int, avgdl: float,
     *, n_buckets: int = DEFAULT_BUCKETS, salt_hot_terms: bool = True,
+    hot: DataFrame | None = None,
 ) -> SegmentIndex:
-    grouped = grouped_postings_arrays(tf_with_dl(tf), salt_hot_terms=salt_hot_terms)
+    grouped = grouped_postings_arrays(tf_with_dl(tf),
+                                      salt_hot_terms=salt_hot_terms, hot=hot)
     return SegmentIndex(
         segments=encode_segments(grouped, n_docs, avgdl, n_buckets=n_buckets),
         n_docs=n_docs,

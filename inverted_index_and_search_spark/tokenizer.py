@@ -61,15 +61,20 @@ def tokenize_py(text: str) -> list[str]:
     return _PY_STRIP.sub(" ", text.lower()).split()
 
 
+JAVA_TOKEN_REGEX = r"[\p{L}\p{N}]+"
+
+
 def tokens_col(content: Column) -> Column:
     """Built-in-expression tokenizer: ``array<string>`` of terms.
 
     Whole-stage-codegen'd JVM path — the fastest tokenizer at scale
-    (no Python worker, no Arrow transfer). Empties are filtered so the
-    caller can ``explode`` directly.
+    (no Python worker, no Arrow transfer). Single regex pass: a token
+    is a maximal run of Unicode letters/digits — token-identical to
+    replace(``JAVA_STRIP_REGEX``)+split+filter (cross-/property-tested)
+    but without materializing two full-document intermediate strings,
+    which matters on a memory-bandwidth-bound host at 32 threads.
     """
-    arr = F.split(F.regexp_replace(F.lower(content), JAVA_STRIP_REGEX, " "), r"\s+")
-    return F.filter(arr, lambda t: t != F.lit(""))
+    return F.regexp_extract_all(F.lower(content), F.lit(JAVA_TOKEN_REGEX), F.lit(0))
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

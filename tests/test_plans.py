@@ -111,8 +111,9 @@ def test_shingle_plan_tokenizes_once_per_row(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet") \
         .selectExpr("doc_id", "text")
     plan = explain(dd.shingle_df(docs))
-    # exactly one tokenizing regexp_replace in the whole physical plan
-    assert plan.count("regexp_replace") == 1, plan
+    # exactly one tokenizing regexp pass in the whole physical plan
+    assert plan.count("regexp_extract_all") == 1, plan
+    assert "regexp_replace" not in plan, plan
 
 
 def test_fingerprint_plan_normalizes_once_per_row(spark):
@@ -128,11 +129,11 @@ def test_fingerprint_plan_normalizes_once_per_row(spark):
 
 def test_lang_quality_plans_tokenize_once_per_row(spark):
     """quality/lang-id metrics share ONE bound token array: the
-    tokenizing regexp (lower+strip, '[^a-z0-9]') appears once; the only
+    tokenizing regexp (extract-all of '[a-z0-9]+' runs) appears once; the only
     other regexps are quality's independent char-class counters."""
     import __spark_entry__ as e
     from inverted_index_and_search_spark.functions import text_stats as ts
 
     df = e._text_metric_query([ts.quality_exprs, ts.lang_id_expr])(spark, SF)
     plan = explain(df)
-    assert plan.count("[^a-z0-9]") == 1, plan
+    assert plan.count("[a-z0-9]+") == 1, plan

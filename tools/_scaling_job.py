@@ -72,6 +72,24 @@ def main() -> None:
             one_build(f"{out}_{label}", pandas_udf) for _ in range(4))
     build_s = builds["jvm"]
 
+    # Spark-native hardware ceiling probe: tokenize EVERY doc with the
+    # same JVM tokenizer but zero shuffle (map + tiny partial-agg merge).
+    # Perfectly parallel by construction, so its N->4N speedup is what
+    # this host's memory system actually offers a Spark job — the
+    # denominator for honest efficiency normalization (a pure-Python
+    # multiprocessing burn overstates it: it has no JVM heap traffic).
+    from inverted_index_and_search_spark.tokenizer import tokens_col
+    from pyspark.sql import functions as F
+
+    def maponly() -> float:
+        t0 = time.perf_counter()
+        docs.select(F.size(tokens_col(F.col("content"))).alias("n")) \
+            .agg(F.sum("n")).collect()
+        return time.perf_counter() - t0
+
+    maponly()  # warmup
+    maponly_s = min(maponly() for _ in range(4))
+
     pidx = ib.read_index(spark, f"{out}_jvm")
     pidx.postings.cache().count()
     pidx.doc_stats.cache().count()
@@ -88,6 +106,7 @@ def main() -> None:
         "mb": round(n_bytes / 1e6, 2),
         "build_s": round(build_s, 3),
         "build_s_arrow": round(builds["arrow"], 3),
+        "maponly_s": round(maponly_s, 3),
         "files_per_sec": round(n_files / build_s, 2),
         "mb_per_sec": round(n_bytes / 1e6 / build_s, 3),
         "bm25_p50_ms": round(statistics.median(lat) * 1e3, 1),
