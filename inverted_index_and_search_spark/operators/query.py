@@ -25,10 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from inverted_index_and_search_spark.operators.index_build import (
-    Index,
-    term_bucket_col,
-)
+from inverted_index_and_search_spark.operators.index_build import Index
 
 K1 = 1.2
 B = 0.75
@@ -46,16 +43,16 @@ def _query_postings(index: Index, norm: list[str]) -> DataFrame:
     Bucket values are computed with the INDEX's own n_buckets (persisted
     in meta.json and restored by read_index) — a wrong modulus here
     would silently prune away matching postings."""
+    from inverted_index_and_search_spark.kernels.xxhash import term_bucket
+
     p = index.postings
     if "term_bucket" in p.columns:
-        # Partition-pruned scan: xxhash64 is only exposed as an
-        # expression, so evaluate the query terms' buckets with a
-        # 1-row-per-term local DataFrame (no shuffle, trivial job),
-        # then prune to `term_bucket IN (...)` — Catalyst turns this
-        # into parquet directory pruning on the persisted layout.
-        bdf = p.sparkSession.createDataFrame([(t,) for t in norm], "term string")
-        bvals = [r[0] for r in bdf.select(
-            term_bucket_col(F.col("term"), index.n_buckets)).collect()]
+        # Partition-pruned scan: the terms' buckets are computed
+        # DRIVER-SIDE with the pure-Python xxhash64 twin (property-
+        # tested equal to the JVM expression) — no per-query Spark job
+        # just to evaluate hashes — then `term_bucket IN (...)` becomes
+        # parquet directory pruning on the persisted layout.
+        bvals = sorted({term_bucket(t, index.n_buckets) for t in norm})
         p = p.filter(F.col("term_bucket").isin(bvals))
     return p.filter(F.col("term").isin(norm))
 

@@ -218,13 +218,16 @@ def _decode_row(row, avgdl: float, n_docs: int, block: int) -> bm25.TermPostings
 def fetch_term_postings(idx: SegmentIndex, terms: list[str]) -> dict[str, bm25.TermPostings]:
     """Pruned segment fetch + decode for a query's terms (driver-side;
     the per-query data is only those terms' segments)."""
+    from inverted_index_and_search_spark.kernels.xxhash import term_bucket
+
     norm = sorted({t.lower() for t in terms})
     if not norm:
         return {}
     seg = idx.segments
     if "term_bucket" in seg.columns:
-        bdf = seg.sparkSession.createDataFrame([(t,) for t in norm], "term string")
-        bvals = [r[0] for r in bdf.select(term_bucket_col(F.col("term"), idx.n_buckets)).collect()]
+        # driver-side bucket eval (pure-python xxhash64 twin): no extra
+        # Spark job per query just to hash the terms
+        bvals = sorted({term_bucket(t, idx.n_buckets) for t in norm})
         seg = seg.filter(F.col("term_bucket").isin(bvals))
     rows = seg.filter(F.col("term").isin(norm)).collect()
     return {r["term"]: _decode_row(r, idx.avgdl, idx.n_docs, idx.block) for r in rows}
@@ -302,12 +305,12 @@ def batch_topk(idx: SegmentIndex, queries: list[tuple[int, list[str]]],
     # term IN (...) pushes to row groups, exactly like the single-query
     # path (fetch_term_postings). Inner join is safe — missing-term
     # handling lives in the n_terms broadcast inside eval_query.
+    from inverted_index_and_search_spark.kernels.xxhash import term_bucket
+
     terms_all = sorted({t for _, ts in norm_pairs for t in ts})
     seg = idx.segments
     if "term_bucket" in seg.columns:
-        bdf = spark.createDataFrame([(t,) for t in terms_all], "term string")
-        bvals = [r[0] for r in bdf.select(
-            term_bucket_col(F.col("term"), idx.n_buckets)).collect()]
+        bvals = sorted({term_bucket(t, idx.n_buckets) for t in terms_all})
         seg = seg.filter(F.col("term_bucket").isin(bvals))
     seg = seg.filter(F.col("term").isin(terms_all)).select(*seg_cols)
     joined = qdf.join(seg, "term", "inner")

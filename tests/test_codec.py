@@ -72,3 +72,43 @@ def test_block_max_is_upper_bound(postings, n_docs):
     for bi in range(len(blast)):
         last_idx = min((bi + 1) * 128, len(postings)) - 1
         assert blast[bi] == ids[last_idx]  # last_doc_id = block's final id
+
+
+# ------------------------------------------------------ xxhash64 twin
+
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1, max_size=40))
+@settings(max_examples=30, deadline=None)
+def test_xxh64_pure_python_reference(words):
+    """Pure-python XXH64 self-consistency across lengths (all code
+    paths: <4, <8, <32, >=32 bytes) — deterministic and total."""
+    from inverted_index_and_search_spark.kernels.xxhash import (
+        term_bucket,
+        xxh64_signed,
+    )
+
+    for w in words:
+        h = xxh64_signed(w)
+        assert -(1 << 63) <= h < (1 << 63)
+        assert xxh64_signed(w) == h
+        assert 0 <= term_bucket(w, 32) < 32
+
+
+def test_xxh64_matches_spark_expression(spark):
+    """The driver-side twin must equal Spark's xxhash64 EXACTLY —
+    a mismatch silently prunes matching buckets at query time."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_and_search_spark.kernels.xxhash import xxh64_signed
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789_ünïcode✓漢字"
+    words = [""] + ["x" * n for n in (1, 3, 4, 7, 8, 9, 31, 32, 33, 100)] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 60)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["h"] for r in df.select("w", F.xxhash64("w").alias("h")).collect()}
+    for w in words:
+        assert xxh64_signed(w) == got[w], repr(w)
