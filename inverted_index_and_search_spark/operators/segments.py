@@ -170,6 +170,10 @@ def build_segment_index(
     *, n_buckets: int = DEFAULT_BUCKETS, salt_hot_terms: bool = True,
     hot: DataFrame | None = None,
 ) -> SegmentIndex:
+    # tf feeds both the per-doc dl aggregation and the join side of
+    # tf_with_dl — persist so the (often expensive: tokenize + IMC)
+    # upstream runs once; the cache lives for the index's lifetime
+    tf = tf.persist()
     grouped = grouped_postings_arrays(tf_with_dl(tf),
                                       salt_hot_terms=salt_hot_terms, hot=hot)
     return SegmentIndex(
