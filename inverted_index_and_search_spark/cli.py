@@ -95,23 +95,37 @@ def _build(args: argparse.Namespace) -> None:
         spark.stop()
 
 
-def _run_query(index: ib.Index, line: str, bm25: bool, topk: int) -> None:
+def _doc_key_map(index: ib.Index) -> dict[int, str] | None:
+    """doc_id -> original docID (filename) for indexes parsed from
+    reference-variant text output; None when ids are native."""
+    if "doc_key" not in index.doc_stats.columns:
+        return None
+    return {r["doc_id"]: r["doc_key"]
+            for r in index.doc_stats.select("doc_id", "doc_key").collect()}
+
+
+def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
+               key_map: dict[int, str] | None = None) -> None:
     terms = line.split()
     if not terms:
         return
+
+    def show(doc_id: int) -> str:
+        return key_map.get(doc_id, str(doc_id)) if key_map else str(doc_id)
+
     if bm25:
         rows = q.bm25_topk(index, terms, k=topk).collect()
         if not rows:
             print("No matches found.")
         for r in rows:
-            print(f"{r['doc_id']}\t{r['score']:.6f}")
+            print(f"{show(r['doc_id'])}\t{r['score']:.6f}")
     else:
         rows = q.boolean_and(index, terms).collect()
         if not rows:
             # reference wording, search-query.py:62
             print("No matches found.")
         else:
-            print("\n".join(str(r["doc_id"]) for r in rows))
+            print("\n".join(show(r["doc_id"]) for r in rows))
 
 
 def _search(args: argparse.Namespace) -> None:
@@ -125,14 +139,15 @@ def _search(args: argparse.Namespace) -> None:
     index.postings.cache().count()
     index.doc_stats.cache().count()
     index.collection_stats()
+    key_map = _doc_key_map(index)
     if args.query is not None:
-        _run_query(index, args.query, args.bm25, args.topk)
+        _run_query(index, args.query, args.bm25, args.topk, key_map)
     else:
         # reference REPL loop, search-query.py:120-131
         try:
             while True:
                 line = input("> ")
-                _run_query(index, line, args.bm25, args.topk)
+                _run_query(index, line, args.bm25, args.topk, key_map)
         except EOFError:
             pass
     if created:

@@ -163,6 +163,58 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], *, k: int = 10,
             .orderBy(F.desc("score"), F.asc("vec_id")).limit(k))
 
 
+def write_ivf_index(emb: DataFrame, out_dir: str, *, dim: int = DIM,
+                    centroids: list[list[float]] | None = None,
+                    mode: str = "overwrite") -> None:
+    """Persist the IVF layout: vectors partitioned BY CELL on disk plus
+    a centroid sidecar. This is the 100 TB shape of :func:`ivf_topk` —
+    the in-memory variant filters cells inside one plan, while the
+    persisted layout turns the probe into parquet DIRECTORY pruning:
+    a query reads only its probe cells' files (~P/C of the data),
+    never scanning (or even listing into tasks) the rest."""
+    import json
+    import os
+
+    assigned, cents = _assign_cells(emb, dim=dim, centroids=centroids)
+    (assigned.repartition("cell")
+     .write.mode(mode).partitionBy("cell").parquet(f"{out_dir}/cells"))
+    cent_rows = [[int(r["cell"]), list(r["c"])]
+                 for r in cents.orderBy("cell").collect()]
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/centroids.json", "w") as f:
+        json.dump({"dim": dim, "cells": cent_rows}, f)
+
+
+def ivf_topk_persisted(spark, out_dir: str, query_vec: list[float], *,
+                       k: int = 10, probe: int = IVF_PROBE) -> DataFrame:
+    """(vec_id, score) over a persisted IVF index.
+
+    Probe-cell selection runs DRIVER-SIDE in numpy over the C centroids
+    (no Spark job: C is tiny by construction), then the scan prunes to
+    ``cell IN (probes)`` parquet partitions — asserted in
+    tests/test_plans.py. Ranking matches the in-memory :func:`ivf_topk`
+    for the same centroids (tested)."""
+    import json
+
+    with open(f"{out_dir}/centroids.json") as f:
+        meta = json.load(f)
+    cell_ids = [c for c, _ in meta["cells"]]
+    cents = np.asarray([v for _, v in meta["cells"]], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    sims = cents @ qv / (np.linalg.norm(cents, axis=1) * np.linalg.norm(qv))
+    # top-P cells, ties broken by lowest cell id (rows are cell-ordered,
+    # stable sort on -sim preserves that for equal sims)
+    order = np.argsort(-np.round(sims, 6), kind="stable")[:probe]
+    probes = sorted(cell_ids[i] for i in order)
+    dim = int(meta["dim"])
+    lit = "array(" + ", ".join(f"cast({x} as double)" for x in query_vec) + ")"
+    cos = F.expr(cosine_col("v", lit, dim, SPARK))
+    cells = spark.read.parquet(f"{out_dir}/cells")
+    return (cells.where(F.col("cell").isin(probes))
+            .select("vec_id", cos.alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id")).limit(k))
+
+
 def ivf_recall_at_k(emb: DataFrame, query_vecs: list[list[float]], *,
                     k: int = 10, dim: int = DIM,
                     centroids: list[list[float]] | None = None) -> float:

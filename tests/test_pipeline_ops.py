@@ -152,3 +152,27 @@ def test_ivf_kmeans_centroids(spark):
     r_kmeans = sim.ivf_recall_at_k(emb, qs, centroids=cents)
     r_first = sim.ivf_recall_at_k(emb, qs)
     assert r_kmeans >= max(0.3, r_first - 0.1), (r_kmeans, r_first)
+
+
+def test_ivf_persisted_matches_inmemory(spark, tmp_path_factory):
+    """Persisted cell-partitioned IVF layout: identical ranking to the
+    in-memory operator for the same centroids, and the probe prunes
+    parquet partitions (cell IN (...) reaches PartitionFilters)."""
+    from inverted_index_and_search_spark.operators import similarity as sim
+    from tests.test_plans import explain
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = sim.kmeans_centroids(emb)
+    out = str(tmp_path_factory.mktemp("ivf"))
+    sim.write_ivf_index(emb, out, centroids=cents)
+    for seed in (13, 14):
+        qv = sim.fixture_query_vec(seed=seed)
+        got = [(r["vec_id"], round(r["score"], 9)) for r in
+               sim.ivf_topk_persisted(spark, out, qv).collect()]
+        want = [(r["vec_id"], round(r["score"], 9)) for r in
+                sim.ivf_topk(emb, qv, centroids=cents).collect()]
+        assert got == want, seed
+    plan = explain(sim.ivf_topk_persisted(spark, out, sim.fixture_query_vec()))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0] and "IN (" in pf[0].replace("in(", "IN ("), plan
+    assert "TakeOrderedAndProject" in plan, plan
