@@ -56,15 +56,17 @@ def _build(args: argparse.Namespace) -> None:
     spark, created = _session("iis-build")
     in_fmt = args.input_format
     if in_fmt == "auto":
-        in_fmt = "parquet" if _looks_like_parquet(args.input) else "text-dir"
+        in_fmt = ("parquet" if all(_looks_like_parquet(p) for p in args.input)
+                  else "text-dir")
     if in_fmt == "text-dir":
-        # reference entry path: directory tree of plaintext files,
-        # basename = docID (safe_read, spark/inverted_index_search.py:72-100)
+        # reference entry path: directory tree(s) of plaintext files,
+        # basename = docID (safe_read, spark/inverted_index_search.py:72-100;
+        # multiple paths union like --input-folder/--input-texts)
         from inverted_index_and_search_spark.sources.files import docs_from_files
         docs = docs_from_files(spark, args.input, glob=args.glob)
         args.content_col, args.id_col = "content", "doc_id"
     else:
-        docs = spark.read.parquet(args.input)
+        docs = spark.read.parquet(*args.input)
     if args.id_col not in docs.columns:
         from inverted_index_and_search_spark.corpus import with_doc_id
         docs = with_doc_id(docs)
@@ -76,7 +78,8 @@ def _build(args: argparse.Namespace) -> None:
 
     t0 = time.perf_counter()
     idx = ib.build_index(docs, content_col=args.content_col,
-                         id_col=args.id_col, salt_hot_terms=True)
+                         id_col=args.id_col, salt_hot_terms=True,
+                         n_buckets=args.num_output_partitions)
     if args.format == "parquet":
         ib.write_index(idx, args.output)
     elif args.format == "text":
@@ -159,9 +162,16 @@ def main(argv: list[str] | None = None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the inverted index")
-    b.add_argument("--input", required=True,
-                   help="parquet documents table OR a directory of raw "
-                        "text files (auto-detected; see --input-format)")
+    b.add_argument("--input", required=True, nargs="+",
+                   help="parquet documents table(s) OR directories of raw "
+                        "text files (auto-detected; see --input-format); "
+                        "multiple paths union like the reference's "
+                        "--input-folder/--input-texts")
+    b.add_argument("--num-output-partitions", type=int,
+                   default=ib.DEFAULT_BUCKETS,
+                   help="term-hash bucket count of the index layout "
+                        "(reference --num-output-partitions; persisted in "
+                        "meta.json and used for query-time pruning)")
     b.add_argument("--input-format", choices=["auto", "parquet", "text-dir"],
                    default="auto")
     b.add_argument("--glob", default="*.txt",
