@@ -80,6 +80,42 @@ def main() -> None:
         "ReadSchema); partial+final HashAggregate.",
         explain(rel.pricing_summary(spark.read.parquet(f"{sf}/lineitem.parquet")))))
 
+    from inverted_index_and_search_spark.operators import dedup as dd
+    sections.append((
+        "Shingle generation (dedup family input)",
+        "The tokenizing regexp appears EXACTLY ONCE: the token array is a "
+        "bound column referenced by the shingle lambda. Round-1 inlined the "
+        "tokenizer into the lambda body, re-tokenizing per shingle position "
+        "(O(L^2)/doc, the round-1 scale-killer) — gated in tests/test_plans.py.",
+        explain(dd.shingle_df(docs.selectExpr("doc_id", "text")))))
+
+    from inverted_index_and_search_spark.corpus import corpus_df, with_doc_id
+    sections.append((
+        "Scale-safe doc-id assignment (with_doc_id)",
+        "Range partition + local rank + broadcast per-partition offsets; the "
+        "only SinglePartition exchange carries the P-row counter table for "
+        "the prefix sum, never data rows.",
+        explain(with_doc_id(corpus_df(spark, 200, partitions=4)))))
+
+    tf2 = ib.term_doc_tf(ib.tokens(docs, use_pandas_udf=False,
+                                   content_col="text", id_col="doc_id"))
+    from inverted_index_and_search_spark.operators import segments as sg
+    n_docs = docs.count()
+    avgdl = 100.0
+    sidx = sg.build_segment_index(tf2, n_docs, avgdl)
+    seg_tmp = tempfile.mkdtemp(prefix="iis_plan_seg_")
+    sg.write_segment_index(sidx, seg_tmp)
+    psidx = sg.read_segment_index(spark, seg_tmp)
+    sections.append((
+        "Distributed batch query evaluation (batch_topk)",
+        "The segment scan prunes to the workload's own terms BEFORE the join "
+        "(term_bucket PartitionFilters + pushed term IN), inner-joined to the "
+        "query relation; each query group runs the WAND kernel in "
+        "applyInPandas. Round-1 left-joined the unfiltered segment table, "
+        "shuffling every segment per batch.",
+        explain(sg.batch_topk(psidx, [(0, ["table", "query"]),
+                                      (1, ["spark"])], k=10))))
+
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("# PLANS.md — physical plans of the headline pipelines\n\n"
                 "Generated by tools/plan_audit.py; the scale-critical plan\n"
