@@ -183,6 +183,45 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the cross-format interchange: build -> write the
+    reference text wire format -> parse it back (read_index_text) ->
+    rank. Hash-equal to the same SQL oracle as bm25_top10, so the whole
+    text-index round trip is driver-verified."""
+    import tempfile
+
+    idx = _index(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="iis_textidx_")
+    ib.write_index_text(idx, f"{tmp}/wire")
+    rt = ib.read_index_text(spark, f"{tmp}/wire")
+    res = q.bm25_topk(rt, Q_BM25, k=10)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round(F.col("score"), 6).alias("score"))
+
+
+def _q_term_tf_rawfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term_tf through raw-file ingestion: materialize every document
+    as a .txt file (zero-padded name so the basename rank reproduces
+    the original doc_id), re-ingest via the wholetext reader, tokenize,
+    count. Hash-equal to the term_tf oracle — the reference's primary
+    entry path is driver-verified end to end."""
+    import tempfile
+
+    rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+    tmp = tempfile.mkdtemp(prefix="iis_rawtxt_")
+    for r in rows:
+        with open(f"{tmp}/doc_{int(r['doc_id']):08d}.txt", "w",
+                  encoding="utf-8") as f:
+            f.write(r["text"])
+    from inverted_index_and_search_spark.sources.files import docs_from_files
+
+    docs = docs_from_files(spark, tmp)
+    tok = ib.tokens(docs, content_col="content", id_col="doc_id")
+    return ib.term_doc_tf(tok).select(
+        "term", F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tf").cast("long").alias("tf"))
+
+
 # ----------------------------------- training-data pipeline operators
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": _q_boolean_and,
         "boolean_and_missing": _q_boolean_and_missing,
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
+        "bm25_text_roundtrip": _q_bm25_text_roundtrip,
+        "term_tf_rawfiles": _q_term_tf_rawfiles,
         "bm25_top10_rare": lambda s, d: _bm25_rounded(s, d, Q_BM25_RARE),
         "bm25_wand_top10": _q_bm25_wand,
     }
@@ -431,6 +472,9 @@ FROM tf GROUP BY term
         "boolean_and": _boolean_sql(Q_AND),
         "boolean_and_missing": _boolean_sql(Q_AND_MISSING),
         "bm25_top10": _bm25_sql(Q_BM25),
+        "bm25_text_roundtrip": _bm25_sql(Q_BM25),
+        "term_tf_rawfiles":
+            f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
         "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),
         "bm25_wand_top10": _bm25_sql(Q_BM25),
     }
