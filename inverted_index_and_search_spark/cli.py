@@ -66,7 +66,13 @@ def _build(args: argparse.Namespace) -> None:
         docs = docs_from_files(spark, args.input, glob=args.glob)
         args.content_col, args.id_col = "content", "doc_id"
     else:
-        docs = spark.read.parquet(*args.input)
+        # catalog adapter: Iceberg table names on a real cluster,
+        # parquet paths in the sandbox — unioned across inputs
+        from functools import reduce
+
+        from inverted_index_and_search_spark.sources.catalog import load_documents
+        dfs = [load_documents(spark, p) for p in args.input]
+        docs = reduce(lambda a, b: a.unionByName(b), dfs)
     if args.id_col not in docs.columns:
         from inverted_index_and_search_spark.corpus import with_doc_id
         docs = with_doc_id(docs)
