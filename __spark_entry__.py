@@ -26,6 +26,7 @@ from inverted_index_and_search_spark.operators import dedup as dd  # noqa: E402
 from inverted_index_and_search_spark.operators import events as ev  # noqa: E402
 from inverted_index_and_search_spark.operators import index_build as ib  # noqa: E402
 from inverted_index_and_search_spark.operators import multimodal as mm  # noqa: E402
+from inverted_index_and_search_spark.operators import positional as pos  # noqa: E402
 from inverted_index_and_search_spark.operators import query as q  # noqa: E402
 from inverted_index_and_search_spark.operators import relational as rel  # noqa: E402
 from inverted_index_and_search_spark.operators import segments as seg  # noqa: E402
@@ -52,6 +53,10 @@ Q_AND = ["table", "query"]
 Q_AND_MISSING = ["table", "zzznotaterm"]
 Q_BM25 = ["spark", "join", "fast"]
 Q_BM25_RARE = ["dup"]
+Q_OR = ["dup", "query"]
+Q_NOT_INC, Q_NOT_EXC = ["table"], ["query"]
+Q_PHRASE = ["table", "hash"]
+Q_NEAR = ("merge", "group", 3)  # (term_a, term_b, window)
 
 K1, B = 1.2, 0.75
 
@@ -222,6 +227,46 @@ def _q_term_tf_rawfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").cast("long").alias("tf"))
 
 
+def _pindex(spark: SparkSession, sf_dir: str) -> ib.Index:
+    return pos.build_positional_index(
+        _docs(spark, sf_dir), content_col="text", id_col="doc_id")
+
+
+def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pos.phrase_match(_pindex(spark, sf_dir), Q_PHRASE).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("phrase_tf").cast("int").alias("phrase_tf"))
+
+
+def _q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pos.phrase_bm25_topk(_pindex(spark, sf_dir), Q_PHRASE, k=10)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round(F.col("score"), 6).alias("score"))
+
+
+def _q_near_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b, w = Q_NEAR
+    return pos.terms_within_window(_pindex(spark, sf_dir), a, b, w).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q.boolean_or(_index(spark, sf_dir), Q_OR).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _q_boolean_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q.boolean_and_not(_index(spark, sf_dir), Q_NOT_INC, Q_NOT_EXC).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = q.top_terms_per_doc(_index(spark, sf_dir), k=3)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "term", F.round(F.col("tfidf"), 6).alias("tfidf"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 # ----------------------------------- training-data pipeline operators
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_fmt": _q_postings_fmt,
         "boolean_and": _q_boolean_and,
         "boolean_and_missing": _q_boolean_and_missing,
+        "boolean_or": _q_boolean_or,
+        "boolean_and_not": _q_boolean_and_not,
+        "phrase_match": _q_phrase_match,
+        "phrase_bm25_top10": _q_phrase_bm25,
+        "near_terms": _q_near_terms,
+        "top_terms": _q_top_terms,
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
         "bm25_text_roundtrip": _q_bm25_text_roundtrip,
         "term_tf_rawfiles": _q_term_tf_rawfiles,
@@ -377,6 +428,55 @@ WITH {_TOK_CTE}
 SELECT doc_id::BIGINT AS doc_id FROM tf
 WHERE term IN ({_sql_in(terms)})
 GROUP BY doc_id HAVING count(DISTINCT term) = {n}
+ORDER BY doc_id
+"""
+
+
+def _phrase_tf_frag(terms: list[str]) -> str:
+    """DuckDB list-lambda counting exact-phrase start offsets in the
+    token list ``tk`` — an independent method from the engine's
+    intersect-of-shifted-position-arrays plan: a start index i survives
+    iff tk[i+j] == terms[j] for all j (1-based list indexing)."""
+    k = len(terms)
+    conds = " AND ".join(
+        f"tk[i+{j}] = '{t}'" if j else f"tk[i] = '{t}'"
+        for j, t in enumerate(terms))
+    return (f"len(list_filter(range(1, greatest(len(tk) - {k} + 2, 1)), "
+            f"i -> {conds}))")
+
+
+def _phrase_match_sql(terms: list[str]) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+m AS (SELECT doc_id, {_phrase_tf_frag(terms)} AS phrase_tf FROM t)
+SELECT doc_id::BIGINT AS doc_id, phrase_tf::INT AS phrase_tf
+FROM m WHERE phrase_tf > 0 ORDER BY doc_id
+"""
+
+
+def _phrase_bm25_sql(terms: list[str], k: int = 10) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+m AS (SELECT doc_id, len(tk) AS dl, {_phrase_tf_frag(terms)} AS phrase_tf FROM t),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT avg(len(tk)) FROM t) AS avgdl,
+                 (SELECT count(*) FROM m WHERE phrase_tf > 0)::DOUBLE AS df)
+SELECT doc_id::BIGINT AS doc_id,
+       round( ln(1.0 + (s.n - s.df + 0.5) / (s.df + 0.5))
+              * (phrase_tf * {K1 + 1.0})
+              / (phrase_tf + {K1} * (1.0 - {B} + {B} * dl / s.avgdl)), 6) AS score
+FROM m CROSS JOIN stats s WHERE phrase_tf > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _near_terms_sql(a: str, b: str, w: int) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents)
+SELECT doc_id::BIGINT AS doc_id FROM t
+WHERE len(list_filter(range(1, len(tk) + 1),
+      i -> tk[i] = '{a}' AND len(list_filter(range(1, len(tk) + 1),
+           j -> tk[j] = '{b}' AND abs(j - i) <= {w})) > 0)) > 0
 ORDER BY doc_id
 """
 
@@ -471,6 +571,43 @@ FROM tf GROUP BY term
 """,
         "boolean_and": _boolean_sql(Q_AND),
         "boolean_and_missing": _boolean_sql(Q_AND_MISSING),
+        "boolean_or": f"""
+WITH {_TOK_CTE}
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
+WHERE term IN ({_sql_in(Q_OR)}) ORDER BY doc_id
+""",
+        "boolean_and_not": f"""
+WITH {_TOK_CTE},
+inc AS (
+  SELECT doc_id FROM tf WHERE term IN ({_sql_in(Q_NOT_INC)})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(Q_NOT_INC))}
+),
+exc AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_sql_in(Q_NOT_EXC)}))
+SELECT doc_id::BIGINT AS doc_id FROM inc
+WHERE doc_id NOT IN (SELECT doc_id FROM exc) ORDER BY doc_id
+""",
+        "phrase_match": _phrase_match_sql(Q_PHRASE),
+        "phrase_bm25_top10": _phrase_bm25_sql(Q_PHRASE),
+        "near_terms": _near_terms_sql(*Q_NEAR),
+        "top_terms": f"""
+WITH {_TOK_CTE},
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n + 1.0) / (dfs.df + 1.0)) AS tfidf
+  FROM tf JOIN dfs USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id::BIGINT AS doc_id, term, round(tfidf, 6) AS tfidf,
+       rank::INT AS rank
+FROM ranked WHERE rank <= 3
+""",
         "bm25_top10": _bm25_sql(Q_BM25),
         "bm25_text_roundtrip": _bm25_sql(Q_BM25),
         "term_tf_rawfiles":

@@ -1,0 +1,269 @@
+"""Positional index + phrase / proximity queries.
+
+The reference indexes only (term, doc, tf) — its query side cannot
+answer phrase queries at all (``search-query.py:53-73`` intersects doc
+sets, losing word order). A full-text engine at corpus scale needs
+exact-phrase and proximity retrieval, so the positional layout is a
+first-class index variant here:
+
+    postings: array<struct<doc_id:long, tf:int, positions:array<int>>>
+
+``positions`` is the sorted list of 0-based token offsets of the term
+in the doc (canonical tokenizer semantics, tokenizer.py). The struct is
+a strict superset of the non-positional layout, so every existing query
+operator (boolean AND/OR, BM25, text sinks) runs unchanged on a
+positional index — they read only ``doc_id``/``tf`` fields.
+
+Phrase evaluation is pure DataFrame algebra — no UDF in the match path:
+for phrase [t0 .. t_{k-1}], shift term i's positions by -i and
+intersect the k arrays per doc (`array_intersect`); the surviving
+values are the phrase start offsets, their count the phrase tf. This is
+the classic positional-intersection algorithm (Manning, Raghavan &
+Schütze, *Introduction to Information Retrieval* §2.4.2) expressed as
+Catalyst array expressions.
+
+Scale notes:
+- positions add O(cf) ints per term vs O(df) for tf-only — the standard
+  positional-index overhead (~2-4x index size); delta+varint compression
+  of positions composes with kernels/codec just like doc_id gaps.
+- per-query touched data stays the query terms' postings only: the
+  phrase path reuses the same bucket-pruned, `term IN (...)`-pushed scan
+  as boolean/BM25 queries (query._query_postings).
+- the k-way join is on doc_id with k small (phrase length); every side
+  is one term's pruned postings. Skewed (stop-)words in phrases hit the
+  same salting/bucket guards as the tf index.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from inverted_index_and_search_spark.operators.index_build import (
+    DEFAULT_BUCKETS,
+    Index,
+    doc_stats,
+    term_bucket_col,
+)
+from inverted_index_and_search_spark.operators.query import (
+    K1,
+    B,
+    _query_postings,
+)
+from inverted_index_and_search_spark.tokenizer import tokens_col
+
+__all__ = [
+    "term_doc_positions",
+    "term_doc_positions_arrow",
+    "positional_postings",
+    "build_positional_index",
+    "phrase_match",
+    "phrase_bm25_topk",
+    "terms_within_window",
+]
+
+
+def term_doc_positions(docs: DataFrame, *, content_col: str = "content",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf, positions) — pure-JVM path.
+
+    posexplode assigns each token its 0-based offset; the group-by
+    collects offsets per (term, doc). sort_array gives canonical
+    ascending position order regardless of partitioning.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(F.col(content_col))).alias("pos", "term"),
+    )
+    return tok.groupBy("term", "doc_id").agg(
+        F.count("*").cast("int").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+    )
+
+
+def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
+                             id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf, positions) computed inside an Arrow UDF —
+    in-mapper combining with positions (the positional analogue of
+    index_build.term_doc_tf_arrow): no JVM token explode, no
+    (term,doc_id) pre-shuffle; the UDF emits already-unique rows.
+    Cross-tested equal to :func:`term_doc_positions`.
+    """
+    import pandas as pd
+
+    from inverted_index_and_search_spark.tokenizer import _PY_TOKEN
+
+    def collect_pos(batches):
+        for pdf in batches:
+            toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
+            ids, terms, tfs, poss = [], [], [], []
+            for doc_id, words in zip(pdf[id_col], toks):
+                d: dict[str, list[int]] = {}
+                for i, w in enumerate(words):
+                    d.setdefault(w, []).append(i)
+                ids.extend([doc_id] * len(d))
+                terms.extend(d.keys())
+                tfs.extend(len(v) for v in d.values())
+                poss.extend(d.values())
+            yield pd.DataFrame({
+                "term": pd.Series(terms, dtype="object"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "tf": pd.Series(tfs, dtype="int32"),
+                "positions": pd.Series(poss, dtype="object"),
+            })
+
+    return docs.select(F.col(id_col).alias(id_col), content_col).mapInPandas(
+        collect_pos, schema="term string, doc_id long, tf int, positions array<int>")
+
+
+def positional_postings(tdp: DataFrame, *,
+                        n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """(term, term_bucket, df, cf, postings) with positional structs,
+    postings sorted by doc_id asc (sort_array on the struct orders by
+    the first field). Same shape contract as index_build.postings."""
+    post = F.struct(F.col("doc_id"), F.col("tf"), F.col("positions"))
+    agg = tdp.groupBy("term").agg(
+        F.sort_array(F.collect_list(post)).alias("postings"),
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    return agg.withColumn(
+        "term_bucket", term_bucket_col(F.col("term"), n_buckets)
+    ).select("term", "term_bucket", "df", "cf", "postings")
+
+
+def build_positional_index(docs: DataFrame, *, content_col: str = "content",
+                           id_col: str = "doc_id", use_pandas_udf: bool = True,
+                           n_buckets: int = DEFAULT_BUCKETS) -> Index:
+    """Positional :class:`Index` — a strict superset of the tf-only
+    layout: boolean/BM25/text-sink operators work on it unchanged, and
+    the phrase/proximity operators below require it."""
+    if use_pandas_udf:
+        tdp = term_doc_positions_arrow(docs, content_col=content_col,
+                                       id_col=id_col)
+    else:
+        tdp = term_doc_positions(docs, content_col=content_col, id_col=id_col)
+    return Index(
+        postings=positional_postings(tdp, n_buckets=n_buckets),
+        doc_stats=doc_stats(docs, tdp, content_col=content_col, id_col=id_col),
+        tf=tdp,
+        n_buckets=n_buckets,
+    )
+
+
+def _norm_phrase(phrase: list[str]) -> list[str]:
+    """Lowercase, keep order and duplicates — phrase semantics."""
+    return [t.lower() for t in phrase if t]
+
+
+def _occurrence_positions(index: Index, norm: list[str]) -> list[DataFrame]:
+    """One DF per phrase slot i: (doc_id, adj_i) where adj_i is term i's
+    position list shifted by -i, so a phrase occurrence starting at s
+    contributes s to every slot's adjusted array."""
+    qp = _query_postings(index, sorted(set(norm)))
+    rows = qp.select("term", F.explode("postings").alias("p")).select(
+        "term",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.positions").alias("positions"),
+    )
+    def shifted_by(i: int):
+        # one-arg lambda: F.transform dispatches on arity — a two-arg
+        # lambda would receive the ELEMENT INDEX as its second argument
+        lit = F.lit(i)
+        return lambda x: x - lit
+
+    out = []
+    for i, t in enumerate(norm):
+        out.append(
+            rows.filter(F.col("term") == t).select(
+                "doc_id",
+                F.transform("positions", shifted_by(i)).alias(f"adj_{i}"),
+            )
+        )
+    return out
+
+
+def _phrase_starts(index: Index, norm: list[str]) -> DataFrame:
+    """(doc_id, phrase_tf) for docs containing the exact phrase —
+    k-way inner join on doc_id, then array_intersect of the shifted
+    position arrays. Missing terms short-circuit via the inner join."""
+    parts = _occurrence_positions(index, norm)
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    starts: Column = F.col("adj_0")
+    for i in range(1, len(norm)):
+        starts = F.array_intersect(starts, F.col(f"adj_{i}"))
+    return (
+        joined.select("doc_id", F.size(starts).alias("phrase_tf"))
+        .filter(F.col("phrase_tf") > 0)
+    )
+
+
+def phrase_match(index: Index, phrase: list[str]) -> DataFrame:
+    """(doc_id, phrase_tf) — docs containing the exact token phrase,
+    sorted by doc_id asc. phrase_tf counts start offsets (overlapping
+    occurrences all count: "a a" occurs twice in "a a a")."""
+    norm = _norm_phrase(phrase)
+    spark = index.postings.sparkSession
+    if not norm:
+        return spark.createDataFrame([], "doc_id long, phrase_tf int")
+    return _phrase_starts(index, norm).orderBy("doc_id")
+
+
+def phrase_bm25_topk(index: Index, phrase: list[str], k: int = 10) -> DataFrame:
+    """(doc_id, score) — BM25 top-k treating the exact phrase as one
+    pseudo-term: tf = phrase_tf, df = number of docs containing the
+    phrase (same k1/b/IDF as query.bm25_topk, so single-word phrases
+    are score-identical to the ordinary path).
+
+    df is computed with an unpartitioned window COUNT over the *matched
+    set only* — the docs containing the full phrase, already k-way
+    intersected and tiny relative to the corpus — not over the corpus;
+    this trades one narrow single-partition pass of the match list for
+    a second aggregation job.
+    """
+    norm = _norm_phrase(phrase)
+    spark = index.postings.sparkSession
+    if not norm:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n_docs, avgdl = index.collection_stats()
+    matched = _phrase_starts(index, norm)
+    df_col = F.count("*").over(Window.partitionBy())
+    dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    return (
+        matched.withColumn("df", df_col)
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (idf * (F.col("phrase_tf") * (K1 + 1.0))
+             / (F.col("phrase_tf")
+                + K1 * (1.0 - B + B * F.col("dl") / avgdl))).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def terms_within_window(index: Index, term_a: str, term_b: str,
+                        window: int) -> DataFrame:
+    """(doc_id) — docs where ``term_a`` and ``term_b`` occur within
+    ``window`` token offsets of each other (|pos_a - pos_b| <= window),
+    sorted by doc_id asc. Proximity via nested array `exists` over the
+    two terms' position lists — per-doc cost |Pa|*|Pb| with both lists
+    bounded by the doc's term frequency (short for non-stop-words; a
+    sorted two-pointer kernel is the upgrade path if a stop-word pair
+    ever matters)."""
+    a, b = term_a.lower(), term_b.lower()
+    qp = _query_postings(index, sorted({a, b}))
+    rows = qp.select("term", F.explode("postings").alias("p")).select(
+        "term", F.col("p.doc_id").alias("doc_id"),
+        F.col("p.positions").alias("positions"))
+    pa = rows.filter(F.col("term") == a).select("doc_id", F.col("positions").alias("pa"))
+    pb = rows.filter(F.col("term") == b).select("doc_id", F.col("positions").alias("pb"))
+    w = F.lit(window)
+    near = F.exists("pa", lambda x: F.exists("pb", lambda y: F.abs(x - y) <= w))
+    return (pa.join(pb, "doc_id").filter(near)
+            .select("doc_id").orderBy("doc_id"))

@@ -82,6 +82,80 @@ def boolean_and(index: Index, terms: list[str]) -> DataFrame:
     )
 
 
+def boolean_or(index: Index, terms: list[str]) -> DataFrame:
+    """All docs containing at least one query term — (doc_id) sorted asc.
+
+    Disjunctive companion to :func:`boolean_and` (the reference's query
+    tool is AND-only, ``search-query.py:69-71``; OR completes the
+    boolean surface). Same pruned scan: only the query terms' postings
+    are touched, distinct-on-doc_id after the explode.
+    """
+    norm = _norm_terms(terms)
+    spark = index.postings.sparkSession
+    if not norm:
+        return spark.createDataFrame([], "doc_id long")
+    qp = _query_postings(index, norm)
+    return (
+        qp.select(F.explode("postings").alias("p"))
+        .select(F.col("p.doc_id").alias("doc_id"))
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def boolean_and_not(index: Index, include: list[str],
+                    exclude: list[str]) -> DataFrame:
+    """Docs containing every ``include`` term and none of the
+    ``exclude`` terms — (doc_id) sorted asc.
+
+    NOT is evaluated as a left-anti join against the exclude terms'
+    doc set: touched data is still only the query's terms' postings
+    (never a corpus scan — negation against the full corpus would not
+    be scale-safe and is intentionally not offered).
+    """
+    base = boolean_and(index, include)
+    norm_ex = _norm_terms(exclude)
+    if not norm_ex:
+        return base
+    ex = (
+        _query_postings(index, norm_ex)
+        .select(F.explode("postings").alias("p"))
+        .select(F.col("p.doc_id").alias("doc_id"))
+    )
+    return base.join(ex, "doc_id", "left_anti").orderBy("doc_id")
+
+
+def top_terms_per_doc(index: Index, k: int = 3) -> DataFrame:
+    """(doc_id, term, tfidf, rank) — each doc's top-k terms by TF-IDF
+    (tf * ln((N+1)/(df+1)), smoothed non-negative), rank 1..k ordered
+    tfidf desc then term asc (deterministic ties).
+
+    The per-doc keyword extractor of the training-data pipeline (doc
+    summarization / routing features). One shuffle: postings explode ->
+    per-doc window rank; df rides on the postings row, N is a scalar,
+    so no second pass and no join.
+    """
+    from pyspark.sql import Window
+
+    n_docs, _ = index.collection_stats()
+    exploded = index.postings.select(
+        "term", "df", F.explode("postings").alias("p")
+    ).select(
+        "term",
+        F.col("p.doc_id").alias("doc_id"),
+        (F.col("p.tf")
+         * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+         ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 def bm25_topk(
     index: Index,
     terms: list[str],
