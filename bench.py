@@ -146,12 +146,19 @@ def main() -> None:
         # vs exact brute-force cosine over the sf embeddings table
         from inverted_index_and_search_spark.operators import similarity as sim
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        cents = sim.kmeans_centroids(emb)
         qvs = [sim.fixture_query_vec(seed=s) for s in (13, 14, 15)]
-        extra["ivf_recall_at10_kmeans"] = round(
-            sim.ivf_recall_at_k(emb, qvs, centroids=cents), 3)
-        extra["ivf_recall_at10_firstc"] = round(
+        # recall-vs-granularity at a FIXED 25% scanned fraction: the
+        # testdata embeddings are isotropic (no cluster structure), so
+        # absolute recall is data-bound — the engine lever is finer
+        # k-means cells at the same probe fraction
+        extra["ivf_recall_at10_firstc_c16_p4"] = round(
             sim.ivf_recall_at_k(emb, qvs), 3)
+        extra["ivf_recall_at10_kmeans_c16_p4"] = round(
+            sim.ivf_recall_at_k(emb, qvs, centroids=sim.kmeans_centroids(emb)), 3)
+        extra["ivf_recall_at10_kmeans_c64_p16"] = round(
+            sim.ivf_recall_at_k(
+                emb, qvs, probe=16,
+                centroids=sim.kmeans_centroids(emb, c=64)), 3)
 
         # --- query latencies against the persisted docs index
         pidx = ib.read_index(spark, f"{tmp}/idx_docs")

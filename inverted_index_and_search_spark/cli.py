@@ -83,9 +83,17 @@ def _build(args: argparse.Namespace) -> None:
     import time
 
     t0 = time.perf_counter()
-    idx = ib.build_index(docs, content_col=args.content_col,
-                         id_col=args.id_col, salt_hot_terms=True,
-                         n_buckets=args.num_output_partitions)
+    if args.positional:
+        from inverted_index_and_search_spark.operators.positional import (
+            build_positional_index,
+        )
+        idx = build_positional_index(docs, content_col=args.content_col,
+                                     id_col=args.id_col,
+                                     n_buckets=args.num_output_partitions)
+    else:
+        idx = ib.build_index(docs, content_col=args.content_col,
+                             id_col=args.id_col, salt_hot_terms=True,
+                             n_buckets=args.num_output_partitions)
     if args.format == "parquet":
         ib.write_index(idx, args.output)
     elif args.format == "text":
@@ -114,7 +122,8 @@ def _doc_key_map(index: ib.Index) -> dict[int, str] | None:
 
 
 def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
-               key_map: dict[int, str] | None = None) -> None:
+               key_map: dict[int, str] | None = None,
+               phrase: bool = False) -> None:
     terms = line.split()
     if not terms:
         return
@@ -122,6 +131,22 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
     def show(doc_id: int) -> str:
         return key_map.get(doc_id, str(doc_id)) if key_map else str(doc_id)
 
+    if phrase:
+        from inverted_index_and_search_spark.operators import positional as pos
+
+        if bm25:
+            rows = pos.phrase_bm25_topk(index, terms, k=topk).collect()
+            if not rows:
+                print("No matches found.")
+            for r in rows:
+                print(f"{show(r['doc_id'])}\t{r['score']:.6f}")
+        else:
+            rows = pos.phrase_match(index, terms).collect()
+            if not rows:
+                print("No matches found.")
+            for r in rows:
+                print(f"{show(r['doc_id'])}\t{r['phrase_tf']}")
+        return
     if bm25:
         rows = q.bm25_topk(index, terms, k=topk).collect()
         if not rows:
@@ -149,14 +174,24 @@ def _search(args: argparse.Namespace) -> None:
     index.doc_stats.cache().count()
     index.collection_stats()
     key_map = _doc_key_map(index)
+    if args.phrase:
+        post_t = index.postings.schema["postings"].dataType.elementType
+        if "positions" not in post_t.fieldNames():
+            print("error: --phrase needs a positional index "
+                  "(build with --positional)", file=sys.stderr)
+            if created:
+                spark.stop()
+            raise SystemExit(2)
     if args.query is not None:
-        _run_query(index, args.query, args.bm25, args.topk, key_map)
+        _run_query(index, args.query, args.bm25, args.topk, key_map,
+                   phrase=args.phrase)
     else:
         # reference REPL loop, search-query.py:120-131
         try:
             while True:
                 line = input("> ")
-                _run_query(index, line, args.bm25, args.topk, key_map)
+                _run_query(index, line, args.bm25, args.topk, key_map,
+                           phrase=args.phrase)
         except EOFError:
             pass
     if created:
@@ -190,6 +225,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="greedy largest-first input cap (reference --limit-mb)")
     b.add_argument("--format", choices=["parquet", "text", "json"],
                    default="parquet")
+    b.add_argument("--positional", action="store_true",
+                   help="store per-(term,doc) token positions — enables "
+                        "`search --phrase`; all other queries work "
+                        "unchanged on the positional layout")
     b.set_defaults(fn=_build)
 
     s = sub.add_parser("search", help="query a built index")
@@ -202,6 +241,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="one-shot query; omit for an interactive REPL")
     s.add_argument("--bm25", action="store_true",
                    help="ranked BM25 instead of boolean AND")
+    s.add_argument("--phrase", action="store_true",
+                   help="treat the query as an exact token phrase "
+                        "(requires an index built with --positional); "
+                        "prints doc\\tphrase_tf, or ranked with --bm25")
     s.add_argument("--topk", type=int, default=10)
     s.set_defaults(fn=_search)
 

@@ -247,3 +247,42 @@ def test_cli_multi_input_and_bucket_count(spark, txt_dir, tmp_path, capsys):
     from inverted_index_and_search_spark.operators import query as q
     rows = q.boolean_and(back, ["def"]).collect()
     assert rows  # hot keyword resolves through the 5-bucket pruning
+
+
+def test_cli_positional_build_and_phrase_search(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "cliposidx")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir, "--positional"])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx_dir, "--phrase",
+              "--query", "table hash"])
+    hits = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert hits, "phrase fixture should match at least one doc"
+    for ln in hits:
+        assert int(ln.split("\t")[1]) >= 1  # phrase_tf column
+
+    cli.main(["search", "--index", idx_dir, "--phrase", "--bm25",
+              "--topk", "5", "--query", "table hash"])
+    bm = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert 0 < len(bm) <= 5
+    scores = [float(ln.split("\t")[1]) for ln in bm]
+    assert scores == sorted(scores, reverse=True)
+
+    cli.main(["search", "--index", idx_dir, "--phrase",
+              "--query", "table zzznotaterm"])
+    assert "No matches found." in capsys.readouterr().out
+
+
+def test_cli_phrase_requires_positional_index(spark, tmp_path, capsys):
+    import pytest as _pytest
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clitfidx")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+    with _pytest.raises(SystemExit):
+        cli.main(["search", "--index", idx_dir, "--phrase",
+                  "--query", "table hash"])

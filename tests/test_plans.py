@@ -137,3 +137,39 @@ def test_lang_quality_plans_tokenize_once_per_row(spark):
     df = e._text_metric_query([ts.quality_exprs, ts.lang_id_expr])(spark, SF)
     plan = explain(df)
     assert plan.count("[a-z0-9]+") == 1, plan
+
+
+@pytest.fixture(scope="module")
+def persisted_positional_index(spark, tmp_path_factory):
+    from inverted_index_and_search_spark.operators import positional as pos
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = pos.build_positional_index(docs, content_col="text",
+                                     id_col="doc_id", use_pandas_udf=False)
+    out = str(tmp_path_factory.mktemp("planpidx"))
+    ib.write_index(idx, out)
+    return ib.read_index(spark, out)
+
+
+def test_phrase_query_prunes_partitions_and_pushes_terms(
+        spark, persisted_positional_index):
+    """The phrase path reuses the pruned postings scan: term_bucket
+    partition pruning + a pushed term IN filter — per phrase slot."""
+    from inverted_index_and_search_spark.operators import positional as pos
+
+    plan = explain(pos.phrase_match(persisted_positional_index,
+                                    ["table", "hash"]))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and all("term_bucket" in ln for ln in pf), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("In(term" in ln for ln in pushed), plan
+
+
+def test_phrase_bm25_broadcasts_doc_stats_and_takeordered(
+        spark, persisted_positional_index):
+    from inverted_index_and_search_spark.operators import positional as pos
+
+    plan = explain(pos.phrase_bm25_topk(persisted_positional_index,
+                                        ["table", "hash"], k=10))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

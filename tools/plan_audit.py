@@ -116,6 +116,20 @@ def main() -> None:
         explain(sg.batch_topk(psidx, [(0, ["table", "query"]),
                                       (1, ["spark"])], k=10))))
 
+    from inverted_index_and_search_spark.operators import positional as pp
+    ptmp = tempfile.mkdtemp(prefix="iis_plan_pos_")
+    pidx0 = pp.build_positional_index(docs, content_col="text",
+                                      id_col="doc_id", use_pandas_udf=False)
+    ib.write_index(pidx0, ptmp)
+    ppidx = ib.read_index(spark, ptmp)
+    sections.append((
+        "Exact-phrase query over the persisted positional index",
+        "Each phrase slot's postings come from the same bucket-pruned scan "
+        "as boolean/BM25 queries (term_bucket PartitionFilters + pushed "
+        "term IN); the intersection of offset-shifted position arrays is "
+        "pure Catalyst array algebra — no UDF, no corpus scan.",
+        explain(pp.phrase_match(ppidx, ["table", "hash"]))))
+
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("# PLANS.md — physical plans of the headline pipelines\n\n"
                 "Generated by tools/plan_audit.py; the scale-critical plan\n"
