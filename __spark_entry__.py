@@ -57,6 +57,7 @@ Q_OR = ["dup", "query"]
 Q_NOT_INC, Q_NOT_EXC = ["table"], ["query"]
 Q_PHRASE = ["table", "hash"]
 Q_NEAR = ("merge", "group", 3)  # (term_a, term_b, window)
+Q_EXPR = '("table hash" OR merge) AND NOT stream'
 
 K1, B = 1.2, 0.75
 
@@ -260,6 +261,14 @@ def _q_boolean_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def _q_query_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query language end to end: phrase atom + OR + AND NOT."""
+    from inverted_index_and_search_spark.operators import search_expr as se
+
+    return se.search_expr(_pindex(spark, sf_dir), Q_EXPR).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = q.top_terms_per_doc(_index(spark, sf_dir), k=3)
     return res.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -381,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_bm25_top10": _q_phrase_bm25,
         "near_terms": _q_near_terms,
+        "query_expr": _q_query_expr,
         "top_terms": _q_top_terms,
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
         "bm25_text_roundtrip": _q_bm25_text_roundtrip,
@@ -589,6 +599,22 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exc) ORDER BY doc_id
         "phrase_match": _phrase_match_sql(Q_PHRASE),
         "phrase_bm25_top10": _phrase_bm25_sql(Q_PHRASE),
         "near_terms": _near_terms_sql(*Q_NEAR),
+        # ("table hash" OR merge) AND NOT stream — set algebra mirror of
+        # the engine's expression evaluator
+        "query_expr": f"""
+WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+ph AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, {_phrase_tf_frag(["table", "hash"])} AS ptf FROM t)
+  WHERE ptf > 0
+),
+mg AS (SELECT doc_id FROM t WHERE list_contains(tk, 'merge')),
+st AS (SELECT doc_id FROM t WHERE list_contains(tk, 'stream'))
+SELECT doc_id::BIGINT AS doc_id FROM (
+  SELECT doc_id FROM ph UNION SELECT doc_id FROM mg
+  EXCEPT SELECT doc_id FROM st
+) ORDER BY doc_id
+""",
         "top_terms": f"""
 WITH {_TOK_CTE},
 dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),

@@ -123,7 +123,7 @@ def _doc_key_map(index: ib.Index) -> dict[int, str] | None:
 
 def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
                key_map: dict[int, str] | None = None,
-               phrase: bool = False) -> None:
+               phrase: bool = False, expr: bool = False) -> None:
     terms = line.split()
     if not terms:
         return
@@ -131,6 +131,19 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
     def show(doc_id: int) -> str:
         return key_map.get(doc_id, str(doc_id)) if key_map else str(doc_id)
 
+    if expr:
+        from inverted_index_and_search_spark.operators import search_expr as se
+
+        try:
+            rows = se.search_expr(index, line).collect()
+        except se.ExprError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return
+        if not rows:
+            print("No matches found.")
+        else:
+            print("\n".join(show(r["doc_id"]) for r in rows))
+        return
     if phrase:
         from inverted_index_and_search_spark.operators import positional as pos
 
@@ -184,14 +197,14 @@ def _search(args: argparse.Namespace) -> None:
             raise SystemExit(2)
     if args.query is not None:
         _run_query(index, args.query, args.bm25, args.topk, key_map,
-                   phrase=args.phrase)
+                   phrase=args.phrase, expr=args.expr)
     else:
         # reference REPL loop, search-query.py:120-131
         try:
             while True:
                 line = input("> ")
                 _run_query(index, line, args.bm25, args.topk, key_map,
-                           phrase=args.phrase)
+                           phrase=args.phrase, expr=args.expr)
         except EOFError:
             pass
     if created:
@@ -245,6 +258,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="treat the query as an exact token phrase "
                         "(requires an index built with --positional); "
                         "prints doc\\tphrase_tf, or ranked with --bm25")
+    s.add_argument("--expr", action="store_true",
+                   help="boolean query language: AND/OR/NOT, parens, "
+                        '"exact phrases" (phrases need --positional '
+                        "indexes); bare term lists still mean AND")
     s.add_argument("--topk", type=int, default=10)
     s.set_defaults(fn=_search)
 

@@ -1,0 +1,228 @@
+"""Boolean query-expression language over the index operators.
+
+The reference REPL evaluates only implicit-AND term lists
+(``search-query.py:53-73``). This module adds the full boolean surface
+as a tiny recursive-descent grammar:
+
+    expr   := or
+    or     := and ( OR and )*
+    and    := unary ( [AND] unary )*          # adjacency = implicit AND
+    unary  := NOT unary | atom
+    atom   := '(' expr ')' | '"' word+ '"' | term
+
+``"quoted words"`` are exact token phrases (positional index required);
+bare terms and operators are case-insensitive except that AND/OR/NOT in
+upper case are keywords (reference-parity: a lowercase ``and`` is a
+search term, so plain term lines behave exactly like the reference).
+
+Evaluation is set algebra on (doc_id) DataFrames — inner join for AND,
+union-distinct for OR, left-anti for NOT — with each leaf touching only
+its own term's bucket-pruned postings (query._query_postings). Negation
+is only valid AND-ed against at least one positive branch (NOT alone or
+OR-ed would be a corpus complement — not scale-safe, rejected at parse
+time like most search engines do).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from inverted_index_and_search_spark.operators.index_build import Index
+from inverted_index_and_search_spark.operators.query import (
+    _norm_terms,
+    boolean_and,
+    boolean_or,
+)
+
+__all__ = ["parse", "eval_expr", "search_expr", "ExprError",
+           "Term", "Phrase", "And", "Or", "Not"]
+
+
+class ExprError(ValueError):
+    """Malformed query expression."""
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    words: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class And:
+    parts: tuple  # of nodes; Not children legal here
+
+
+@dataclass(frozen=True)
+class Or:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
+
+
+def _lex(s: str) -> list[str]:
+    toks = _TOKEN_RE.findall(s)
+    rest = _TOKEN_RE.sub(" ", s).strip()
+    if '"' in rest:
+        raise ExprError("unbalanced quote")
+    return toks
+
+
+def parse(query: str):
+    """Parse a query string to an AST; raises ExprError on bad syntax."""
+    toks = _lex(query)
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take() -> str:
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        parts = [parse_and()]
+        while peek() == "OR":
+            take()
+            parts.append(parse_and())
+        if len(parts) == 1:
+            return parts[0]
+        if any(isinstance(p, Not) for p in parts):
+            raise ExprError("NOT cannot be OR-ed (corpus complement); "
+                            "AND it with a positive branch")
+        return Or(tuple(parts))
+
+    def parse_and():
+        parts = [parse_unary()]
+        while True:
+            nxt = peek()
+            if nxt == "AND":
+                take()
+                parts.append(parse_unary())
+            elif nxt is not None and nxt not in (")", "OR"):
+                parts.append(parse_unary())  # adjacency
+            else:
+                break
+        if len(parts) == 1:
+            return parts[0]
+        if all(isinstance(p, Not) for p in parts):
+            raise ExprError("pure-negation AND is a corpus complement")
+        return And(tuple(parts))
+
+    def parse_unary():
+        if peek() == "NOT":
+            take()
+            return Not(parse_unary())
+        return parse_atom()
+
+    def parse_atom():
+        t = peek()
+        if t is None:
+            raise ExprError("unexpected end of query")
+        if t == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise ExprError("missing ')'")
+            take()
+            return node
+        if t == ")":
+            raise ExprError("unexpected ')'")
+        if t.startswith('"'):
+            take()
+            words = tuple(t[1:-1].lower().split())
+            if not words:
+                raise ExprError("empty phrase")
+            return Phrase(words)
+        if t in ("AND", "OR"):
+            raise ExprError(f"operator {t} needs operands")
+        take()
+        return Term(t.lower())
+
+    node = parse_or()
+    if pos != len(toks):
+        raise ExprError(f"trailing input at token {toks[pos]!r}")
+    if isinstance(node, Not):
+        raise ExprError("top-level NOT is a corpus complement")
+    return node
+
+
+def _ids(df: DataFrame) -> DataFrame:
+    return df.select("doc_id")
+
+
+def eval_expr(index: Index, node) -> DataFrame:
+    """(doc_id) doc set of an AST node — unsorted; callers order once."""
+    from inverted_index_and_search_spark.operators.positional import phrase_match
+
+    if isinstance(node, Term):
+        return _ids(boolean_or(index, [node.term]))
+    if isinstance(node, Phrase):
+        post_t = index.postings.schema["postings"].dataType.elementType
+        if "positions" not in post_t.fieldNames():
+            raise ExprError('"phrase" atoms need a positional index '
+                            "(build with positions)")
+        return _ids(phrase_match(index, list(node.words)))
+    if isinstance(node, Or):
+        # one pruned scan for all plain-term children; recurse the rest
+        terms = [p.term for p in node.parts if isinstance(p, Term)]
+        parts = [eval_expr(index, p) for p in node.parts
+                 if not isinstance(p, Term)]
+        if terms:
+            parts.append(_ids(boolean_or(index, terms)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out.distinct()
+    if isinstance(node, And):
+        terms = [p.term for p in node.parts if isinstance(p, Term)]
+        pos_parts = [eval_expr(index, p) for p in node.parts
+                     if not isinstance(p, (Term, Not))]
+        neg_parts = [eval_expr(index, p.child) for p in node.parts
+                     if isinstance(p, Not)]
+        if terms:
+            # k-way semi-join in ONE aggregation (matched-term counting)
+            pos_parts.append(_ids(boolean_and(index, terms)))
+        out = pos_parts[0]
+        for p in pos_parts[1:]:
+            out = out.join(p, "doc_id", "inner")
+        for p in neg_parts:
+            out = out.join(p, "doc_id", "left_anti")
+        return out.distinct()
+    raise ExprError(f"unknown node {node!r}")
+
+
+def search_expr(index: Index, query: str) -> DataFrame:
+    """(doc_id) sorted asc for a boolean query-language string."""
+    return eval_expr(index, parse(query)).orderBy("doc_id")
+
+
+def expr_terms(node) -> list[str]:
+    """All positive (non-negated) terms/phrase words — the term set a
+    ranked layer would score with."""
+    if isinstance(node, Term):
+        return [node.term]
+    if isinstance(node, Phrase):
+        return list(node.words)
+    if isinstance(node, (And, Or)):
+        out: list[str] = []
+        for p in node.parts:
+            if not isinstance(p, Not):
+                out.extend(expr_terms(p))
+        return _norm_terms(out)
+    return []

@@ -286,3 +286,24 @@ def test_cli_phrase_requires_positional_index(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         cli.main(["search", "--index", idx_dir, "--phrase",
                   "--query", "table hash"])
+
+
+def test_cli_expr_search(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "cliexpridx")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir, "--positional"])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx_dir, "--expr",
+              "--query", '("table hash" OR merge) AND NOT stream'])
+    out = capsys.readouterr().out.splitlines()
+    assert out and all(ln.isdigit() for ln in out)
+
+    cli.main(["search", "--index", idx_dir, "--expr",
+              "--query", "zzznotaterm AND table"])
+    assert "No matches found." in capsys.readouterr().out
+
+    # malformed expression -> stderr error, no crash
+    cli.main(["search", "--index", idx_dir, "--expr", "--query", "NOT x"])
+    assert "error:" in capsys.readouterr().err

@@ -1,0 +1,106 @@
+"""Query-expression language vs a pure-Python set-algebra oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from inverted_index_and_search_spark.operators import positional as pos
+from inverted_index_and_search_spark.operators import search_expr as se
+from inverted_index_and_search_spark.tokenizer import tokenize_py
+
+EXPRS = [
+    "def",
+    "def return",                      # implicit AND (reference parity)
+    "def AND return",
+    "def OR var_3_0",
+    "def AND NOT var_3_0",
+    "(def OR var_3_0) AND return",
+    "def AND (return OR if) AND NOT var_5_0",
+    '"def f"',
+    '"def f" OR var_3_0',
+    '"def f" AND NOT var_3_0',
+    "zzzqqqxx OR def",
+    "zzzqqqxx AND def",
+]
+
+BAD = [
+    "",               # empty
+    "NOT def",        # top-level complement
+    "def AND",        # dangling operator
+    "(def",           # missing paren
+    'def "unclosed',  # unbalanced quote
+    "NOT def OR x",   # NOT under OR
+    "NOT a AND NOT b",  # pure-negation AND
+    "OR def",         # operator needs operands
+    '""',             # empty phrase
+]
+
+
+def _oracle_docsets(corpus_pdf):
+    toks = {int(d): tokenize_py(c)
+            for d, c in zip(corpus_pdf["doc_id"], corpus_pdf["content"])}
+    return toks
+
+
+def oracle_eval(toks: dict[int, list[str]], node) -> set[int]:
+    if isinstance(node, se.Term):
+        return {d for d, ts in toks.items() if node.term in ts}
+    if isinstance(node, se.Phrase):
+        k = len(node.words)
+        want = list(node.words)
+        return {d for d, ts in toks.items()
+                if any(ts[i:i + k] == want for i in range(len(ts) - k + 1))}
+    if isinstance(node, se.Or):
+        out: set[int] = set()
+        for p in node.parts:
+            out |= oracle_eval(toks, p)
+        return out
+    if isinstance(node, se.And):
+        pos_sets = [oracle_eval(toks, p) for p in node.parts
+                    if not isinstance(p, se.Not)]
+        out = set.intersection(*pos_sets)
+        for p in node.parts:
+            if isinstance(p, se.Not):
+                out -= oracle_eval(toks, p.child)
+        return out
+    raise AssertionError(node)
+
+
+@pytest.fixture(scope="module")
+def pidx(docs_df):
+    idx = pos.build_positional_index(docs_df, use_pandas_udf=False)
+    idx.postings.cache().count()
+    return idx
+
+
+@pytest.mark.parametrize("expr", EXPRS)
+def test_expr_matches_set_oracle(pidx, corpus_pdf, expr):
+    toks = _oracle_docsets(corpus_pdf)
+    want = sorted(oracle_eval(toks, se.parse(expr)))
+    got = [int(r["doc_id"]) for r in se.search_expr(pidx, expr).collect()]
+    assert got == want, expr
+
+
+@pytest.mark.parametrize("expr", BAD)
+def test_bad_exprs_rejected(expr):
+    with pytest.raises(se.ExprError):
+        se.parse(expr)
+
+
+def test_plain_terms_equal_reference_and(pidx, oracle_idx):
+    """A bare term list behaves exactly like the reference's AND REPL."""
+    from inverted_index_and_search_spark import oracle as orc
+    got = [int(r["doc_id"])
+           for r in se.search_expr(pidx, "def return if").collect()]
+    assert got == orc.boolean_and(oracle_idx, ["def", "return", "if"])
+
+
+def test_keyword_case_sensitivity(pidx, corpus_pdf):
+    """Lowercase 'and'/'or'/'not' are search terms, not operators."""
+    node = se.parse("def and")
+    assert node == se.And((se.Term("def"), se.Term("and")))
+
+
+def test_expr_terms_collects_positive_leaves():
+    node = se.parse('("a b" OR c) AND d AND NOT e')
+    assert se.expr_terms(node) == ["a", "b", "c", "d"]
