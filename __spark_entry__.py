@@ -245,6 +245,26 @@ def _q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score"), 6).alias("score"))
 
 
+def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase BM25 through the compressed positional segments (delta+
+    varint postings AND positions): hash-equal to the same SQL oracle
+    as phrase_bm25_top10, so the whole positional codec + numpy phrase
+    kernel is driver-verified, not just pytest'd."""
+    docs = _docs(spark, sf_dir)
+    tdp = pos.term_doc_positions(docs, content_col="text", id_col="doc_id")
+    n_docs = docs.count()
+    avgdl = float(
+        tdp.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        .join(docs.select("doc_id"), "doc_id", "right").fillna({"dl": 0})
+        .agg(F.avg("dl")).collect()[0][0])
+    sidx = seg.build_segment_index(
+        tdp, n_docs, avgdl, hot=ib.hot_terms_from_docs(docs, content_col="text"))
+    hits = seg.phrase_topk(sidx, Q_PHRASE, k=10)
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double")
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_near_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b, w = Q_NEAR
     return pos.terms_within_window(_pindex(spark, sf_dir), a, b, w).select(
@@ -389,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and_not": _q_boolean_and_not,
         "phrase_match": _q_phrase_match,
         "phrase_bm25_top10": _q_phrase_bm25,
+        "phrase_segments_top10": _q_phrase_segments,
         "near_terms": _q_near_terms,
         "query_expr": _q_query_expr,
         "top_terms": _q_top_terms,
@@ -598,6 +619,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exc) ORDER BY doc_id
 """,
         "phrase_match": _phrase_match_sql(Q_PHRASE),
         "phrase_bm25_top10": _phrase_bm25_sql(Q_PHRASE),
+        "phrase_segments_top10": _phrase_bm25_sql(Q_PHRASE),
         "near_terms": _near_terms_sql(*Q_NEAR),
         # ("table hash" OR merge) AND NOT stream — set algebra mirror of
         # the engine's expression evaluator

@@ -180,13 +180,19 @@ def main() -> None:
 
         # --- warm interactive latency over compressed segments (the
         # reference's query side is in-RAM python; QueryServer is the
-        # scale-valid equivalent: per-term segment cache + WAND kernel)
+        # scale-valid equivalent: per-term segment cache + WAND kernel).
+        # The docs server uses the POSITIONAL segment layout — a strict
+        # superset (phrase-capable); warm BM25 latency is unaffected
+        # (cached decoded cursors never touch positions).
+        from inverted_index_and_search_spark.operators import positional as pos
         n_d, avgdl = pidx.collection_stats()
         sidx = seg.build_segment_index(
-            ib.term_doc_tf_arrow(docs, content_col="text", id_col="doc_id"),
+            pos.term_doc_positions_arrow(docs, content_col="text",
+                                         id_col="doc_id"),
             n_d, avgdl,
             hot=ib.hot_terms_from_docs(docs, content_col="text"))
         seg.write_segment_index(sidx, f"{tmp}/seg_docs")
+        extra["segments_pos_docs_mb"] = _dir_mb(f"{tmp}/seg_docs")
         server = seg.QueryServer(seg.read_segment_index(spark, f"{tmp}/seg_docs"))
         for terms in BM25_QUERIES:
             server.bm25_topk(terms, k=10)  # cold fetch per term, uncounted
@@ -200,6 +206,23 @@ def main() -> None:
         extra["bm25_server_p50_ms"] = round(statistics.median(lat_srv) * 1e3, 3)
         extra["bm25_server_p95_ms"] = round(
             sorted(lat_srv)[int(0.95 * (len(lat_srv) - 1))] * 1e3, 3)
+
+        # --- warm exact-phrase latency (positional segments)
+        PHRASES = [["table", "hash"], ["customer", "join"],
+                   ["merge", "group"], ["a", "a"]]
+        for ph in PHRASES:
+            server.phrase_topk(ph, k=10)  # cold fetch, uncounted
+        lat_ph = []
+        for _ in range(5):
+            for ph in PHRASES:
+                t0 = time.perf_counter()
+                server.phrase_topk(ph, k=10)
+                lat_ph.append(time.perf_counter() - t0)
+        queries["phrase_server_p50"] = statistics.median(lat_ph)
+        extra["phrase_server_p50_ms"] = round(
+            statistics.median(lat_ph) * 1e3, 3)
+        extra["phrase_server_p95_ms"] = round(
+            sorted(lat_ph)[int(0.95 * (len(lat_ph) - 1))] * 1e3, 3)
 
         total = sum(queries.values())
         print(json.dumps({

@@ -62,7 +62,20 @@ class TermPostings:
     block_last: np.ndarray  # int64 last doc_id per block
     block: int  # block size (postings per block)
     pos: int = 0
+    #: optional positional payload (segments built from a positional tf
+    #: relation): flat token-offset array with exclusive-end bounds
+    #: (cumsum of tfs) — posting i's positions are
+    #: positions_flat[pos_bounds[i-1]:pos_bounds[i]] — plus per-posting
+    #: doc lengths for self-contained phrase scoring
+    positions_flat: np.ndarray | None = None
+    pos_bounds: np.ndarray | None = None
+    dls: np.ndarray | None = None
     ub: float = field(init=False)
+
+    def positions_for(self, posting_idx: int) -> np.ndarray:
+        """Token offsets of posting ``posting_idx`` (positional only)."""
+        start = int(self.pos_bounds[posting_idx - 1]) if posting_idx else 0
+        return self.positions_flat[start:int(self.pos_bounds[posting_idx])]
 
     def __post_init__(self) -> None:
         self.ub = float(self.block_max.max()) if self.block_max.size else 0.0

@@ -25,6 +25,14 @@ docs where a driver-resident dl array is impossible.
 
 Block maxes are exact float64 upper bounds computed at build time from
 (tf, dl, df, N, avgdl) — all known once the corpus stats pass is done.
+
+Positional variant: building from a positional tf relation
+(positional.term_doc_positions*) adds ``positions_enc`` — per-posting
+token offsets, delta+varint in one flat stream whose boundaries are the
+tf array (len(positions) == tf, so no length prefix) — enabling exact
+phrase evaluation over the compressed layout (:func:`phrase_docs`,
+:func:`phrase_topk`, ``QueryServer.phrase_topk``), rank-identical to
+the DataFrame phrase operators.
 """
 
 from __future__ import annotations
@@ -81,7 +89,9 @@ def grouped_postings_arrays(
         salt_col,
     )
 
-    post = F.struct("doc_id", "tf", "dl")
+    positional = "positions" in tf_dl.columns
+    post = (F.struct("doc_id", "tf", "dl", "positions") if positional
+            else F.struct("doc_id", "tf", "dl"))
     if salt_hot_terms:
         if hot is None:
             hot = hot_terms(tf_dl, hot_df=hot_df, sample_mod=hot_sample_mod)
@@ -106,29 +116,66 @@ def grouped_postings_arrays(
             F.count("*").cast("long").alias("df"),
             F.sum("tf").cast("long").alias("cf"),
         )
-    return agg.select(
+    cols = [
         "term", "df", "cf",
         F.col("p.doc_id").alias("doc_ids"),
         F.col("p.tf").alias("tfs"),
         F.col("p.dl").alias("dls"),
-    )
+    ]
+    if positional:
+        cols.append(F.col("p.positions").alias("positions"))
+    return agg.select(*cols)
+
+
+def _encode_positions(pos_lists) -> bytes:
+    """Flat varint stream of per-posting position lists, each list
+    delta-encoded (first offset absolute, then gaps). Positions within
+    a posting are strictly ascending token offsets, so gaps are > 0 and
+    compress to ~1 byte each; list boundaries come from the tf array
+    (len(positions) == tf by construction), so no length prefix."""
+    flat = []
+    for pl in pos_lists:
+        a = np.asarray(pl, dtype=np.int64)
+        d = np.empty_like(a)
+        d[0] = a[0]
+        np.subtract(a[1:], a[:-1], out=d[1:])
+        flat.append(d)
+    return codec.encode_varint(np.concatenate(flat)) if flat else b""
+
+
+def decode_positions(data: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_encode_positions`: flat int64 offset array
+    (bounds = cumsum(tfs)). Grouped cumsum, fully vectorized."""
+    v = codec.decode_varint(bytes(data), int(tfs.sum()))
+    if v.size == 0:
+        return v
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    c = np.cumsum(v)
+    base = np.repeat(c[starts] - v[starts], tfs)
+    return (c - base).astype(np.int64)
 
 
 def encode_segments(
     grouped: DataFrame, n_docs: int, avgdl: float,
     *, n_buckets: int = DEFAULT_BUCKETS, block: int = BLOCK,
 ) -> DataFrame:
-    """Arrow-batched numpy encoder: grouped postings -> segment rows."""
+    """Arrow-batched numpy encoder: grouped postings -> segment rows.
+    A ``positions`` column in the input adds a ``positions_enc`` column
+    (delta+varint, the positional-segment layout)."""
+    positional = "positions" in grouped.columns
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "term", "df", "cf", "n", "doc_ids_enc", "tfs_enc", "dls_enc",
-                "block_max", "block_last", "max_score")}
-            for term, df_, cf, ids, tfs, dls in zip(
+            keys = ["term", "df", "cf", "n", "doc_ids_enc", "tfs_enc",
+                    "dls_enc", "block_max", "block_last", "max_score"]
+            if positional:
+                keys.append("positions_enc")
+            out = {k: [] for k in keys}
+            for i, (term, df_, cf, ids, tfs, dls) in enumerate(zip(
                 pdf["term"], pdf["df"], pdf["cf"],
                 pdf["doc_ids"], pdf["tfs"], pdf["dls"],
-            ):
+            )):
                 ids = np.asarray(ids, dtype=np.int64)
                 tfs_a = np.asarray(tfs, dtype=np.int64)
                 dls_a = np.asarray(dls, dtype=np.int64)
@@ -145,13 +192,21 @@ def encode_segments(
                 out["block_max"].append(bmx.tolist())
                 out["block_last"].append(blast.tolist())
                 out["max_score"].append(float(bmx.max()) if bmx.size else 0.0)
+                if positional:
+                    out["positions_enc"].append(
+                        _encode_positions(pdf["positions"].iloc[i]))
             res = pd.DataFrame(out)
             yield res
 
-    seg = grouped.mapInPandas(enc, schema=SEGMENT_SCHEMA.replace("term_bucket int, ", ""))
-    return seg.withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets)).select(
-        *[c.split(" ")[0] for c in SEGMENT_SCHEMA.split(", ")]
-    )
+    schema = SEGMENT_SCHEMA.replace("term_bucket int, ", "")
+    if positional:
+        schema += ", positions_enc binary"
+    seg = grouped.mapInPandas(enc, schema=schema)
+    cols = [c.split(" ")[0] for c in SEGMENT_SCHEMA.split(", ")]
+    if positional:
+        cols.append("positions_enc")
+    return seg.withColumn(
+        "term_bucket", term_bucket_col(F.col("term"), n_buckets)).select(*cols)
 
 
 @dataclass
@@ -212,11 +267,20 @@ def _decode_row(row, avgdl: float, n_docs: int, block: int) -> bm25.TermPostings
     tfs = codec.decode_varint(bytes(row["tfs_enc"]), row["n"])
     dls = codec.decode_varint(bytes(row["dls_enc"]), row["n"])
     t_idf = bm25.idf(n_docs, int(row["df"]))
-    return bm25.TermPostings.from_arrays(
+    tp = bm25.TermPostings.from_arrays(
         ids, tfs, dls, t_idf, avgdl, block=block,
         block_max=np.asarray(row["block_max"], np.float64),
         block_last=np.asarray(row["block_last"], np.int64),
     )
+    try:
+        penc = row["positions_enc"]
+    except (KeyError, ValueError):
+        penc = None
+    if penc is not None:
+        tp.positions_flat = decode_positions(penc, tfs)
+        tp.pos_bounds = np.cumsum(tfs)
+        tp.dls = dls
+    return tp
 
 
 def fetch_term_postings(idx: SegmentIndex, terms: list[str]) -> dict[str, bm25.TermPostings]:
@@ -400,6 +464,31 @@ class QueryServer:
             c.pos = 0
         return _run_kernel(cursors, k, conjunctive=conjunctive, method=method)
 
+    def phrase_topk(self, phrase: list[str],
+                    k: int = 10) -> list[tuple[int, float]]:
+        """Warm exact-phrase BM25 top-k (positional segments): repeat
+        queries touch only the per-term decoded-segment cache."""
+        _require_positional(self.idx)
+        norm = [t.lower() for t in phrase if t]
+        if not norm:
+            return []
+        uniq = sorted(set(norm))
+        self._ensure(uniq)
+        fetched = {t: c for t in uniq
+                   if (c := self._cache.get(t)) is not None}
+        matched = _phrase_eval(fetched, norm)
+        if not matched:
+            return []
+        t_idf = bm25.idf(self.idx.n_docs, len(matched))
+        scored = [
+            (doc, float(bm25.posting_scores(
+                np.asarray([ptf], np.int64), np.asarray([dl], np.int64),
+                t_idf, self.idx.avgdl)[0]))
+            for doc, ptf, dl in matched
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def boolean_and(self, terms: list[str]) -> list[int]:
         norm = sorted({t.lower() for t in terms})
         if not norm:
@@ -413,6 +502,81 @@ class QueryServer:
         for tp in its:
             acc = np.intersect1d(acc, tp.doc_ids, assume_unique=True)
         return [int(d) for d in acc]
+
+
+def _phrase_eval(fetched: dict[str, bm25.TermPostings],
+                 norm: list[str]) -> list[tuple[int, int, int]]:
+    """[(doc_id, phrase_tf, dl)] for the exact phrase, doc_id ascending —
+    the numpy twin of positional.phrase_match: intersect candidate docs
+    across the phrase's distinct terms, then intersect offset-shifted
+    position lists per candidate. Requires positional segments."""
+    uniq = sorted(set(norm))
+    if any(t not in fetched for t in uniq):
+        return []
+    tps = {t: fetched[t] for t in uniq}
+    if any(tp.positions_flat is None for tp in tps.values()):
+        raise ValueError("phrase evaluation needs positional segments "
+                         "(build_segment_index over term_doc_positions)")
+    cand = tps[uniq[0]].doc_ids
+    for t in uniq[1:]:
+        cand = np.intersect1d(cand, tps[t].doc_ids, assume_unique=True)
+    out = []
+    for doc in cand:
+        starts = None
+        for i, t in enumerate(norm):
+            tp = tps[t]
+            j = int(np.searchsorted(tp.doc_ids, doc))
+            shifted = tp.positions_for(j) - i
+            starts = shifted if starts is None else np.intersect1d(
+                starts, shifted, assume_unique=True)
+            if starts.size == 0:
+                break
+        if starts is not None and starts.size:
+            tp0 = tps[norm[0]]
+            j0 = int(np.searchsorted(tp0.doc_ids, doc))
+            out.append((int(doc), int(starts.size), int(tp0.dls[j0])))
+    return out
+
+
+def _require_positional(idx: SegmentIndex) -> None:
+    if "positions_enc" not in idx.segments.columns:
+        raise ValueError("phrase evaluation needs positional segments "
+                         "(build_segment_index over term_doc_positions)")
+
+
+def phrase_docs(idx: SegmentIndex, phrase: list[str]) -> list[tuple[int, int]]:
+    """[(doc_id, phrase_tf)] over positional compressed segments —
+    rank-twin of positional.phrase_match (asserted in tests)."""
+    _require_positional(idx)
+    norm = [t.lower() for t in phrase if t]
+    if not norm:
+        return []
+    fetched = fetch_term_postings(idx, norm)
+    return [(d, ptf) for d, ptf, _ in _phrase_eval(fetched, norm)]
+
+
+def phrase_topk(idx: SegmentIndex, phrase: list[str],
+                k: int = 10) -> list[tuple[int, float]]:
+    """[(doc_id, score)] — BM25 phrase-as-pseudo-term top-k over
+    positional segments; score-identical to positional.phrase_bm25_topk
+    (same df/idf/k1/b semantics, asserted in tests)."""
+    _require_positional(idx)
+    norm = [t.lower() for t in phrase if t]
+    if not norm:
+        return []
+    fetched = fetch_term_postings(idx, norm)
+    matched = _phrase_eval(fetched, norm)
+    if not matched:
+        return []
+    t_idf = bm25.idf(idx.n_docs, len(matched))
+    scored = []
+    for doc, ptf, dl in matched:
+        s = float(bm25.posting_scores(
+            np.asarray([ptf], np.int64), np.asarray([dl], np.int64),
+            t_idf, idx.avgdl)[0])
+        scored.append((doc, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
 
 
 def boolean_and_docs(idx: SegmentIndex, terms: list[str]) -> list[int]:

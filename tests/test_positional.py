@@ -16,11 +16,12 @@ from inverted_index_and_search_spark.tokenizer import tokenize_py
 
 PHRASES = [
     ["def"],                      # single-term phrase == term match
-    ["def", "f"],                 # common bigram in the synthetic code corpus
-    ["return", "x"],
-    ["if", "x", "1"],             # trigram
+    ["def", "trait"],             # common bigram in the synthetic code corpus
+    ["return", "def"],
+    ["trait", "def", "def"],      # trigram
+    ["def", "def"],               # repeated term -> overlapping matches
     ["def", "zzzqqqxx"],          # missing term -> empty
-    ["DEF", "F"],                 # query-side lowercasing
+    ["DEF", "TRAIT"],             # query-side lowercasing
 ]
 
 
@@ -131,7 +132,7 @@ def test_phrase_bm25_ranks_by_phrase_tf(spark):
     assert got == [1, 0]
 
 
-@pytest.mark.parametrize("a,b,w", [("def", "f", 2), ("return", "x", 1),
+@pytest.mark.parametrize("a,b,w", [("def", "trait", 2), ("return", "var", 1),
                                    ("if", "int", 5)])
 def test_terms_within_window_oracle(pidx, corpus_pdf, a, b, w):
     want = oracle_near(corpus_pdf, a, b, w)

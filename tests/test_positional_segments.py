@@ -1,0 +1,106 @@
+"""Positional compressed segments: codec roundtrip + phrase evaluation
+rank/score-identity with the DataFrame positional operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from inverted_index_and_search_spark.operators import index_build as ib
+from inverted_index_and_search_spark.operators import positional as pos
+from inverted_index_and_search_spark.operators import segments as seg
+
+PHRASES = [["def"], ["def", "trait"], ["return", "def"],
+           ["trait", "def", "def"], ["def", "def"], ["def", "zzzqqqxx"]]
+
+
+@st.composite
+def position_lists(draw):
+    n_postings = draw(st.integers(1, 8))
+    out = []
+    for _ in range(n_postings):
+        gaps = draw(st.lists(st.integers(1, 1000), min_size=1, max_size=20))
+        first = draw(st.integers(0, 10_000))
+        out.append(np.cumsum([first] + gaps[1:]).astype(np.int64))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(position_lists())
+def test_positions_codec_roundtrip(pls):
+    tfs = np.asarray([len(p) for p in pls], dtype=np.int64)
+    enc = seg._encode_positions(pls)
+    flat = seg.decode_positions(enc, tfs)
+    assert flat.tolist() == np.concatenate(pls).tolist()
+
+
+@pytest.fixture(scope="module")
+def psegs(spark, docs_df):
+    tdp = pos.term_doc_positions(docs_df)
+    n_docs = docs_df.count()
+    tf_dl = tdp.groupBy("doc_id").agg(
+        seg.F.sum("tf").alias("dl"))
+    avgdl = float(tf_dl.agg(seg.F.avg("dl")).collect()[0][0])
+    sidx = seg.build_segment_index(tdp, n_docs, avgdl,
+                                   hot=ib.hot_terms_from_docs(docs_df))
+    sidx.segments.cache().count()
+    return sidx
+
+
+@pytest.fixture(scope="module")
+def pidx(docs_df):
+    idx = pos.build_positional_index(docs_df, use_pandas_udf=False)
+    idx.postings.cache().count()
+    idx.doc_stats.cache().count()
+    return idx
+
+
+def test_segment_schema_has_positions(psegs):
+    assert "positions_enc" in psegs.segments.columns
+
+
+@pytest.mark.parametrize("phrase", PHRASES, ids=["-".join(p) for p in PHRASES])
+def test_phrase_docs_matches_dataframe_path(psegs, pidx, phrase):
+    want = [(int(r["doc_id"]), int(r["phrase_tf"]))
+            for r in pos.phrase_match(pidx, phrase).collect()]
+    assert seg.phrase_docs(psegs, phrase) == want
+
+
+@pytest.mark.parametrize("phrase", [["def", "trait"], ["return", "def"],
+                                    ["def", "def"], ["def"]])
+def test_phrase_topk_matches_dataframe_scores(psegs, pidx, phrase):
+    want = [(int(r["doc_id"]), float(r["score"]))
+            for r in pos.phrase_bm25_topk(pidx, phrase, k=10).collect()]
+    got = seg.phrase_topk(psegs, phrase, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+
+
+def test_query_server_phrase(psegs, pidx):
+    server = seg.QueryServer(psegs)
+    want = seg.phrase_topk(psegs, ["def", "trait"], k=10)
+    assert server.phrase_topk(["def", "trait"], k=10) == want
+    # warm repeat uses only the cache — same result
+    assert server.phrase_topk(["def", "trait"], k=10) == want
+    assert server.phrase_topk(["zzzqqqxx", "def"], k=10) == []
+
+
+def test_non_positional_segments_reject_phrase(spark, docs_df):
+    tf = ib.term_doc_tf(ib.tokens(docs_df, use_pandas_udf=False))
+    n_docs = docs_df.count()
+    sidx = seg.build_segment_index(tf, n_docs, 100.0, salt_hot_terms=False)
+    with pytest.raises(ValueError, match="positional"):
+        seg.phrase_docs(sidx, ["def", "trait"])
+
+
+def test_positional_segments_roundtrip_persisted(psegs, spark, tmp_path):
+    out = str(tmp_path / "possegs")
+    seg.write_segment_index(psegs, out)
+    rt = seg.read_segment_index(spark, out)
+    assert seg.phrase_docs(rt, ["def", "trait"]) == seg.phrase_docs(psegs, ["def", "trait"])
+    # non-phrase queries still work on the positional layout
+    assert seg.topk(rt, ["def", "return"], k=5) == seg.topk(
+        psegs, ["def", "return"], k=5)

@@ -16,9 +16,9 @@ EXPRS = [
     "def AND NOT var_3_0",
     "(def OR var_3_0) AND return",
     "def AND (return OR if) AND NOT var_5_0",
-    '"def f"',
-    '"def f" OR var_3_0',
-    '"def f" AND NOT var_3_0',
+    '"def trait"',
+    '"def trait" OR var_3_0',
+    '"def trait" AND NOT var_3_0',
     "zzzqqqxx OR def",
     "zzzqqqxx AND def",
 ]

@@ -197,6 +197,12 @@ Reference single-cluster baseline (BASELINE.md): Spark-DF variant
 corpus; its own reducer sweep (1 -> 4 reducers: 242.6 s -> 218.1 s,
 efficiency 0.28) is the analogous evidence in the reference repo.
 """
+    # round-over-round delta tables live in BENCH/ROUND_DELTAS.md so a
+    # scaling refresh never clobbers them — appended verbatim
+    deltas = f"{REPO}/BENCH/ROUND_DELTAS.md"
+    if os.path.exists(deltas):
+        with open(deltas) as f:
+            md += "\n" + f.read()
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps(out))
