@@ -37,17 +37,30 @@ class StreamingIndexWriter:
     """Accumulates delta segments per micro-batch; compacts on demand."""
 
     def __init__(self, out_dir: str, *, content_col: str = "content",
-                 id_col: str = "doc_id", n_buckets: int = ib.DEFAULT_BUCKETS):
+                 id_col: str = "doc_id", n_buckets: int = ib.DEFAULT_BUCKETS,
+                 positional: bool = False):
         self.out_dir = out_dir
         self.content_col = content_col
         self.id_col = id_col
         self.n_buckets = n_buckets
+        #: positional deltas carry per-posting token offsets, so the
+        #: live/compacted index answers phrase queries too — the delta
+        #: relation gains one array<int> column, nothing else changes
+        self.positional = positional
 
     # ------------------------------------------------------------ write
     def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: append this batch's tf + doc-stat deltas."""
-        tf = ib.term_doc_tf_arrow(docs_batch, content_col=self.content_col,
-                                  id_col=self.id_col)
+        if self.positional:
+            from inverted_index_and_search_spark.operators.positional import (
+                term_doc_positions_arrow,
+            )
+            tf = term_doc_positions_arrow(docs_batch,
+                                          content_col=self.content_col,
+                                          id_col=self.id_col)
+        else:
+            tf = ib.term_doc_tf_arrow(docs_batch, content_col=self.content_col,
+                                      id_col=self.id_col)
         tf = tf.withColumn("term_bucket",
                            ib.term_bucket_col(F.col("term"), self.n_buckets))
         (tf.write.mode("overwrite")
@@ -69,8 +82,15 @@ class StreamingIndexWriter:
         """Queryable view over everything ingested so far (pre-compaction):
         postings re-aggregated across delta segments on the fly."""
         tf = self._delta_tf(spark).drop("term_bucket")
+        if self.positional:
+            from inverted_index_and_search_spark.operators.positional import (
+                positional_postings,
+            )
+            posts = positional_postings(tf, n_buckets=self.n_buckets)
+        else:
+            posts = ib.postings(tf, n_buckets=self.n_buckets)
         return ib.Index(
-            postings=ib.postings(tf, n_buckets=self.n_buckets),
+            postings=posts,
             doc_stats=self._delta_doc_stats(spark),
             tf=tf,
             n_buckets=self.n_buckets,
@@ -86,11 +106,12 @@ class StreamingIndexWriter:
 def ingest_stream(spark: SparkSession, input_dir: str, out_dir: str, *,
                   content_col: str = "content", id_col: str = "doc_id",
                   checkpoint: str | None = None,
-                  max_files_per_trigger: int = 1):
+                  max_files_per_trigger: int = 1,
+                  positional: bool = False):
     """Stream a directory of document parquet files into delta segments
     (availableNow: drains what exists, then stops — cron-friendly)."""
     writer = StreamingIndexWriter(out_dir, content_col=content_col,
-                                  id_col=id_col)
+                                  id_col=id_col, positional=positional)
     schema = spark.read.parquet(input_dir).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -104,3 +104,62 @@ def test_keyword_case_sensitivity(pidx, corpus_pdf):
 def test_expr_terms_collects_positive_leaves():
     node = se.parse('("a b" OR c) AND d AND NOT e')
     assert se.expr_terms(node) == ["a", "b", "c", "d"]
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VOCAB = ["def", "return", "if", "trait", "var", "int", "zzzqqqxx"]
+
+
+@st.composite
+def _asts(draw, depth: int = 0):
+    """Random valid AST under the parser's scale-safety constraints:
+    NOT only as an AND-ed branch beside a positive one."""
+    opts = ["term", "phrase"]
+    if depth < 3:
+        opts += ["and", "or"]
+    kind = draw(st.sampled_from(opts))
+    if kind == "term":
+        return se.Term(draw(st.sampled_from(_VOCAB)))
+    if kind == "phrase":
+        n = draw(st.integers(1, 3))
+        return se.Phrase(tuple(draw(st.sampled_from(_VOCAB))
+                               for _ in range(n)))
+    if kind == "or":
+        n = draw(st.integers(2, 3))
+        return se.Or(tuple(draw(_asts(depth + 1)) for _ in range(n)))
+    n = draw(st.integers(2, 3))
+    parts = [draw(_asts(depth + 1)) for _ in range(n)]
+    if draw(st.booleans()):
+        parts.append(se.Not(draw(_asts(depth + 1))))
+    return se.And(tuple(parts))
+
+
+def _render(node) -> str:
+    if isinstance(node, se.Term):
+        return node.term
+    if isinstance(node, se.Phrase):
+        return '"' + " ".join(node.words) + '"'
+    if isinstance(node, se.Not):
+        return "NOT (" + _render(node.child) + ")"
+    op = " OR " if isinstance(node, se.Or) else " AND "
+    return "(" + op.join(_render(p) for p in node.parts) + ")"
+
+
+@settings(max_examples=300, deadline=None)
+@given(_asts())
+def test_parser_roundtrip_property(ast):
+    assert se.parse(_render(ast)) == ast
+
+
+@settings(max_examples=8, deadline=None)
+@given(_asts(), st.randoms())
+def test_random_exprs_match_oracle(pidx, corpus_pdf, ast, _r):
+    toks = _oracle_docsets(corpus_pdf)
+    want = sorted(oracle_eval(toks, ast))
+    got = [int(r["doc_id"])
+           for r in se.eval_expr(pidx, ast).orderBy("doc_id").collect()]
+    assert got == want, _render(ast)

@@ -107,3 +107,42 @@ def test_ingest_is_restartable(spark, docs_df, tmp_path):
     docs.filter(ib.F.col("doc_id") >= 30).coalesce(1).write.mode("append").parquet(chunks_dir)
     ingest.ingest_stream(spark, chunks_dir, out)
     assert writer.live_index(spark).doc_stats.count() == docs.count()
+
+
+def test_positional_ingest_answers_phrases(spark, docs_df, tmp_path):
+    """Positional LSM ingest: stream in chunks -> live view and
+    compacted index answer phrase queries identically to the one-shot
+    positional batch build."""
+    from inverted_index_and_search_spark.operators import positional as pos
+
+    chunks_dir = str(tmp_path / "pchunks")
+    docs = docs_df.select("doc_id", "content")
+    for i in range(3):
+        (docs.filter((ib.F.col("doc_id") % 3) == i)
+         .coalesce(1).write.mode("append").parquet(chunks_dir))
+
+    out = str(tmp_path / "pingest")
+    writer = ingest.ingest_stream(spark, chunks_dir, out, positional=True)
+
+    batch = pos.build_positional_index(docs)
+    want = [(int(r["doc_id"]), int(r["phrase_tf"]))
+            for r in pos.phrase_match(batch, ["def", "trait"]).collect()]
+    assert want, "fixture phrase must occur in the corpus"
+
+    live = writer.live_index(spark)
+    got_live = [(int(r["doc_id"]), int(r["phrase_tf"]))
+                for r in pos.phrase_match(live, ["def", "trait"]).collect()]
+    assert got_live == want
+
+    idx_dir = str(tmp_path / "pcompacted")
+    writer.compact(spark, idx_dir)
+    compacted = ib.read_index(spark, idx_dir)
+    got_comp = [(int(r["doc_id"]), int(r["phrase_tf"]))
+                for r in pos.phrase_match(compacted, ["def", "trait"]).collect()]
+    assert got_comp == want
+
+    # postings rows (incl. positions) identical to the batch build
+    cols = ["term", "term_bucket", "df", "cf", "postings"]
+    comp_rows = sorted(tuple(r) for r in compacted.postings.select(cols).collect())
+    batch_rows = sorted(tuple(r) for r in batch.postings.select(cols).collect())
+    assert comp_rows == batch_rows
