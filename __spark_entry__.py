@@ -289,6 +289,16 @@ def _q_query_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def _q_query_expr_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked boolean retrieval: BM25 over the expression's positive
+    terms, restricted to its boolean match set."""
+    from inverted_index_and_search_spark.operators import search_expr as se
+
+    res = se.search_expr_ranked(_pindex(spark, sf_dir), Q_EXPR, k=10)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round(F.col("score"), 6).alias("score"))
+
+
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = q.top_terms_per_doc(_index(spark, sf_dir), k=3)
     return res.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -412,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_segments_top10": _q_phrase_segments,
         "near_terms": _q_near_terms,
         "query_expr": _q_query_expr,
+        "query_expr_ranked": _q_query_expr_ranked,
         "top_terms": _q_top_terms,
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
         "bm25_text_roundtrip": _q_bm25_text_roundtrip,
@@ -636,6 +647,43 @@ SELECT doc_id::BIGINT AS doc_id FROM (
   SELECT doc_id FROM ph UNION SELECT doc_id FROM mg
   EXCEPT SELECT doc_id FROM st
 ) ORDER BY doc_id
+""",
+        # BM25 over the expression's positive terms (table, hash, merge)
+        # restricted to the boolean match set of Q_EXPR
+        "query_expr_ranked": f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+ph AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, {_phrase_tf_frag(["table", "hash"])} AS ptf FROM t)
+  WHERE ptf > 0
+),
+mg AS (SELECT doc_id FROM t WHERE list_contains(tk, 'merge')),
+st AS (SELECT doc_id FROM t WHERE list_contains(tk, 'stream')),
+m AS (
+  SELECT doc_id FROM ph UNION SELECT doc_id FROM mg
+  EXCEPT SELECT doc_id FROM st
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+qt AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ('hash', 'merge', 'table') GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - qt.df + 0.5) / (qt.df + 0.5))
+              * (tf.tf * {K1 + 1.0})
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM scored WHERE doc_id IN (SELECT doc_id FROM m)
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "top_terms": f"""
 WITH {_TOK_CTE},

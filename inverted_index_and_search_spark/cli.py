@@ -135,12 +135,18 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
         from inverted_index_and_search_spark.operators import search_expr as se
 
         try:
-            rows = se.search_expr(index, line).collect()
+            if bm25:
+                rows = se.search_expr_ranked(index, line, k=topk).collect()
+            else:
+                rows = se.search_expr(index, line).collect()
         except se.ExprError as e:
             print(f"error: {e}", file=sys.stderr)
             return
         if not rows:
             print("No matches found.")
+        elif bm25:
+            for r in rows:
+                print(f"{show(r['doc_id'])}\t{r['score']:.6f}")
         else:
             print("\n".join(show(r["doc_id"]) for r in rows))
         return

@@ -177,6 +177,23 @@ def bm25_topk(
     spark = index.postings.sparkSession
     if not norm:
         return spark.createDataFrame([], "doc_id long, score double")
+    scored = bm25_scores(index, norm)
+    if conjunctive:
+        scored = scored.filter(F.col("n_matched") == len(norm))
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_scores(index: Index, norm: list[str]) -> DataFrame:
+    """(doc_id, score, n_matched) — the UNSORTED disjunctive BM25
+    relation for a normalized term list: every doc matching at least
+    one term, its summed score, and how many query terms it matched.
+    The composable core of :func:`bm25_topk` and of ranked expression
+    search (search_expr.search_expr_ranked), which filter/sort/limit it.
+    """
     n_docs, avgdl = index.collection_stats()
     qp = _query_postings(index, norm)
 
@@ -193,7 +210,7 @@ def bm25_topk(
              F.col("p.tf").alias("tf"))
 
     dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
-    scored = (
+    return (
         exploded.join(dl, "doc_id")
         .withColumn(
             "term_score",
@@ -206,11 +223,4 @@ def bm25_topk(
             F.sum("term_score").alias("score"),
             F.countDistinct("term").alias("n_matched"),
         )
-    )
-    if conjunctive:
-        scored = scored.filter(F.col("n_matched") == len(norm))
-    return (
-        scored.select("doc_id", "score")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
     )

@@ -212,6 +212,33 @@ def search_expr(index: Index, query: str) -> DataFrame:
     return eval_expr(index, parse(query)).orderBy("doc_id")
 
 
+def search_expr_ranked(index: Index, query: str, k: int = 10) -> DataFrame:
+    """(doc_id, score) — BM25 top-k restricted to the expression's
+    boolean match set, score desc then doc_id asc.
+
+    Scoring terms are the expression's positive leaves (phrase words
+    included, negated branches excluded — they only filter). The plan is
+    the ordinary disjunctive BM25 scorer left-semi-joined to the match
+    set before the top-k, so ranking touches only the query's terms'
+    postings plus the (already small) match relation.
+    """
+    from pyspark.sql import functions as F
+
+    from inverted_index_and_search_spark.operators.query import bm25_scores
+
+    node = parse(query)
+    terms = expr_terms(node)
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    matched = eval_expr(index, node)
+    return (bm25_scores(index, terms)
+            .join(matched.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
 def expr_terms(node) -> list[str]:
     """All positive (non-negated) terms/phrase words — the term set a
     ranked layer would score with."""

@@ -307,3 +307,17 @@ def test_cli_expr_search(spark, tmp_path, capsys):
     # malformed expression -> stderr error, no crash
     cli.main(["search", "--index", idx_dir, "--expr", "--query", "NOT x"])
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_expr_ranked_search(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "cliexprrank")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir, "--positional"])
+    capsys.readouterr()
+    cli.main(["search", "--index", idx_dir, "--expr", "--bm25", "--topk", "5",
+              "--query", '("table hash" OR merge) AND NOT stream'])
+    bm = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert 0 < len(bm) <= 5
+    scores = [float(ln.split("\t")[1]) for ln in bm]
+    assert scores == sorted(scores, reverse=True)

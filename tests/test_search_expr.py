@@ -163,3 +163,46 @@ def test_random_exprs_match_oracle(pidx, corpus_pdf, ast, _r):
     got = [int(r["doc_id"])
            for r in se.eval_expr(pidx, ast).orderBy("doc_id").collect()]
     assert got == want, _render(ast)
+
+
+def test_search_expr_ranked_oracle(pidx, corpus_pdf, oracle_idx):
+    from inverted_index_and_search_spark import oracle as orc
+
+    expr = "def AND (return OR if) AND NOT var_5_0"
+    node = se.parse(expr)
+    toks = _oracle_docsets(corpus_pdf)
+    matched = oracle_eval(toks, node)
+    terms = se.expr_terms(node)
+    want = sorted(((d, orc.bm25_score(oracle_idx, d, terms))
+                   for d in matched), key=lambda x: (-x[1], x[0]))[:10]
+    got = [(int(r["doc_id"]), r["score"])
+           for r in se.search_expr_ranked(pidx, expr, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-6
+
+
+def test_search_expr_ranked_disjunction_equals_bm25(pidx):
+    from inverted_index_and_search_spark.operators.query import bm25_topk
+
+    want = bm25_topk(pidx, ["def", "var_3_0"], k=10).collect()
+    got = se.search_expr_ranked(pidx, "def OR var_3_0", k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want]
+
+
+def test_search_expr_ranked_phrase_filter(pidx, corpus_pdf, oracle_idx):
+    """Phrase atom filters the match set; scoring uses the words."""
+    from inverted_index_and_search_spark import oracle as orc
+
+    expr = '"def trait" AND return'
+    node = se.parse(expr)
+    toks = _oracle_docsets(corpus_pdf)
+    matched = oracle_eval(toks, node)
+    assert matched, "fixture must match"
+    terms = se.expr_terms(node)
+    want = sorted(((d, orc.bm25_score(oracle_idx, d, terms))
+                   for d in matched), key=lambda x: (-x[1], x[0]))[:10]
+    got = [(int(r["doc_id"]), r["score"])
+           for r in se.search_expr_ranked(pidx, expr, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
