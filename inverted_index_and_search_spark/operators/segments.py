@@ -504,12 +504,35 @@ class QueryServer:
         return [int(d) for d in acc]
 
 
+def _slot_keys(tp: bm25.TermPostings, cand: np.ndarray, shift: int,
+               big: int, pad: int) -> np.ndarray:
+    """Encoded (candidate-rank, shifted-position) keys of one phrase
+    slot: key = rank * big + (pos - shift + pad). The pad (= phrase
+    length) keeps keys positive for shifted-below-zero offsets while
+    big (> max position + 2*pad) keeps ranks' key ranges disjoint.
+    Gathering every candidate's position slice is vectorized with the
+    multi-arange trick — no per-doc Python."""
+    j = np.searchsorted(tp.doc_ids, cand)
+    ends = tp.pos_bounds[j]
+    starts = np.where(j > 0, tp.pos_bounds[j - 1], 0)
+    lens = ends - starts
+    total = int(lens.sum())
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.repeat(starts, lens) + (np.arange(total) - np.repeat(offs, lens))
+    pos = tp.positions_flat[idx].astype(np.int64)
+    rank = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+    return rank * big + (pos - shift + pad)
+
+
 def _phrase_eval(fetched: dict[str, bm25.TermPostings],
                  norm: list[str]) -> list[tuple[int, int, int]]:
     """[(doc_id, phrase_tf, dl)] for the exact phrase, doc_id ascending —
     the numpy twin of positional.phrase_match: intersect candidate docs
     across the phrase's distinct terms, then intersect offset-shifted
-    position lists per candidate. Requires positional segments."""
+    position lists — fully vectorized (positions are flattened into
+    (doc-rank, shifted-offset) keys; the per-slot key arrays intersect
+    with np.intersect1d, phrase tfs fall out of a bincount). Requires
+    positional segments."""
     uniq = sorted(set(norm))
     if any(t not in fetched for t in uniq):
         return []
@@ -520,22 +543,29 @@ def _phrase_eval(fetched: dict[str, bm25.TermPostings],
     cand = tps[uniq[0]].doc_ids
     for t in uniq[1:]:
         cand = np.intersect1d(cand, tps[t].doc_ids, assume_unique=True)
-    out = []
-    for doc in cand:
-        starts = None
-        for i, t in enumerate(norm):
-            tp = tps[t]
-            j = int(np.searchsorted(tp.doc_ids, doc))
-            shifted = tp.positions_for(j) - i
-            starts = shifted if starts is None else np.intersect1d(
-                starts, shifted, assume_unique=True)
-            if starts.size == 0:
-                break
-        if starts is not None and starts.size:
-            tp0 = tps[norm[0]]
-            j0 = int(np.searchsorted(tp0.doc_ids, doc))
-            out.append((int(doc), int(starts.size), int(tp0.dls[j0])))
-    return out
+    if cand.size == 0:
+        return []
+    k = len(norm)
+    # key modulus: larger than any shifted offset can reach (offsets are
+    # < max position + k; shifts subtract < k, the +k pad keeps keys of
+    # one doc disjoint from the previous doc's)
+    big = int(max(tp.positions_flat.max(initial=0)
+                  for tp in tps.values())) + 2 * k + 2
+    keys = None
+    for i, t in enumerate(norm):
+        kk = _slot_keys(tps[t], cand, i, big, k)
+        keys = kk if keys is None else np.intersect1d(
+            keys, kk, assume_unique=True)
+        if keys.size == 0:
+            return []
+    ranks = keys // big
+    tf_per_rank = np.bincount(ranks, minlength=cand.size)
+    hit = np.flatnonzero(tf_per_rank)
+    tp0 = tps[norm[0]]
+    j0 = np.searchsorted(tp0.doc_ids, cand[hit])
+    dls = tp0.dls[j0]
+    return [(int(cand[h]), int(tf_per_rank[h]), int(d))
+            for h, d in zip(hit, dls)]
 
 
 def _require_positional(idx: SegmentIndex) -> None:

@@ -72,6 +72,20 @@ def main() -> None:
             one_build(f"{out}_{label}", pandas_udf) for _ in range(4))
     build_s = builds["jvm"]
 
+    # positional layout (postings + token offsets — the phrase-capable
+    # superset): same JVM tokenize path, heavier agg payload; measured
+    # so the positional build's N->4N scaling is evidenced too
+    from inverted_index_and_search_spark.operators import positional as pos
+
+    def one_pos_build(dest: str) -> float:
+        t0 = time.perf_counter()
+        idx = pos.build_positional_index(docs, use_pandas_udf=False)
+        ib.write_index(idx, dest)
+        return time.perf_counter() - t0
+
+    one_pos_build(f"{out}_warm_pos")  # untimed warmup
+    build_s_pos = min(one_pos_build(f"{out}_pos_{r}") for r in range(2))
+
     # Spark-native hardware ceiling probe: tokenize EVERY doc with the
     # same JVM tokenizer but zero shuffle (map + tiny partial-agg merge).
     # Perfectly parallel by construction, so its N->4N speedup is what
@@ -106,6 +120,7 @@ def main() -> None:
         "mb": round(n_bytes / 1e6, 2),
         "build_s": round(build_s, 3),
         "build_s_arrow": round(builds["arrow"], 3),
+        "build_s_positional": round(build_s_pos, 3),
         "maponly_s": round(maponly_s, 3),
         "files_per_sec": round(n_files / build_s, 2),
         "mb_per_sec": round(n_bytes / 1e6 / build_s, 3),

@@ -111,12 +111,14 @@ def main() -> None:
 
     speedup = lo["build_s"] / hi["build_s"]
     speedup_arrow = lo["build_s_arrow"] / hi["build_s_arrow"]
+    speedup_pos = lo["build_s_positional"] / hi["build_s_positional"]
     eff = speedup / (N_HIGH / N_LOW)
     eff_norm = speedup / hw["speedup"]
     spark_ceiling = round(lo["maponly_s"] / hi["maponly_s"], 3)
     out = {"n_low": lo, "n_high": hi,
            "job_speedup": round(speedup, 3),
            "job_speedup_arrow": round(speedup_arrow, 3),
+           "job_speedup_positional": round(speedup_pos, 3),
            "efficiency_raw": round(eff, 3),
            "hw_attainable_speedup": hw["speedup"],
            "efficiency_vs_hw": round(eff_norm, 3),
@@ -150,14 +152,15 @@ warmup build then min of 4 timed builds per path (this sandbox's
 virtualized CPU shows up-to-2x noise between identical runs; min is
 the least-interference observation).
 
-| parallelism | build s (JVM tok) | build s (Arrow tok) | files/s | MB/s | BM25 p50 ms | BM25 p95 ms |
-|---|---|---|---|---|---|---|
-| local[{N_LOW}]  (N)  | {lo["build_s"]} | {lo["build_s_arrow"]} | {lo["files_per_sec"]} | {lo["mb_per_sec"]} | {lo["bm25_p50_ms"]} | {lo["bm25_p95_ms"]} |
-| local[{N_HIGH}] (4N) | {hi["build_s"]} | {hi["build_s_arrow"]} | {hi["files_per_sec"]} | {hi["mb_per_sec"]} | {hi["bm25_p50_ms"]} | {hi["bm25_p95_ms"]} |
+| parallelism | build s (JVM tok) | build s (Arrow tok) | build s (positional) | files/s | MB/s | BM25 p50 ms | BM25 p95 ms |
+|---|---|---|---|---|---|---|---|
+| local[{N_LOW}]  (N)  | {lo["build_s"]} | {lo["build_s_arrow"]} | {lo["build_s_positional"]} | {lo["files_per_sec"]} | {lo["mb_per_sec"]} | {lo["bm25_p50_ms"]} | {lo["bm25_p95_ms"]} |
+| local[{N_HIGH}] (4N) | {hi["build_s"]} | {hi["build_s_arrow"]} | {hi["build_s_positional"]} | {hi["files_per_sec"]} | {hi["mb_per_sec"]} | {hi["bm25_p50_ms"]} | {hi["bm25_p95_ms"]} |
 
 | metric | value |
 |---|---|
 | job speedup {N_LOW}->{N_HIGH} cores (JVM tokenizer path) | {out["job_speedup"]}x |
+| job speedup {N_LOW}->{N_HIGH} cores (positional layout) | {out["job_speedup_positional"]}x |
 | job speedup {N_LOW}->{N_HIGH} cores (Arrow pandas-UDF path) | {out["job_speedup_arrow"]}x |
 | raw efficiency (T_N / T_4N) / 4 | {out["efficiency_raw"]} |
 | hardware-attainable speedup (pure-CPU {N_LOW}->{N_HIGH} procs, measured) | {hw["speedup"]}x |
