@@ -89,7 +89,8 @@ def _build(args: argparse.Namespace) -> None:
         )
         idx = build_positional_index(docs, content_col=args.content_col,
                                      id_col=args.id_col,
-                                     n_buckets=args.num_output_partitions)
+                                     n_buckets=args.num_output_partitions,
+                                     shard_hot_terms=True)
     else:
         idx = ib.build_index(docs, content_col=args.content_col,
                              id_col=args.id_col, salt_hot_terms=True,

@@ -119,16 +119,55 @@ def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
 
 
 def positional_postings(tdp: DataFrame, *,
-                        n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+                        n_buckets: int = DEFAULT_BUCKETS,
+                        hot: DataFrame | None = None,
+                        shard_factor: int = 64) -> DataFrame:
     """(term, term_bucket, df, cf, postings) with positional structs,
     postings sorted by doc_id asc (sort_array on the struct orders by
-    the first field). Same shape contract as index_build.postings."""
+    the first field). Same shape contract as index_build.postings.
+
+    Skew handling — hot-term POSTING-LIST SHARDING: positions multiply
+    a hot term's payload ~avg-tf-fold over the tf-only layout (a
+    stop-word-class term at 10^6 docs is tens of millions of ints), so
+    merging it into ONE row is a straggler/OOM by construction. Terms
+    in the ``hot`` set are instead split into up to ``shard_factor``
+    rows by pmod(xxhash64(doc_id), s) — the standard segmented-posting-
+    list layout. Every shard row carries the TERM-level df/cf (summed
+    with a per-term window over the shard rows), so all query operators
+    — which explode ``postings`` and read df off the row — work
+    unchanged and return identical results (tested). There is no
+    merge phase at all for hot terms: the giant row never exists.
+    """
     post = F.struct(F.col("doc_id"), F.col("tf"), F.col("positions"))
-    agg = tdp.groupBy("term").agg(
-        F.sort_array(F.collect_list(post)).alias("postings"),
-        F.count("*").cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-    )
+    if hot is None:
+        grouped = tdp.groupBy("term").agg(
+            F.sort_array(F.collect_list(post)).alias("postings"),
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        agg = grouped
+    else:
+        hot_flag = hot.withColumn("_hot", F.lit(True))
+        sharded = (tdp.join(F.broadcast(hot_flag), "term", "left")
+                   .withColumn(
+                       "shard",
+                       F.when(F.col("_hot").isNotNull(),
+                              F.pmod(F.xxhash64("doc_id"),
+                                     F.lit(shard_factor)))
+                       .otherwise(F.lit(0)))
+                   .drop("_hot"))
+        g = sharded.groupBy("term", "shard").agg(
+            F.sort_array(F.collect_list(post)).alias("postings"),
+            F.count("*").cast("long").alias("p_df"),
+            F.sum("tf").cast("long").alias("p_cf"),
+        )
+        w = Window.partitionBy("term")
+        agg = g.select(
+            "term",
+            F.sum("p_df").over(w).cast("long").alias("df"),
+            F.sum("p_cf").over(w).cast("long").alias("cf"),
+            "postings",
+        )
     return agg.withColumn(
         "term_bucket", term_bucket_col(F.col("term"), n_buckets)
     ).select("term", "term_bucket", "df", "cf", "postings")
@@ -136,17 +175,31 @@ def positional_postings(tdp: DataFrame, *,
 
 def build_positional_index(docs: DataFrame, *, content_col: str = "content",
                            id_col: str = "doc_id", use_pandas_udf: bool = True,
-                           n_buckets: int = DEFAULT_BUCKETS) -> Index:
+                           n_buckets: int = DEFAULT_BUCKETS,
+                           shard_hot_terms: bool = False) -> Index:
     """Positional :class:`Index` — a strict superset of the tf-only
     layout: boolean/BM25/text-sink operators work on it unchanged, and
-    the phrase/proximity operators below require it."""
+    the phrase/proximity operators below require it.
+
+    ``shard_hot_terms=True`` detects skewed terms from a ~1% document
+    sample and splits their positional postings across rows (see
+    :func:`positional_postings`) — REQUIRED at corpus scale where a
+    stop-word-class term's single merged row would be hundreds of MB;
+    query results are identical either way (tested)."""
     if use_pandas_udf:
         tdp = term_doc_positions_arrow(docs, content_col=content_col,
                                        id_col=id_col)
     else:
         tdp = term_doc_positions(docs, content_col=content_col, id_col=id_col)
+    hot = None
+    if shard_hot_terms:
+        from inverted_index_and_search_spark.operators.index_build import (
+            hot_terms_from_docs,
+        )
+        hot = hot_terms_from_docs(docs, content_col=content_col,
+                                  id_col=id_col)
     return Index(
-        postings=positional_postings(tdp, n_buckets=n_buckets),
+        postings=positional_postings(tdp, n_buckets=n_buckets, hot=hot),
         doc_stats=doc_stats(docs, tdp, content_col=content_col, id_col=id_col),
         tf=tdp,
         n_buckets=n_buckets,

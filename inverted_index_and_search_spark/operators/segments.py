@@ -409,6 +409,73 @@ def batch_topk(idx: SegmentIndex, queries: list[tuple[int, list[str]]],
         eval_query, "query_id long, rank int, doc_id long, score double"))
 
 
+def batch_phrase_topk(idx: SegmentIndex,
+                      queries: list[tuple[int, list[str]]],
+                      k: int = 10) -> DataFrame:
+    """Distributed batch PHRASE evaluation: the vectorized phrase kernel
+    runs ON EXECUTORS for a workload of phrase queries at once —
+    the positional twin of :func:`batch_topk`.
+
+    Each (query_id, phrase) ships only its own terms' positional
+    segments (bucket-pruned scan + pushed ``term IN``), groups by
+    query_id, and scores phrase-as-pseudo-term BM25 inside
+    ``applyInPandas``. Returns (query_id, rank, doc_id, score),
+    rank/score-identical to :func:`phrase_topk` per query (tested).
+    """
+    import pandas as pd
+
+    _require_positional(idx)
+    spark = idx.segments.sparkSession
+    norm_pairs = [(int(qid), [t.lower() for t in phrase if t])
+                  for qid, phrase in queries]
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ph in norm_pairs for t in sorted(set(ph))],
+        "query_id long, term string")
+    phrases_b = spark.sparkContext.broadcast(dict(norm_pairs))
+
+    seg_cols = ["term", "df", "n", "doc_ids_enc", "tfs_enc", "dls_enc",
+                "block_max", "block_last", "positions_enc"]
+    from inverted_index_and_search_spark.kernels.xxhash import term_bucket
+
+    terms_all = sorted({t for _, ph in norm_pairs for t in ph})
+    seg = idx.segments
+    if "term_bucket" in seg.columns:
+        bvals = sorted({term_bucket(t, idx.n_buckets) for t in terms_all})
+        seg = seg.filter(F.col("term_bucket").isin(bvals))
+    seg = seg.filter(F.col("term").isin(terms_all)).select(*seg_cols)
+    joined = qdf.join(seg, "term", "inner")
+
+    avgdl, n_docs, block = idx.avgdl, idx.n_docs, idx.block
+
+    def eval_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        norm = phrases_b.value[qid]
+        fetched = {
+            row["term"]: _decode_row(row, avgdl, n_docs, block)
+            for _, row in pdf[pdf["n"].notna()].iterrows()
+        }
+        matched = _phrase_eval(fetched, norm)
+        hits: list[tuple[int, float]] = []
+        if matched:
+            t_idf = bm25.idf(n_docs, len(matched))
+            ptfs = np.asarray([p for _, p, _ in matched], np.int64)
+            dls = np.asarray([d for _, _, d in matched], np.int64)
+            scores = bm25.posting_scores(ptfs, dls, t_idf, avgdl)
+            hits = sorted(
+                ((int(doc), float(s))
+                 for (doc, _, _), s in zip(matched, scores)),
+                key=lambda x: (-x[1], x[0]))[:k]
+        return pd.DataFrame({
+            "query_id": pd.Series([qid] * len(hits), dtype="int64"),
+            "rank": pd.Series(range(1, len(hits) + 1), dtype="int32"),
+            "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
+            "score": pd.Series([s for _, s in hits], dtype="float64"),
+        })
+
+    return (joined.groupBy("query_id").applyInPandas(
+        eval_query, "query_id long, rank int, doc_id long, score double"))
+
+
 class QueryServer:
     """Warm interactive query endpoint over a persisted segment index.
 

@@ -196,3 +196,49 @@ def test_top_terms_per_doc_oracle(pidx, oracle_idx):
     for r in sorted(rows, key=lambda r: (r["doc_id"], r["rank"])):
         got.setdefault(int(r["doc_id"]), []).append(r["term"])
     assert got == want
+
+
+def test_sharded_positional_results_identical(spark, docs_df, oracle_idx,
+                                              corpus_pdf):
+    """Hot-term posting-list sharding changes the ROW layout only:
+    boolean/BM25/phrase results are identical to the unsharded build.
+    Forces EVERY term hot (hot_df=0 via an all-terms hot set)."""
+    from pyspark.sql import functions as F
+
+    all_terms = (pos.term_doc_positions(docs_df)
+                 .select("term").distinct())
+    tdp = pos.term_doc_positions(docs_df)
+    sharded = pos.positional_postings(tdp, hot=all_terms, shard_factor=8)
+    base = pos.build_positional_index(docs_df, use_pandas_udf=False)
+    from inverted_index_and_search_spark.operators.index_build import (
+        Index,
+        doc_stats,
+    )
+    sh_idx = Index(postings=sharded,
+                   doc_stats=doc_stats(docs_df, tdp),
+                   tf=tdp)
+
+    # hot terms really are split across rows
+    n_rows = sharded.groupBy("term").count().agg(F.max("count")).collect()[0][0]
+    assert n_rows > 1
+
+    # per-row df/cf are term-level on every shard row
+    stats_sh = {(r["term"], r["df"], r["cf"])
+                for r in sharded.select("term", "df", "cf").collect()}
+    stats_b = {(r["term"], r["df"], r["cf"])
+               for r in base.postings.select("term", "df", "cf").collect()}
+    assert stats_sh == stats_b
+
+    for terms in (["def", "return"], ["def"], ["var_3_0"]):
+        got_b = q.boolean_and(base, terms).collect()
+        got_s = q.boolean_and(sh_idx, terms).collect()
+        assert got_b == got_s
+        bm_b = [(r["doc_id"], round(r["score"], 9))
+                for r in q.bm25_topk(base, terms, k=10).collect()]
+        bm_s = [(r["doc_id"], round(r["score"], 9))
+                for r in q.bm25_topk(sh_idx, terms, k=10).collect()]
+        assert bm_b == bm_s
+
+    ph_b = pos.phrase_match(base, ["def", "trait"]).collect()
+    ph_s = pos.phrase_match(sh_idx, ["def", "trait"]).collect()
+    assert ph_b == ph_s

@@ -104,3 +104,16 @@ def test_positional_segments_roundtrip_persisted(psegs, spark, tmp_path):
     # non-phrase queries still work on the positional layout
     assert seg.topk(rt, ["def", "return"], k=5) == seg.topk(
         psegs, ["def", "return"], k=5)
+
+
+def test_batch_phrase_topk_matches_driver(psegs):
+    queries = [(0, ["def", "trait"]), (1, ["return", "def"]),
+               (2, ["def", "def"]), (3, ["zzzqqqxx", "def"])]
+    got = {}
+    for r in seg.batch_phrase_topk(psegs, queries, k=5).collect():
+        got.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), int(r["doc_id"]), float(r["score"])))
+    for qid, phrase in queries:
+        want = [(i + 1, d, s) for i, (d, s) in
+                enumerate(seg.phrase_topk(psegs, phrase, k=5))]
+        assert sorted(got.get(qid, [])) == want, phrase

@@ -79,7 +79,8 @@ def main() -> None:
 
     def one_pos_build(dest: str) -> float:
         t0 = time.perf_counter()
-        idx = pos.build_positional_index(docs, use_pandas_udf=False)
+        idx = pos.build_positional_index(docs, use_pandas_udf=False,
+                                         shard_hot_terms=True)
         ib.write_index(idx, dest)
         return time.perf_counter() - t0
 
