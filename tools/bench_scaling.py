@@ -127,6 +127,8 @@ def main() -> None:
            "efficiency_vs_spark_ceiling": round(speedup / spark_ceiling, 3),
            "efficiency_vs_spark_ceiling_arrow":
                round(speedup_arrow / spark_ceiling, 3),
+           "efficiency_vs_spark_ceiling_positional":
+               round(speedup_pos / spark_ceiling, 3),
            "n_docs": n_docs}
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
@@ -168,6 +170,7 @@ the least-interference observation).
 | efficiency vs pure-CPU ceiling (JVM path) | {out["efficiency_vs_hw"]} |
 | efficiency vs pure-CPU ceiling (Arrow path) | {out["efficiency_vs_hw_arrow"]} |
 | **efficiency vs Spark map-only ceiling (JVM path)** | **{out["efficiency_vs_spark_ceiling"]}** |
+| **efficiency vs Spark map-only ceiling (positional layout)** | **{out["efficiency_vs_spark_ceiling_positional"]}** |
 | efficiency vs Spark map-only ceiling (Arrow path) | {out["efficiency_vs_spark_ceiling_arrow"]} |
 
 Why two paths: the engine tokenizes either with pure-JVM expressions
