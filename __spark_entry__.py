@@ -265,6 +265,24 @@ def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_phrase_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phrase_match through the hot-term-SHARDED positional layout with
+    a forced all-hot set (every term split across shard rows) — driver-
+    verifies that segmented posting lists change the row layout only,
+    against the exact same oracle as phrase_match."""
+    docs = _docs(spark, sf_dir)
+    tdp = pos.term_doc_positions(docs, content_col="text", id_col="doc_id")
+    all_terms = tdp.select("term").distinct()
+    sharded = pos.positional_postings(tdp, hot=all_terms, shard_factor=8)
+    idx = ib.Index(postings=sharded,
+                   doc_stats=ib.doc_stats(docs, tdp, content_col="text",
+                                          id_col="doc_id"),
+                   tf=tdp)
+    return pos.phrase_match(idx, Q_PHRASE).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("phrase_tf").cast("int").alias("phrase_tf"))
+
+
 def _q_near_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b, w = Q_NEAR
     return pos.terms_within_window(_pindex(spark, sf_dir), a, b, w).select(
@@ -418,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or": _q_boolean_or,
         "boolean_and_not": _q_boolean_and_not,
         "phrase_match": _q_phrase_match,
+        "phrase_match_sharded": _q_phrase_sharded,
         "phrase_bm25_top10": _q_phrase_bm25,
         "phrase_segments_top10": _q_phrase_segments,
         "near_terms": _q_near_terms,
@@ -629,6 +648,7 @@ SELECT doc_id::BIGINT AS doc_id FROM inc
 WHERE doc_id NOT IN (SELECT doc_id FROM exc) ORDER BY doc_id
 """,
         "phrase_match": _phrase_match_sql(Q_PHRASE),
+        "phrase_match_sharded": _phrase_match_sql(Q_PHRASE),
         "phrase_bm25_top10": _phrase_bm25_sql(Q_PHRASE),
         "phrase_segments_top10": _phrase_bm25_sql(Q_PHRASE),
         "near_terms": _near_terms_sql(*Q_NEAR),

@@ -130,6 +130,18 @@ def main() -> None:
         "pure Catalyst array algebra — no UDF, no corpus scan.",
         explain(pp.phrase_match(ppidx, ["table", "hash"]))))
 
+    tdp = pp.term_doc_positions(docs, content_col="text", id_col="doc_id")
+    sharded = pp.positional_postings(
+        tdp, hot=tdp.select("term").distinct(), shard_factor=8)
+    sections.append((
+        "Sharded positional postings build (hot-term segmented lists)",
+        "One aggregation per (term, shard) group — a skewed term's "
+        "positions never merge into a single row; the per-term window "
+        "that sums shard dfs/cfs partitions BY TERM (no single-partition "
+        "exchange). Query operators explode postings, so shard rows are "
+        "transparent.",
+        explain(sharded)))
+
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("# PLANS.md — physical plans of the headline pipelines\n\n"
                 "Generated by tools/plan_audit.py; the scale-critical plan\n"
