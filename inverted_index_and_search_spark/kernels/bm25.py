@@ -63,19 +63,29 @@ class TermPostings:
     block: int  # block size (postings per block)
     pos: int = 0
     #: optional positional payload (segments built from a positional tf
-    #: relation): flat token-offset array with exclusive-end bounds
-    #: (cumsum of tfs) — posting i's positions are
-    #: positions_flat[pos_bounds[i-1]:pos_bounds[i]] — plus per-posting
-    #: doc lengths for self-contained phrase scoring
+    #: relation): the ENCODED stream is carried and decoded lazily on
+    #: first phrase use (ensure_positions) so BM25-only queries over a
+    #: positional index never pay the 2-4x positional decode. Posting
+    #: i's positions are positions_flat[pos_bounds[i-1]:pos_bounds[i]]
+    #: (pos_bounds = cumsum of tfs); dls enable self-contained phrase
+    #: scoring.
+    positions_enc: bytes | None = None
     positions_flat: np.ndarray | None = None
     pos_bounds: np.ndarray | None = None
     dls: np.ndarray | None = None
     ub: float = field(init=False)
 
-    def positions_for(self, posting_idx: int) -> np.ndarray:
-        """Token offsets of posting ``posting_idx`` (positional only)."""
-        start = int(self.pos_bounds[posting_idx - 1]) if posting_idx else 0
-        return self.positions_flat[start:int(self.pos_bounds[posting_idx])]
+    def ensure_positions(self) -> np.ndarray:
+        """Decode (once) and return the flat position array."""
+        if self.positions_flat is None:
+            from inverted_index_and_search_spark.kernels.codec import (
+                decode_position_lists,
+            )
+
+            counts = np.diff(np.concatenate(([0], self.pos_bounds)))
+            self.positions_flat = decode_position_lists(
+                self.positions_enc, counts)
+        return self.positions_flat
 
     def __post_init__(self) -> None:
         self.ub = float(self.block_max.max()) if self.block_max.size else 0.0

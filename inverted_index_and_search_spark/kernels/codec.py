@@ -80,3 +80,18 @@ def decode_deltas(data: bytes, n: int | None = None) -> np.ndarray:
     """Inverse of :func:`encode_deltas`."""
     d = decode_varint(data, n)
     return np.cumsum(d, dtype=np.int64)
+
+
+def decode_position_lists(data: bytes, counts: np.ndarray) -> np.ndarray:
+    """Decode a flat varint stream of per-list delta-encoded position
+    lists (first value absolute, then gaps; list boundaries =
+    ``counts``) back to a flat absolute-offset array. Grouped cumsum,
+    fully vectorized."""
+    v = decode_varint(bytes(data), int(counts.sum()))
+    if v.size == 0:
+        return v
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    c = np.cumsum(v)
+    base = np.repeat(c[starts] - v[starts], counts)
+    return (c - base).astype(np.int64)

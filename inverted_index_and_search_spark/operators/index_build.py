@@ -312,7 +312,13 @@ def postings_text_lines(index: Index, *, lexicographic: bool = False) -> DataFra
     over strings, so ``10:1`` < ``2:1``); numeric order is what the
     delta codec and the driver oracle use. Pass ``lexicographic=True``
     for byte-for-byte reference parity (consumers are order-insensitive
-    either way: search-query.py rebuilds per-term dicts)."""
+    either way: search-query.py rebuilds per-term dicts).
+
+    Sharded layouts (positional hot-term sharding splits a term across
+    rows) are merged back to ONE line per term here — the wire format's
+    invariant; reference consumers keep a per-term dict and would
+    silently drop all but one shard otherwise."""
+    merged = _one_row_per_term(index.postings)
     posting_strs = F.transform(
         "postings",
         lambda p: F.concat_ws(":", p["doc_id"].cast("string"),
@@ -320,9 +326,17 @@ def postings_text_lines(index: Index, *, lexicographic: bool = False) -> DataFra
     )
     if lexicographic:
         posting_strs = F.sort_array(posting_strs)
-    return index.postings.select(
+    return merged.select(
         F.concat_ws("\t", F.col("term"), F.concat_ws("\t", posting_strs))
         .alias("value"))
+
+
+def _one_row_per_term(postings: DataFrame) -> DataFrame:
+    """Merge shard rows (sharded positional layout) back to one row per
+    term for sinks whose wire format requires it. A no-op reshape for
+    the ordinary one-row-per-term layout."""
+    return postings.groupBy("term").agg(
+        F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"))
 
 
 def write_index_text(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
@@ -332,13 +346,14 @@ def write_index_text(index: Index, out_dir: str, *, mode: str = "overwrite") -> 
 
 def write_index_json(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
     """Reference ``--format json`` sink: ``{word, docs:[...]}`` per line
-    (``spark/inverted_index_search.py:233-236``)."""
+    (``spark/inverted_index_search.py:233-236``). Shard rows merge to
+    one object per word (see :func:`postings_text_lines`)."""
     docs_arr = F.transform(
         "postings",
         lambda p: F.concat_ws(":", p["doc_id"].cast("string"),
                               p["tf"].cast("string")),
     )
-    (index.postings
+    (_one_row_per_term(index.postings)
      .select(F.col("term").alias("word"), docs_arr.alias("docs"))
      .write.mode(mode).json(out_dir))
 

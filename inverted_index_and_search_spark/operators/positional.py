@@ -308,7 +308,12 @@ def terms_within_window(index: Index, term_a: str, term_b: str,
     two terms' position lists — per-doc cost |Pa|*|Pb| with both lists
     bounded by the doc's term frequency (short for non-stop-words; a
     sorted two-pointer kernel is the upgrade path if a stop-word pair
-    ever matters)."""
+    ever matters).
+
+    Same-term queries (``term_a == term_b``) require two DISTINCT
+    occurrences within the window — a position trivially satisfies
+    |x - x| <= w against itself, which would otherwise return every
+    doc containing the term once."""
     a, b = term_a.lower(), term_b.lower()
     qp = _query_postings(index, sorted({a, b}))
     rows = qp.select("term", F.explode("postings").alias("p")).select(
@@ -317,6 +322,11 @@ def terms_within_window(index: Index, term_a: str, term_b: str,
     pa = rows.filter(F.col("term") == a).select("doc_id", F.col("positions").alias("pa"))
     pb = rows.filter(F.col("term") == b).select("doc_id", F.col("positions").alias("pb"))
     w = F.lit(window)
-    near = F.exists("pa", lambda x: F.exists("pb", lambda y: F.abs(x - y) <= w))
+    if a == b:
+        near = F.exists("pa", lambda x: F.exists(
+            "pb", lambda y: (F.abs(x - y) <= w) & (x != y)))
+    else:
+        near = F.exists("pa", lambda x: F.exists(
+            "pb", lambda y: F.abs(x - y) <= w))
     return (pa.join(pb, "doc_id").filter(near)
             .select("doc_id").orderBy("doc_id"))

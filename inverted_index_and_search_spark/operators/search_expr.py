@@ -30,11 +30,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import functions as F
+
 from inverted_index_and_search_spark.operators.index_build import Index
 from inverted_index_and_search_spark.operators.query import (
     _norm_terms,
-    boolean_and,
-    boolean_or,
+    _query_postings,
 )
 
 __all__ = ["parse", "eval_expr", "search_expr", "ExprError",
@@ -127,7 +128,10 @@ def parse(query: str):
     def parse_unary():
         if peek() == "NOT":
             take()
-            return Not(parse_unary())
+            child = parse_unary()
+            if isinstance(child, Not):  # NOT NOT x == x
+                return child.child
+            return Not(child)
         return parse_atom()
 
     def parse_atom():
@@ -166,25 +170,54 @@ def _ids(df: DataFrame) -> DataFrame:
     return df.select("doc_id")
 
 
+def _any_term_docs(index: Index, terms: list[str]) -> DataFrame:
+    """Distinct (doc_id) matching ANY term — UNSORTED (the sorted user
+    surface is query.boolean_or; embedding its global orderBy in every
+    expression leaf would pay a range-exchange per leaf that the
+    enclosing joins/unions immediately destroy)."""
+    norm = _norm_terms(terms)
+    qp = _query_postings(index, norm)
+    return (qp.select(F.explode("postings").alias("p"))
+            .select(F.col("p.doc_id").alias("doc_id"))
+            .distinct())
+
+
+def _all_terms_docs(index: Index, terms: list[str]) -> DataFrame:
+    """Distinct (doc_id) matching EVERY term — unsorted k-way semi-join
+    via matched-term counting (same plan as query.boolean_and minus the
+    final sort)."""
+    norm = _norm_terms(terms)
+    qp = _query_postings(index, norm)
+    exploded = qp.select("term", F.explode("postings").alias("p")).select(
+        "term", F.col("p.doc_id").alias("doc_id"))
+    return (exploded.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_matched"))
+            .filter(F.col("n_matched") == len(norm))
+            .select("doc_id"))
+
+
 def eval_expr(index: Index, node) -> DataFrame:
-    """(doc_id) doc set of an AST node — unsorted; callers order once."""
-    from inverted_index_and_search_spark.operators.positional import phrase_match
+    """(doc_id) doc set of an AST node — unsorted and distinct;
+    callers order once."""
+    from inverted_index_and_search_spark.operators.positional import (
+        _phrase_starts,
+    )
 
     if isinstance(node, Term):
-        return _ids(boolean_or(index, [node.term]))
+        return _any_term_docs(index, [node.term])
     if isinstance(node, Phrase):
         post_t = index.postings.schema["postings"].dataType.elementType
         if "positions" not in post_t.fieldNames():
             raise ExprError('"phrase" atoms need a positional index '
                             "(build with positions)")
-        return _ids(phrase_match(index, list(node.words)))
+        return _ids(_phrase_starts(index, [w for w in node.words]))
     if isinstance(node, Or):
         # one pruned scan for all plain-term children; recurse the rest
         terms = [p.term for p in node.parts if isinstance(p, Term)]
         parts = [eval_expr(index, p) for p in node.parts
                  if not isinstance(p, Term)]
         if terms:
-            parts.append(_ids(boolean_or(index, terms)))
+            parts.append(_any_term_docs(index, terms))
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)
@@ -197,13 +230,15 @@ def eval_expr(index: Index, node) -> DataFrame:
                      if isinstance(p, Not)]
         if terms:
             # k-way semi-join in ONE aggregation (matched-term counting)
-            pos_parts.append(_ids(boolean_and(index, terms)))
+            pos_parts.append(_all_terms_docs(index, terms))
+        # every part is a distinct doc set keyed by doc_id, so the
+        # inner-join chain stays distinct — no re-distinct needed
         out = pos_parts[0]
         for p in pos_parts[1:]:
             out = out.join(p, "doc_id", "inner")
         for p in neg_parts:
             out = out.join(p, "doc_id", "left_anti")
-        return out.distinct()
+        return out
     raise ExprError(f"unknown node {node!r}")
 
 

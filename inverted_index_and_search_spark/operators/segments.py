@@ -144,16 +144,8 @@ def _encode_positions(pos_lists) -> bytes:
 
 
 def decode_positions(data: bytes, tfs: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`_encode_positions`: flat int64 offset array
-    (bounds = cumsum(tfs)). Grouped cumsum, fully vectorized."""
-    v = codec.decode_varint(bytes(data), int(tfs.sum()))
-    if v.size == 0:
-        return v
-    ends = np.cumsum(tfs)
-    starts = ends - tfs
-    c = np.cumsum(v)
-    base = np.repeat(c[starts] - v[starts], tfs)
-    return (c - base).astype(np.int64)
+    """Inverse of :func:`_encode_positions` (codec.decode_position_lists)."""
+    return codec.decode_position_lists(data, tfs)
 
 
 def encode_segments(
@@ -277,7 +269,9 @@ def _decode_row(row, avgdl: float, n_docs: int, block: int) -> bm25.TermPostings
     except (KeyError, ValueError):
         penc = None
     if penc is not None:
-        tp.positions_flat = decode_positions(penc, tfs)
+        # lazy: carry the encoded stream; the phrase kernel decodes on
+        # first use (ensure_positions) — BM25-only queries never pay it
+        tp.positions_enc = bytes(penc)
         tp.pos_bounds = np.cumsum(tfs)
         tp.dls = dls
     return tp
@@ -455,16 +449,7 @@ def batch_phrase_topk(idx: SegmentIndex,
             for _, row in pdf[pdf["n"].notna()].iterrows()
         }
         matched = _phrase_eval(fetched, norm)
-        hits: list[tuple[int, float]] = []
-        if matched:
-            t_idf = bm25.idf(n_docs, len(matched))
-            ptfs = np.asarray([p for _, p, _ in matched], np.int64)
-            dls = np.asarray([d for _, _, d in matched], np.int64)
-            scores = bm25.posting_scores(ptfs, dls, t_idf, avgdl)
-            hits = sorted(
-                ((int(doc), float(s))
-                 for (doc, _, _), s in zip(matched, scores)),
-                key=lambda x: (-x[1], x[0]))[:k]
+        hits = _score_phrase_matched(matched, n_docs, avgdl, k)
         return pd.DataFrame({
             "query_id": pd.Series([qid] * len(hits), dtype="int64"),
             "rank": pd.Series(range(1, len(hits) + 1), dtype="int32"),
@@ -544,17 +529,8 @@ class QueryServer:
         fetched = {t: c for t in uniq
                    if (c := self._cache.get(t)) is not None}
         matched = _phrase_eval(fetched, norm)
-        if not matched:
-            return []
-        t_idf = bm25.idf(self.idx.n_docs, len(matched))
-        scored = [
-            (doc, float(bm25.posting_scores(
-                np.asarray([ptf], np.int64), np.asarray([dl], np.int64),
-                t_idf, self.idx.avgdl)[0]))
-            for doc, ptf, dl in matched
-        ]
-        scored.sort(key=lambda x: (-x[1], x[0]))
-        return scored[:k]
+        return _score_phrase_matched(matched, self.idx.n_docs,
+                                     self.idx.avgdl, k)
 
     def boolean_and(self, terms: list[str]) -> list[int]:
         norm = sorted({t.lower() for t in terms})
@@ -604,9 +580,12 @@ def _phrase_eval(fetched: dict[str, bm25.TermPostings],
     if any(t not in fetched for t in uniq):
         return []
     tps = {t: fetched[t] for t in uniq}
-    if any(tp.positions_flat is None for tp in tps.values()):
+    if any(tp.positions_enc is None and tp.positions_flat is None
+           for tp in tps.values()):
         raise ValueError("phrase evaluation needs positional segments "
                          "(build_segment_index over term_doc_positions)")
+    for tp in tps.values():
+        tp.ensure_positions()
     cand = tps[uniq[0]].doc_ids
     for t in uniq[1:]:
         cand = np.intersect1d(cand, tps[t].doc_ids, assume_unique=True)
@@ -652,6 +631,25 @@ def phrase_docs(idx: SegmentIndex, phrase: list[str]) -> list[tuple[int, int]]:
     return [(d, ptf) for d, ptf, _ in _phrase_eval(fetched, norm)]
 
 
+def _score_phrase_matched(matched: list[tuple[int, int, int]],
+                          n_docs: int, avgdl: float,
+                          k: int) -> list[tuple[int, float]]:
+    """Phrase-as-pseudo-term BM25 over the matched set — vectorized
+    (one posting_scores call), score desc then doc_id asc, top-k.
+    Shared by the driver, warm-server, and batch phrase paths so the
+    three are score-identical by construction."""
+    if not matched:
+        return []
+    t_idf = bm25.idf(n_docs, len(matched))
+    ptfs = np.asarray([p for _, p, _ in matched], np.int64)
+    dls = np.asarray([d for _, _, d in matched], np.int64)
+    scores = bm25.posting_scores(ptfs, dls, t_idf, avgdl)
+    hits = sorted(((int(doc), float(s))
+                   for (doc, _, _), s in zip(matched, scores)),
+                  key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
 def phrase_topk(idx: SegmentIndex, phrase: list[str],
                 k: int = 10) -> list[tuple[int, float]]:
     """[(doc_id, score)] — BM25 phrase-as-pseudo-term top-k over
@@ -663,17 +661,7 @@ def phrase_topk(idx: SegmentIndex, phrase: list[str],
         return []
     fetched = fetch_term_postings(idx, norm)
     matched = _phrase_eval(fetched, norm)
-    if not matched:
-        return []
-    t_idf = bm25.idf(idx.n_docs, len(matched))
-    scored = []
-    for doc, ptf, dl in matched:
-        s = float(bm25.posting_scores(
-            np.asarray([ptf], np.int64), np.asarray([dl], np.int64),
-            t_idf, idx.avgdl)[0])
-        scored.append((doc, s))
-    scored.sort(key=lambda x: (-x[1], x[0]))
-    return scored[:k]
+    return _score_phrase_matched(matched, idx.n_docs, idx.avgdl, k)
 
 
 def boolean_and_docs(idx: SegmentIndex, terms: list[str]) -> list[int]:

@@ -242,3 +242,34 @@ def test_sharded_positional_results_identical(spark, docs_df, oracle_idx,
     ph_b = pos.phrase_match(base, ["def", "trait"]).collect()
     ph_s = pos.phrase_match(sh_idx, ["def", "trait"]).collect()
     assert ph_b == ph_s
+
+
+def test_same_term_window_needs_two_occurrences(spark):
+    docs = spark.createDataFrame(
+        [(0, "x q x"), (1, "q x q"), (2, "x x")],
+        "doc_id long, content string")
+    idx = pos.build_positional_index(docs, use_pandas_udf=False)
+    got = [int(r["doc_id"])
+           for r in pos.terms_within_window(idx, "x", "x", 2).collect()]
+    assert got == [0, 2]  # doc 1 has one 'x' only -> no self-match
+
+
+def test_sharded_index_text_sink_one_line_per_term(spark, docs_df):
+    from inverted_index_and_search_spark.operators.index_build import (
+        Index,
+        doc_stats,
+        postings_text_lines,
+    )
+
+    tdp = pos.term_doc_positions(docs_df)
+    all_terms = tdp.select("term").distinct()
+    sharded = Index(
+        postings=pos.positional_postings(tdp, hot=all_terms, shard_factor=8),
+        doc_stats=doc_stats(docs_df, tdp), tf=tdp)
+    base = pos.build_positional_index(docs_df, use_pandas_udf=False)
+    lines_s = sorted(r["value"] for r in postings_text_lines(sharded).collect())
+    lines_b = sorted(r["value"] for r in postings_text_lines(base).collect())
+    assert lines_s == lines_b
+    # one line per term even when every term is sharded
+    terms = [ln.split("\t")[0] for ln in lines_s]
+    assert len(terms) == len(set(terms))

@@ -117,3 +117,13 @@ def test_batch_phrase_topk_matches_driver(psegs):
         want = [(i + 1, d, s) for i, (d, s) in
                 enumerate(seg.phrase_topk(psegs, phrase, k=5))]
         assert sorted(got.get(qid, [])) == want, phrase
+
+
+def test_positions_decode_is_lazy(psegs):
+    fetched = seg.fetch_term_postings(psegs, ["def"])
+    tp = fetched["def"]
+    assert tp.positions_enc is not None and tp.positions_flat is None
+    flat = tp.ensure_positions()
+    assert flat.size == int(np.diff(
+        np.concatenate(([0], tp.pos_bounds))).sum())
+    assert tp.positions_flat is flat  # cached, decoded once

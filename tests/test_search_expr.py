@@ -206,3 +206,11 @@ def test_search_expr_ranked_phrase_filter(pidx, corpus_pdf, oracle_idx):
     got = [(int(r["doc_id"]), r["score"])
            for r in se.search_expr_ranked(pidx, expr, k=10).collect()]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_double_negation_collapses():
+    assert se.parse("def AND NOT NOT trait") == se.And(
+        (se.Term("def"), se.Term("trait")))
+    # triple negation == single NOT
+    assert se.parse("def AND NOT NOT NOT trait") == se.And(
+        (se.Term("def"), se.Not(se.Term("trait"))))
