@@ -10,9 +10,17 @@ search REPL), re-expressed Spark-first:
 - tokenizer    -> canonical tokenizer (ref semantics: lowercase, keep
                   letters+digits, strip underscore; see SURVEY.md §2.8)
 - operators.index_build -> postings + doc/term/collection statistics
-- operators.query       -> boolean AND (reference parity) + BM25 top-k
+- operators.query       -> boolean AND/OR/NOT (AND = reference parity)
+                           + BM25 top-k + per-doc TF-IDF keywords
+- operators.positional  -> positional index (token offsets), exact
+                           phrase + proximity queries, hot-term
+                           posting-list sharding
+- operators.search_expr -> boolean query language (AND/OR/NOT, parens,
+                           quoted phrases) + ranked expression search
 - operators.segments    -> delta+varint compressed posting segments with
-                           block-max metadata
+                           block-max metadata; positional variant adds
+                           positions_enc for phrase eval over the
+                           compressed layout (driver/batch/warm-server)
 - kernels      -> numpy/Arrow kernels (codec, BM25, block-max WAND)
 - operators.dedup / similarity / text_analysis -> training-data pipeline
   operators (exact + MinHash-LSH + SimHash dedup, ANN search, lang-id,
