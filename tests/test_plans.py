@@ -173,3 +173,22 @@ def test_phrase_bm25_broadcasts_doc_stats_and_takeordered(
                                         ["table", "hash"], k=10))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_expr_eval_has_no_per_leaf_sorts(spark, persisted_positional_index):
+    """eval_expr doc-set leaves are unsorted — the only Sort in a
+    ranked expression plan feeds the final TakeOrderedAndProject."""
+    from inverted_index_and_search_spark.operators import search_expr as se
+
+    plan = explain(se.eval_expr(
+        persisted_positional_index,
+        se.parse('("table hash" OR merge) AND NOT stream')))
+    assert n_nodes(plan, "Sort") == 0, plan
+
+    # ranked: the top-k compiles to TakeOrderedAndProject (no global
+    # output sort); Sort nodes inside a SortMergeJoin are join
+    # machinery, not per-leaf ordering, so they are not asserted away
+    ranked = explain(se.search_expr_ranked(
+        persisted_positional_index,
+        '("table hash" OR merge) AND NOT stream', k=10))
+    assert "TakeOrderedAndProject" in ranked, ranked
