@@ -113,21 +113,36 @@ def _build(args: argparse.Namespace) -> None:
         spark.stop()
 
 
-def _doc_key_map(index: ib.Index) -> dict[int, str] | None:
-    """doc_id -> original docID (filename) for indexes parsed from
-    reference-variant text output; None when ids are native."""
-    if "doc_key" not in index.doc_stats.columns:
+def _resolve_keys(index: ib.Index,
+                  doc_ids: list[int]) -> dict[int, str] | None:
+    """doc_id -> original docID (filename) for THIS RESULT's docs only,
+    on indexes parsed from reference-variant text output; None when ids
+    are native. Display-time broadcast join against doc_stats — bounded
+    by the result size, never a full doc_stats collect (which at corpus
+    scale would materialize every doc row on the driver)."""
+    if "doc_key" not in index.doc_stats.columns or not doc_ids:
         return None
-    return {r["doc_id"]: r["doc_key"]
-            for r in index.doc_stats.select("doc_id", "doc_key").collect()}
+    from pyspark.sql import functions as F
+
+    spark = index.doc_stats.sparkSession
+    ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    rows = (index.doc_stats.join(F.broadcast(ids), "doc_id")
+            .select("doc_id", "doc_key").collect())
+    return {r["doc_id"]: r["doc_key"] for r in rows}
 
 
 def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
-               key_map: dict[int, str] | None = None,
-               phrase: bool = False, expr: bool = False) -> None:
+               phrase: bool = False, expr: bool = False) -> bool:
+    """Evaluate one query line and print results; returns False only on
+    a malformed --expr query (one-shot callers exit nonzero on that)."""
     terms = line.split()
     if not terms:
-        return
+        return True
+
+    def keyed(rows) -> dict[int, str] | None:
+        return _resolve_keys(index, [r["doc_id"] for r in rows])
+
+    key_map: dict[int, str] | None = None
 
     def show(doc_id: int) -> str:
         return key_map.get(doc_id, str(doc_id)) if key_map else str(doc_id)
@@ -142,7 +157,8 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
                 rows = se.search_expr(index, line).collect()
         except se.ExprError as e:
             print(f"error: {e}", file=sys.stderr)
-            return
+            return False
+        key_map = keyed(rows)
         if not rows:
             print("No matches found.")
         elif bm25:
@@ -150,36 +166,41 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
                 print(f"{show(r['doc_id'])}\t{r['score']:.6f}")
         else:
             print("\n".join(show(r["doc_id"]) for r in rows))
-        return
+        return True
     if phrase:
         from inverted_index_and_search_spark.operators import positional as pos
 
         if bm25:
             rows = pos.phrase_bm25_topk(index, terms, k=topk).collect()
+            key_map = keyed(rows)
             if not rows:
                 print("No matches found.")
             for r in rows:
                 print(f"{show(r['doc_id'])}\t{r['score']:.6f}")
         else:
             rows = pos.phrase_match(index, terms).collect()
+            key_map = keyed(rows)
             if not rows:
                 print("No matches found.")
             for r in rows:
                 print(f"{show(r['doc_id'])}\t{r['phrase_tf']}")
-        return
+        return True
     if bm25:
         rows = q.bm25_topk(index, terms, k=topk).collect()
+        key_map = keyed(rows)
         if not rows:
             print("No matches found.")
         for r in rows:
             print(f"{show(r['doc_id'])}\t{r['score']:.6f}")
     else:
         rows = q.boolean_and(index, terms).collect()
+        key_map = keyed(rows)
         if not rows:
             # reference wording, search-query.py:62
             print("No matches found.")
         else:
             print("\n".join(show(r["doc_id"]) for r in rows))
+    return True
 
 
 def _search(args: argparse.Namespace) -> None:
@@ -190,10 +211,15 @@ def _search(args: argparse.Namespace) -> None:
         index = ib.read_index_text(spark, args.index)
     else:
         index = ib.read_index(spark, args.index)
-    index.postings.cache().count()
-    index.doc_stats.cache().count()
+    # Warm only the SMALL side: doc_stats + collection stats. Caching
+    # the postings table here (round-2 behavior) forced a full scan and
+    # full-RAM materialization of the index before the first query —
+    # an OOM/minutes-long startup at corpus scale that defeated the
+    # engine's own bucket pruning. Per-query `_query_postings` prunes
+    # the parquet scan to the query's terms' buckets uncached, and the
+    # warm-latency path is QueryServer's per-term on-demand cache.
+    index.doc_stats.cache()
     index.collection_stats()
-    key_map = _doc_key_map(index)
     if args.phrase:
         post_t = index.postings.schema["postings"].dataType.elementType
         if "positions" not in post_t.fieldNames():
@@ -203,14 +229,20 @@ def _search(args: argparse.Namespace) -> None:
                 spark.stop()
             raise SystemExit(2)
     if args.query is not None:
-        _run_query(index, args.query, args.bm25, args.topk, key_map,
-                   phrase=args.phrase, expr=args.expr)
+        ok = _run_query(index, args.query, args.bm25, args.topk,
+                        phrase=args.phrase, expr=args.expr)
+        if not ok:
+            # scripts must see malformed one-shot expressions fail
+            if created:
+                spark.stop()
+            raise SystemExit(2)
     else:
-        # reference REPL loop, search-query.py:120-131
+        # reference REPL loop, search-query.py:120-131 (parse errors
+        # print and the loop continues — interactive semantics)
         try:
             while True:
                 line = input("> ")
-                _run_query(index, line, args.bm25, args.topk, key_map,
+                _run_query(index, line, args.bm25, args.topk,
                            phrase=args.phrase, expr=args.expr)
         except EOFError:
             pass

@@ -206,9 +206,19 @@ def build_positional_index(docs: DataFrame, *, content_col: str = "content",
     )
 
 
-def _norm_phrase(phrase: list[str]) -> list[str]:
-    """Lowercase, keep order and duplicates — phrase semantics."""
-    return [t.lower() for t in phrase if t]
+def norm_phrase(phrase: list[str]) -> list[str]:
+    """Canonical phrase form: each element is run through the canonical
+    tokenizer (lowercase + split on non-letter/digit), order and
+    duplicates kept. A phrase element with punctuation ("new-york")
+    expands to its token sequence ("new", "york") — the literal token
+    'new-york' can never exist in the index, so matching on it would
+    silently return nothing."""
+    from inverted_index_and_search_spark.tokenizer import tokenize_py
+
+    return [w for t in phrase for w in tokenize_py(t)]
+
+
+_norm_phrase = norm_phrase
 
 
 def _occurrence_positions(index: Index, norm: list[str]) -> list[DataFrame]:

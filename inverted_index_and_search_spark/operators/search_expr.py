@@ -149,7 +149,12 @@ def parse(query: str):
             raise ExprError("unexpected ')'")
         if t.startswith('"'):
             take()
-            words = tuple(t[1:-1].lower().split())
+            # canonical tokenizer, not whitespace split: "new-york
+            # times" must query the token sequence (new, york, times) —
+            # the literal token 'new-york' can never exist in the index
+            from inverted_index_and_search_spark.tokenizer import tokenize_py
+
+            words = tuple(tokenize_py(t[1:-1]))
             if not words:
                 raise ExprError("empty phrase")
             return Phrase(words)

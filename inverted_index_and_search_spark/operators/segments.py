@@ -420,8 +420,9 @@ def batch_phrase_topk(idx: SegmentIndex,
 
     _require_positional(idx)
     spark = idx.segments.sparkSession
-    norm_pairs = [(int(qid), [t.lower() for t in phrase if t])
-                  for qid, phrase in queries]
+    from inverted_index_and_search_spark.operators.positional import norm_phrase
+
+    norm_pairs = [(int(qid), norm_phrase(phrase)) for qid, phrase in queries]
     qdf = spark.createDataFrame(
         [(qid, t) for qid, ph in norm_pairs for t in sorted(set(ph))],
         "query_id long, term string")
@@ -521,7 +522,11 @@ class QueryServer:
         """Warm exact-phrase BM25 top-k (positional segments): repeat
         queries touch only the per-term decoded-segment cache."""
         _require_positional(self.idx)
-        norm = [t.lower() for t in phrase if t]
+        from inverted_index_and_search_spark.operators.positional import (
+            norm_phrase,
+        )
+
+        norm = norm_phrase(phrase)
         if not norm:
             return []
         uniq = sorted(set(norm))
@@ -624,7 +629,9 @@ def phrase_docs(idx: SegmentIndex, phrase: list[str]) -> list[tuple[int, int]]:
     """[(doc_id, phrase_tf)] over positional compressed segments —
     rank-twin of positional.phrase_match (asserted in tests)."""
     _require_positional(idx)
-    norm = [t.lower() for t in phrase if t]
+    from inverted_index_and_search_spark.operators.positional import norm_phrase
+
+    norm = norm_phrase(phrase)
     if not norm:
         return []
     fetched = fetch_term_postings(idx, norm)
@@ -656,7 +663,9 @@ def phrase_topk(idx: SegmentIndex, phrase: list[str],
     positional segments; score-identical to positional.phrase_bm25_topk
     (same df/idf/k1/b semantics, asserted in tests)."""
     _require_positional(idx)
-    norm = [t.lower() for t in phrase if t]
+    from inverted_index_and_search_spark.operators.positional import norm_phrase
+
+    norm = norm_phrase(phrase)
     if not norm:
         return []
     fetched = fetch_term_postings(idx, norm)

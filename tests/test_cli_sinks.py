@@ -304,9 +304,57 @@ def test_cli_expr_search(spark, tmp_path, capsys):
               "--query", "zzznotaterm AND table"])
     assert "No matches found." in capsys.readouterr().out
 
-    # malformed expression -> stderr error, no crash
-    cli.main(["search", "--index", idx_dir, "--expr", "--query", "NOT x"])
+    # malformed one-shot expression -> stderr error + nonzero exit so
+    # scripts can detect the failure (REPL keeps print-and-continue)
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["search", "--index", idx_dir, "--expr", "--query", "NOT x"])
+    assert ei.value.code == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_search_does_not_cache_postings(spark, tmp_path, capsys,
+                                            monkeypatch):
+    """The search warmup must NOT materialize the postings table (a full
+    index scan + full-RAM cache at corpus scale); only doc_stats warms.
+    Guards VERDICT r02 'What's wrong' #1."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clinocache")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+
+    captured = {}
+    real_read = ib.read_index
+
+    def spy(spark_, path):
+        idx = real_read(spark_, path)
+        captured["idx"] = idx
+        return idx
+
+    monkeypatch.setattr(ib, "read_index", spy)
+    monkeypatch.setattr(cli.ib, "read_index", spy)
+    cli.main(["search", "--index", idx_dir, "--query", "table query"])
+    idx = captured["idx"]
+    assert not idx.postings.is_cached
+    assert idx.doc_stats.is_cached
+    idx.doc_stats.unpersist()
+
+
+def test_cli_phrase_search_tokenizes_punctuation(spark, tmp_path, capsys):
+    """--phrase 'table-hash' must match the token sequence (table, hash),
+    not the impossible literal token 'table-hash' (ADVICE r02)."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clipunct")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir, "--positional"])
+    capsys.readouterr()
+    cli.main(["search", "--index", idx_dir, "--phrase",
+              "--query", "table hash"])
+    plain = capsys.readouterr().out
+    cli.main(["search", "--index", idx_dir, "--phrase",
+              "--query", "table-hash"])
+    hyphen = capsys.readouterr().out
+    assert plain == hyphen and "\t" in plain
 
 
 def test_cli_expr_ranked_search(spark, tmp_path, capsys):

@@ -103,6 +103,17 @@ def test_phrase_empty_and_missing(pidx):
     assert pos.phrase_match(pidx, ["zzzqqqxx", "def"]).collect() == []
 
 
+def test_norm_phrase_tokenizes_punctuation(pidx):
+    """Phrase elements run through the canonical tokenizer: 'def-return'
+    is the sequence (def, return), not an impossible literal token."""
+    assert pos.norm_phrase(["def-return", "If"]) == ["def", "return", "if"]
+    a = {(r["doc_id"], r["phrase_tf"])
+         for r in pos.phrase_match(pidx, ["def", "return"]).collect()}
+    b = {(r["doc_id"], r["phrase_tf"])
+         for r in pos.phrase_match(pidx, ["def-return"]).collect()}
+    assert a == b and a
+
+
 def test_phrase_single_term_equals_tf(pidx, oracle_idx):
     got = {int(r["doc_id"]): int(r["phrase_tf"])
            for r in pos.phrase_match(pidx, ["def"]).collect()}

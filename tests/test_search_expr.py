@@ -106,6 +106,18 @@ def test_expr_terms_collects_positive_leaves():
     assert se.expr_terms(node) == ["a", "b", "c", "d"]
 
 
+def test_phrase_atom_uses_canonical_tokenizer(pidx):
+    """Quoted phrases tokenize like documents do: '"new-york times"'
+    queries the token sequence (new, york, times), never the impossible
+    literal token 'new-york' (ADVICE r02)."""
+    assert se.parse('"new-york times"') == se.Phrase(("new", "york", "times"))
+    assert se.parse('"Def,Return"') == se.Phrase(("def", "return"))
+    # equivalent spellings produce identical results end to end
+    a = [r["doc_id"] for r in se.search_expr(pidx, '"def return"').collect()]
+    b = [r["doc_id"] for r in se.search_expr(pidx, '"def,return"').collect()]
+    assert a == b and a
+
+
 # ---------------------------------------------------------------- property
 
 from hypothesis import given, settings  # noqa: E402
