@@ -205,6 +205,23 @@ def _q_bm25_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score"), 6).alias("score"))
 
 
+def _q_bm25_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the JSON interchange: build -> write the reference
+    {word, docs:[...]} JSON sink -> parse it back (read_index_json) ->
+    rank. Hash-equal to the same SQL oracle as bm25_top10, closing the
+    round-2 self-consistency gap (an index written with --format json
+    could not be queried back)."""
+    import tempfile
+
+    idx = _index(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="iis_jsonidx_")
+    ib.write_index_json(idx, f"{tmp}/wire")
+    rt = ib.read_index_json(spark, f"{tmp}/wire")
+    res = q.bm25_topk(rt, Q_BM25, k=10)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round(F.col("score"), 6).alias("score"))
+
+
 def _q_term_tf_rawfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """term_tf through raw-file ingestion: materialize every document
     as a .txt file (zero-padded name so the basename rank reproduces
@@ -277,7 +294,7 @@ def _q_phrase_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ib.Index(postings=sharded,
                    doc_stats=ib.doc_stats(docs, tdp, content_col="text",
                                           id_col="doc_id"),
-                   tf=tdp)
+                   tf=tdp, sharded=True)
     return pos.phrase_match(idx, Q_PHRASE).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("phrase_tf").cast("int").alias("phrase_tf"))
@@ -445,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
         "bm25_text_roundtrip": _q_bm25_text_roundtrip,
+        "bm25_json_roundtrip": _q_bm25_json_roundtrip,
         "term_tf_rawfiles": _q_term_tf_rawfiles,
         "bm25_top10_rare": lambda s, d: _bm25_rounded(s, d, Q_BM25_RARE),
         "bm25_wand_top10": _q_bm25_wand,
@@ -726,6 +744,7 @@ FROM ranked WHERE rank <= 3
 """,
         "bm25_top10": _bm25_sql(Q_BM25),
         "bm25_text_roundtrip": _bm25_sql(Q_BM25),
+        "bm25_json_roundtrip": _bm25_sql(Q_BM25),
         "term_tf_rawfiles":
             f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
         "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),

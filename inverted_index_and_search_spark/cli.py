@@ -98,9 +98,14 @@ def _build(args: argparse.Namespace) -> None:
     if args.format == "parquet":
         ib.write_index(idx, args.output)
     elif args.format == "text":
-        ib.write_index_text(idx, args.output)
+        # line sinks honor --num-output-partitions as the output FILE
+        # count (reference coalesce/repartition of the rendered lines,
+        # spark/inverted_index_search.py:223-231)
+        ib.write_index_text(idx, args.output,
+                            num_partitions=args.num_output_partitions)
     else:
-        ib.write_index_json(idx, args.output)
+        ib.write_index_json(idx, args.output,
+                            num_partitions=args.num_output_partitions)
     from inverted_index_and_search_spark.metrics import write_run_metrics
     # text/json sinks are flat line-file dirs a reader globs whole —
     # park the metrics artifact alongside, not inside, those
@@ -209,6 +214,8 @@ def _search(args: argparse.Namespace) -> None:
         # reference-variant interchange: consume a `term\tdoc:tf...`
         # text index from any builder (search-query.py:75-90 parity)
         index = ib.read_index_text(spark, args.index)
+    elif args.index_format == "json":
+        index = ib.read_index_json(spark, args.index)
     else:
         index = ib.read_index(spark, args.index)
     # Warm only the SMALL side: doc_stats + collection stats. Caching
@@ -285,10 +292,11 @@ def main(argv: list[str] | None = None) -> None:
 
     s = sub.add_parser("search", help="query a built index")
     s.add_argument("--index", required=True)
-    s.add_argument("--index-format", choices=["parquet", "text"],
+    s.add_argument("--index-format", choices=["parquet", "text", "json"],
                    default="parquet",
                    help="'text' consumes a reference-wire-format "
-                        "term\\tdoc:tf index from any variant")
+                        "term\\tdoc:tf index from any variant; 'json' "
+                        "consumes the {word, docs:[...]} JSON sink")
     s.add_argument("--query", default=None,
                    help="one-shot query; omit for an interactive REPL")
     s.add_argument("--bm25", action="store_true",

@@ -217,12 +217,20 @@ def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
 
 @dataclass
 class Index:
-    """In-memory handle on the index tables (all lazy DataFrames)."""
+    """In-memory handle on the index tables (all lazy DataFrames).
+
+    ``sharded=True`` marks layouts where one term's postings may span
+    MULTIPLE rows (hot-term posting-list sharding,
+    positional.positional_postings): wire-format sinks must merge shard
+    rows back to one line per term, which costs a full groupBy shuffle —
+    so the merge runs only when the layout can actually contain
+    multi-row terms."""
 
     postings: DataFrame  # term, term_bucket, df, cf, postings
     doc_stats: DataFrame  # doc_id, dl, content_sha256
     tf: DataFrame | None = None  # (term, doc_id, tf) — shared upstream stage
     n_buckets: int = DEFAULT_BUCKETS
+    sharded: bool = False
     _n_docs: int | None = None
     _avgdl: float | None = None
 
@@ -291,10 +299,12 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
         index.doc_stats.write.mode(mode).parquet(f"{out_dir}/doc_stats")
         # persist the bucketing modulus: query-time pruning recomputes
         # pmod(xxhash64(term), n_buckets) and MUST use the build-time
-        # value or matching postings are silently filtered out
+        # value or matching postings are silently filtered out;
+        # shardedness rides along so read-back sinks merge correctly
         os.makedirs(out_dir, exist_ok=True)
         with open(f"{out_dir}/meta.json", "w") as f:
-            json.dump({"n_buckets": index.n_buckets}, f)
+            json.dump({"n_buckets": index.n_buckets,
+                       "sharded": index.sharded}, f)
     finally:
         if index.tf is not None:
             index.tf.unpersist()
@@ -317,8 +327,13 @@ def postings_text_lines(index: Index, *, lexicographic: bool = False) -> DataFra
     Sharded layouts (positional hot-term sharding splits a term across
     rows) are merged back to ONE line per term here — the wire format's
     invariant; reference consumers keep a per-term dict and would
-    silently drop all but one shard otherwise."""
-    merged = _one_row_per_term(index.postings)
+    silently drop all but one shard otherwise. The merge (a full
+    groupBy shuffle) runs only when ``index.sharded`` says the layout
+    can actually contain multi-row terms."""
+    if index.sharded:
+        merged = _one_row_per_term(index.postings)
+    else:
+        merged = index.postings.select("term", "postings")
     posting_strs = F.transform(
         "postings",
         lambda p: F.concat_ws(":", p["doc_id"].cast("string"),
@@ -339,12 +354,27 @@ def _one_row_per_term(postings: DataFrame) -> DataFrame:
         F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"))
 
 
-def write_index_text(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
+def _shape_output(df: DataFrame, num_partitions: int | None) -> DataFrame:
+    """Reference output-partitioning control for line sinks
+    (``spark/inverted_index_search.py:223-231``: ``coalesce(1)`` for a
+    single file, ``repartition(n)`` otherwise); None keeps the ambient
+    partitioning."""
+    if num_partitions is None:
+        return df
+    if num_partitions == 1:
+        return df.coalesce(1)
+    return df.repartition(num_partitions)
+
+
+def write_index_text(index: Index, out_dir: str, *, mode: str = "overwrite",
+                     num_partitions: int | None = None) -> None:
     """Debug/compat text sink (reference ``--format text``)."""
-    postings_text_lines(index).write.mode(mode).text(out_dir)
+    _shape_output(postings_text_lines(index),
+                  num_partitions).write.mode(mode).text(out_dir)
 
 
-def write_index_json(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
+def write_index_json(index: Index, out_dir: str, *, mode: str = "overwrite",
+                     num_partitions: int | None = None) -> None:
     """Reference ``--format json`` sink: ``{word, docs:[...]}`` per line
     (``spark/inverted_index_search.py:233-236``). Shard rows merge to
     one object per word (see :func:`postings_text_lines`)."""
@@ -353,8 +383,13 @@ def write_index_json(index: Index, out_dir: str, *, mode: str = "overwrite") -> 
         lambda p: F.concat_ws(":", p["doc_id"].cast("string"),
                               p["tf"].cast("string")),
     )
-    (_one_row_per_term(index.postings)
-     .select(F.col("term").alias("word"), docs_arr.alias("docs"))
+    if index.sharded:
+        merged = _one_row_per_term(index.postings)
+    else:
+        merged = index.postings.select("term", "postings")
+    (_shape_output(
+        merged.select(F.col("term").alias("word"), docs_arr.alias("docs")),
+        num_partitions)
      .write.mode(mode).json(out_dir))
 
 
@@ -387,6 +422,28 @@ def read_index_text(spark: SparkSession, path: str, *,
            .where(F.size(parts) >= 2)
            .select(parts[0].alias("term"),
                    F.slice(parts, 2, F.size(parts) - 1).alias("posts")))
+    return _index_from_posts(raw, n_buckets=n_buckets)
+
+
+def read_index_json(spark: SparkSession, path: str, *,
+                    n_buckets: int = DEFAULT_BUCKETS) -> Index:
+    """Parse a ``{word, docs:["doc:tf", ...]}`` JSON-lines index (the
+    :func:`write_index_json` / reference ``--format json`` sink,
+    ``spark/inverted_index_search.py:233-236``) back into a typed
+    :class:`Index` — same interchange semantics as
+    :func:`read_index_text` (last-colon docID split, malformed-entry
+    skip, filename dense-rank); only the line envelope differs."""
+    raw = (spark.read.schema("word string, docs array<string>").json(path)
+           .where(F.col("word").isNotNull() & F.col("docs").isNotNull())
+           .select(F.col("word").alias("term"), F.col("docs").alias("posts")))
+    return _index_from_posts(raw, n_buckets=n_buckets)
+
+
+def _index_from_posts(raw: DataFrame, *, n_buckets: int) -> Index:
+    """Shared interchange tail: (term, posts: array<'doc:tf'>) rows ->
+    typed Index (explode, last-colon split, malformed skip, doc-key
+    dense-rank, dl reconstruction). See :func:`read_index_text` for the
+    reference-parity notes."""
     ps = F.col("ps")
     doc_key = F.expr(
         "substring(ps, 1, length(ps) - length(substring_index(ps, ':', -1)) - 1)")
@@ -480,13 +537,16 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
     import json
     import os
 
-    n_buckets = DEFAULT_BUCKETS
+    n_buckets, sharded = DEFAULT_BUCKETS, False
     meta_path = f"{out_dir}/meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            n_buckets = int(json.load(f)["n_buckets"])
+            meta = json.load(f)
+        n_buckets = int(meta["n_buckets"])
+        sharded = bool(meta.get("sharded", False))
     return Index(
         postings=spark.read.parquet(f"{out_dir}/postings"),
         doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
         n_buckets=n_buckets,
+        sharded=sharded,
     )

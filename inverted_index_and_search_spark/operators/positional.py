@@ -203,6 +203,7 @@ def build_positional_index(docs: DataFrame, *, content_col: str = "content",
         doc_stats=doc_stats(docs, tdp, content_col=content_col, id_col=id_col),
         tf=tdp,
         n_buckets=n_buckets,
+        sharded=hot is not None,
     )
 
 

@@ -188,6 +188,75 @@ def test_text_index_roundtrip_queries(spark, docs_df, tmp_path):
         assert gb == wb, terms
 
 
+def test_json_index_roundtrip_queries(spark, docs_df, tmp_path):
+    """write json sink -> read_index_json -> boolean/BM25 results equal
+    the original index (VERDICT r02 missing #1: an index written with
+    --format json must be queryable back)."""
+    from inverted_index_and_search_spark.operators import query as q
+
+    idx = ib.build_index(docs_df)
+    out = str(tmp_path / "jswire")
+    ib.write_index_json(idx, out)
+    rt = ib.read_index_json(spark, out)
+    for terms in [["def"], ["def", "return", "if"], ["zzzqqqxx"]]:
+        got = [r["doc_id"] for r in q.boolean_and(rt, terms).collect()]
+        want = [r["doc_id"] for r in q.boolean_and(idx, terms).collect()]
+        assert got == want, terms
+        gb = [(r["doc_id"], round(r["score"], 9))
+              for r in q.bm25_topk(rt, terms, k=10).collect()]
+        wb = [(r["doc_id"], round(r["score"], 9))
+              for r in q.bm25_topk(idx, terms, k=10).collect()]
+        assert gb == wb, terms
+
+
+def test_cli_json_build_and_search(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "clijson")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", out, "--format", "json"])
+    capsys.readouterr()
+    cli.main(["search", "--index", out, "--index-format", "json",
+              "--bm25", "--topk", "3", "--query", "table query"])
+    bm = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert 0 < len(bm) <= 3
+
+
+def test_line_sink_partition_control(spark, docs_df, tmp_path):
+    """--num-output-partitions shapes the text/json LINE sinks too
+    (reference coalesce(1)/repartition(n) of the rendered output,
+    spark/inverted_index_search.py:223-231)."""
+    import os
+
+    idx = ib.build_index(docs_df)
+    one = str(tmp_path / "one")
+    ib.write_index_text(idx, one, num_partitions=1)
+    parts = [f for f in os.listdir(one) if f.startswith("part-")]
+    assert len(parts) == 1
+    three = str(tmp_path / "three")
+    ib.write_index_json(idx, three, num_partitions=3)
+    parts = [f for f in os.listdir(three) if f.startswith("part-")]
+    assert len(parts) == 3
+    # same content either way
+    a = sorted(r["value"] for r in spark.read.text(one).collect())
+    b = sorted(r["value"] for r in ib.postings_text_lines(idx).collect())
+    assert a == b
+
+
+def test_unsharded_sink_skips_merge_shuffle(docs_df):
+    """The wire-format shard merge (a full groupBy of all postings) must
+    not run for the ordinary one-row-per-term layout (ADVICE r02)."""
+    idx = ib.build_index(docs_df)
+    assert not idx.sharded
+    plan = ib.postings_text_lines(idx)._jdf.queryExecution().optimizedPlan().toString()
+    # the index's own postings agg keeps its collect_list; the MERGE is
+    # the extra flatten(collect_list(postings)) re-aggregation — absent
+    assert "flatten" not in plan
+    sh = ib.Index(postings=idx.postings, doc_stats=idx.doc_stats,
+                  sharded=True)
+    plan_sh = ib.postings_text_lines(sh)._jdf.queryExecution().optimizedPlan().toString()
+    assert "flatten" in plan_sh
+
+
 def test_read_text_index_reference_filenames(spark, tmp_path):
     """Reference-variant outputs use filename docIDs (which may contain
     ':'); parse with last-colon split and dense-rank the keys."""

@@ -227,7 +227,7 @@ def test_sharded_positional_results_identical(spark, docs_df, oracle_idx,
     )
     sh_idx = Index(postings=sharded,
                    doc_stats=doc_stats(docs_df, tdp),
-                   tf=tdp)
+                   tf=tdp, sharded=True)
 
     # hot terms really are split across rows
     n_rows = sharded.groupBy("term").count().agg(F.max("count")).collect()[0][0]
@@ -276,7 +276,7 @@ def test_sharded_index_text_sink_one_line_per_term(spark, docs_df):
     all_terms = tdp.select("term").distinct()
     sharded = Index(
         postings=pos.positional_postings(tdp, hot=all_terms, shard_factor=8),
-        doc_stats=doc_stats(docs_df, tdp), tf=tdp)
+        doc_stats=doc_stats(docs_df, tdp), tf=tdp, sharded=True)
     base = pos.build_positional_index(docs_df, use_pandas_udf=False)
     lines_s = sorted(r["value"] for r in postings_text_lines(sharded).collect())
     lines_b = sorted(r["value"] for r in postings_text_lines(base).collect())
