@@ -262,11 +262,9 @@ def _q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score"), 6).alias("score"))
 
 
-def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase BM25 through the compressed positional segments (delta+
-    varint postings AND positions): hash-equal to the same SQL oracle
-    as phrase_bm25_top10, so the whole positional codec + numpy phrase
-    kernel is driver-verified, not just pytest'd."""
+def _pos_segment_index(spark: SparkSession, sf_dir: str) -> seg.SegmentIndex:
+    """Compressed POSITIONAL segment index over the documents table —
+    shared by the phrase/proximity/batch segment driver entries."""
     docs = _docs(spark, sf_dir)
     tdp = pos.term_doc_positions(docs, content_col="text", id_col="doc_id")
     n_docs = docs.count()
@@ -274,12 +272,74 @@ def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         tdp.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         .join(docs.select("doc_id"), "doc_id", "right").fillna({"dl": 0})
         .agg(F.avg("dl")).collect()[0][0])
-    sidx = seg.build_segment_index(
+    return seg.build_segment_index(
         tdp, n_docs, avgdl, hot=ib.hot_terms_from_docs(docs, content_col="text"))
-    hits = seg.phrase_topk(sidx, Q_PHRASE, k=10)
+
+
+def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase BM25 through the compressed positional segments (delta+
+    varint postings AND positions): hash-equal to the same SQL oracle
+    as phrase_bm25_top10, so the whole positional codec + numpy phrase
+    kernel is driver-verified, not just pytest'd."""
+    hits = seg.phrase_topk(_pos_segment_index(spark, sf_dir), Q_PHRASE, k=10)
     out = spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double")
     return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity through the compressed positional segments (numpy
+    nearest-neighbor kernel over decoded position lists) — hash-equal
+    to the same oracle as near_terms, so the segment proximity path is
+    driver-verified against an independent method."""
+    a, b, w = Q_NEAR
+    ids = seg.near_docs(_pos_segment_index(spark, sf_dir), a, b, w)
+    return spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
+
+
+#: batch workloads for the distributed executor-side eval paths;
+#: qid 3 / phrase qid 2 pin the absent-term contract (no output rows)
+BATCH_QUERIES = [(0, Q_BM25), (1, Q_AND), (2, Q_BM25_RARE),
+                 (3, ["zzznotaterm"])]
+BATCH_PHRASES = [(0, Q_PHRASE), (1, ["customer", "join"]),
+                 (2, ["zzznotaterm", "table"])]
+
+
+def _q_batch_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch BM25 (WAND kernel ON EXECUTORS via
+    applyInPandas over bucket-pruned segments) for a 4-query workload —
+    hash-equal to a single batched SQL oracle scoring every
+    (query_id, doc) pair, so the executor-side eval path is
+    driver-verified, not just pytest'd."""
+    docs = _docs(spark, sf_dir)
+    tok = ib.tokens(docs, content_col="text", id_col="doc_id")
+    tf = ib.term_doc_tf(tok)
+    n_docs = docs.count()
+    avgdl = float(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        .join(docs.select("doc_id"), "doc_id", "right").fillna({"dl": 0})
+        .agg(F.avg("dl")).collect()[0][0])
+    sidx = seg.build_segment_index(
+        tf, n_docs, avgdl, hot=ib.hot_terms_from_docs(docs, content_col="text"))
+    res = seg.batch_topk(sidx, BATCH_QUERIES, k=10)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"))
+
+
+def _q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch PHRASE eval (vectorized phrase kernel ON
+    EXECUTORS) for a 3-phrase workload, against a batched phrase-BM25
+    SQL oracle."""
+    res = seg.batch_phrase_topk(_pos_segment_index(spark, sf_dir),
+                                BATCH_PHRASES, k=10)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"))
 
 
 def _q_phrase_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,6 +517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25_top10": _q_phrase_bm25,
         "phrase_segments_top10": _q_phrase_segments,
         "near_terms": _q_near_terms,
+        "near_terms_segments": _q_near_segments,
+        "batch_bm25_topk": _q_batch_bm25,
+        "batch_phrase_topk": _q_batch_phrase,
         "query_expr": _q_query_expr,
         "query_expr_ranked": _q_query_expr_ranked,
         "top_terms": _q_top_terms,
@@ -546,6 +609,80 @@ SELECT doc_id::BIGINT AS doc_id,
               / (phrase_tf + {K1} * (1.0 - {B} + {B} * dl / s.avgdl)), 6) AS score
 FROM m CROSS JOIN stats s WHERE phrase_tf > 0
 ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _batch_bm25_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    """Batched disjunctive BM25: every (query_id, term) pair scores
+    against the shared tf/df/dl relations, ranked per query — the SQL
+    twin of segments.batch_topk. A query whose terms are all absent
+    contributes no rows (the join drops it), mirroring the engine's
+    absent-row contract."""
+    vals = ", ".join(f"({qid}, '{t}')"
+                     for qid, ts in queries
+                     for t in sorted({x.lower() for x in ts}))
+    return f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+qterms(query_id, term) AS (VALUES {vals}),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * {K1 + 1.0})
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q JOIN tf USING (term) JOIN dfs USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _batch_phrase_sql(queries: list[tuple[int, list[str]]],
+                      k: int = 10) -> str:
+    """Batched phrase-as-pseudo-term BM25 (SQL twin of
+    segments.batch_phrase_topk): per-phrase match CTEs union with their
+    query_id, df per query from the matched set, ranked per query."""
+    ms = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS query_id, doc_id, len(tk) AS dl, "
+        f"{_phrase_tf_frag([t.lower() for t in ph])} AS phrase_tf FROM t"
+        for qid, ph in queries)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+m_all AS ({ms}),
+m AS (SELECT * FROM m_all WHERE phrase_tf > 0),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT avg(len(tk)) FROM t) AS avgdl),
+dfq AS (SELECT query_id, count(*)::DOUBLE AS df FROM m GROUP BY query_id),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (m.phrase_tf * {K1 + 1.0})
+         / (m.phrase_tf + {K1} * (1.0 - {B} + {B} * m.dl / s.avgdl)) AS score
+  FROM m JOIN dfq d USING (query_id) CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -670,6 +807,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exc) ORDER BY doc_id
         "phrase_bm25_top10": _phrase_bm25_sql(Q_PHRASE),
         "phrase_segments_top10": _phrase_bm25_sql(Q_PHRASE),
         "near_terms": _near_terms_sql(*Q_NEAR),
+        "near_terms_segments": _near_terms_sql(*Q_NEAR),
+        "batch_bm25_topk": _batch_bm25_sql(BATCH_QUERIES),
+        "batch_phrase_topk": _batch_phrase_sql(BATCH_PHRASES),
         # ("table hash" OR merge) AND NOT stream — set algebra mirror of
         # the engine's expression evaluator
         "query_expr": f"""

@@ -348,6 +348,12 @@ def batch_topk(idx: SegmentIndex, queries: list[tuple[int, list[str]]],
     are rank-identical by construction (asserted in tests). At 10^12
     docs the per-query shipped bytes stay proportional to the query's
     own posting lists, and query evaluation parallelism = #queries.
+
+    Absent-row contract: a query_id whose terms are ALL absent from the
+    index yields NO output rows at all (the inner join produces no
+    group) — indistinguishable from a present-terms query with zero
+    hits. Consumers that need one row per submitted query should
+    left-join this result against their workload's distinct query_ids.
     """
     import pandas as pd
 
@@ -415,6 +421,12 @@ def batch_phrase_topk(idx: SegmentIndex,
     query_id, and scores phrase-as-pseudo-term BM25 inside
     ``applyInPandas``. Returns (query_id, rank, doc_id, score),
     rank/score-identical to :func:`phrase_topk` per query (tested).
+
+    Absent-row contract (same as :func:`batch_topk`): a phrase whose
+    terms are ALL absent yields no output rows; a phrase with ANY
+    absent term yields no rows either (exact-phrase semantics) but its
+    group may still evaluate — both cases print nothing, left-join
+    your workload's query_ids if you need a row per query.
     """
     import pandas as pd
 
@@ -498,10 +510,16 @@ class QueryServer:
         for t in norm:
             if t in self._cache:
                 self._cache[t] = self._cache.pop(t)
-        norm_set = set(norm)
-        evictable = [t for t in self._cache if t not in norm_set]
-        while len(self._cache) > self.max_terms and evictable:
-            self._cache.pop(evictable.pop(0))
+        # dict preserves insertion order = recency order after the MRU
+        # touch above; evict oldest-first, only when actually over cap
+        # (no per-call full-cache list rebuild on the warm path)
+        if len(self._cache) > self.max_terms:
+            norm_set = set(norm)
+            for t in list(self._cache):
+                if len(self._cache) <= self.max_terms:
+                    break
+                if t not in norm_set:
+                    del self._cache[t]
 
     def bm25_topk(self, terms: list[str], k: int = 10, *,
                   conjunctive: bool = False,
@@ -536,6 +554,20 @@ class QueryServer:
         matched = _phrase_eval(fetched, norm)
         return _score_phrase_matched(matched, self.idx.n_docs,
                                      self.idx.avgdl, k)
+
+    def near_terms(self, term_a: str, term_b: str,
+                   window: int) -> list[int]:
+        """Warm proximity query (positional segments): doc_ids where the
+        two terms occur within ``window`` token offsets — list-identical
+        to positional.terms_within_window (tested); repeat queries run
+        entirely on the per-term decoded-segment cache."""
+        _require_positional(self.idx)
+        a, b = term_a.lower(), term_b.lower()
+        uniq = sorted({a, b})
+        self._ensure(uniq)
+        fetched = {t: c for t in uniq
+                   if (c := self._cache.get(t)) is not None}
+        return _near_eval(fetched, a, b, window)
 
     def boolean_and(self, terms: list[str]) -> list[int]:
         norm = sorted({t.lower() for t in terms})
@@ -617,6 +649,63 @@ def _phrase_eval(fetched: dict[str, bm25.TermPostings],
     dls = tp0.dls[j0]
     return [(int(cand[h]), int(tf_per_rank[h]), int(d))
             for h, d in zip(hit, dls)]
+
+
+def _pos_slice(tp: bm25.TermPostings, j: int) -> np.ndarray:
+    """Position list of posting ``j`` (requires ensure_positions)."""
+    end = int(tp.pos_bounds[j])
+    start = int(tp.pos_bounds[j - 1]) if j > 0 else 0
+    return tp.positions_flat[start:end]
+
+
+def _near_eval(fetched: dict[str, bm25.TermPostings], a: str, b: str,
+               window: int) -> list[int]:
+    """doc_ids (ascending) where ``a`` and ``b`` occur within ``window``
+    token offsets — the numpy twin of positional.terms_within_window
+    (same semantics: same-term queries need two DISTINCT occurrences).
+
+    Per candidate doc the check is one searchsorted of a's positions
+    into b's (nearest-neighbor within window, O((|Pa|+|Pb|) log)) —
+    cheaper than the DataFrame op's |Pa|*|Pb| exists-exists; the
+    candidate loop is driver-side python but each iteration is
+    vectorized and candidates are bounded by min(df_a, df_b)."""
+    if a not in fetched or b not in fetched:
+        return []
+    ta, tb = fetched[a], fetched[b]
+    ta.ensure_positions()
+    tb.ensure_positions()
+    out: list[int] = []
+    if a == b:
+        # nearest distinct occurrence is an adjacent one (sorted), so
+        # the doc qualifies iff any consecutive gap is <= window
+        for j, d in enumerate(ta.doc_ids):
+            p = _pos_slice(ta, j)
+            if p.size >= 2 and int(np.diff(p).min()) <= window:
+                out.append(int(d))
+        return out
+    cand = np.intersect1d(ta.doc_ids, tb.doc_ids, assume_unique=True)
+    ja = np.searchsorted(ta.doc_ids, cand)
+    jb = np.searchsorted(tb.doc_ids, cand)
+    for d, ia_, ib_ in zip(cand, ja, jb):
+        pa = _pos_slice(ta, int(ia_))
+        pb = _pos_slice(tb, int(ib_))
+        lo = np.searchsorted(pb, pa - window)
+        ok = (lo < pb.size) & (pb[np.minimum(lo, pb.size - 1)] <= pa + window)
+        if bool(ok.any()):
+            out.append(int(d))
+    return out
+
+
+def near_docs(idx: SegmentIndex, term_a: str, term_b: str,
+              window: int) -> list[int]:
+    """Proximity query over positional compressed segments: doc_ids
+    (ascending) where the terms occur within ``window`` token offsets —
+    list-identical to positional.terms_within_window (tested). Fetch is
+    the same bucket-pruned two-term segment read as :func:`phrase_docs`."""
+    _require_positional(idx)
+    a, b = term_a.lower(), term_b.lower()
+    fetched = fetch_term_postings(idx, [a, b])
+    return _near_eval(fetched, a, b, window)
 
 
 def _require_positional(idx: SegmentIndex) -> None:

@@ -127,3 +127,40 @@ def test_positions_decode_is_lazy(psegs):
     assert flat.size == int(np.diff(
         np.concatenate(([0], tp.pos_bounds))).sum())
     assert tp.positions_flat is flat  # cached, decoded once
+
+
+# ------------------------------------------------------------- proximity
+
+NEAR_CASES = [("def", "return", 3), ("def", "trait", 5),
+              ("return", "if", 1), ("def", "zzzqqqxx", 4),
+              ("def", "def", 2)]
+
+
+@pytest.mark.parametrize("a,b,w", NEAR_CASES)
+def test_near_docs_matches_dataframe_path(psegs, pidx, a, b, w):
+    """Segment proximity kernel == positional.terms_within_window,
+    including the same-term two-distinct-occurrences rule."""
+    want = [int(r["doc_id"])
+            for r in pos.terms_within_window(pidx, a, b, w).collect()]
+    got = seg.near_docs(psegs, a, b, w)
+    assert got == want, (a, b, w)
+
+
+def test_query_server_near_terms(psegs, pidx):
+    server = seg.QueryServer(psegs)
+    for a, b, w in NEAR_CASES:
+        want = [int(r["doc_id"])
+                for r in pos.terms_within_window(pidx, a, b, w).collect()]
+        assert server.near_terms(a, b, w) == want, (a, b, w)
+    # warm repeat touches only the cache (no further fetches needed)
+    assert server.near_terms(*NEAR_CASES[0]) == [
+        int(r["doc_id"])
+        for r in pos.terms_within_window(pidx, *NEAR_CASES[0]).collect()]
+
+
+def test_near_docs_requires_positional(spark, docs_df):
+    tf = ib.term_doc_tf_arrow(docs_df)
+    n = docs_df.count()
+    sidx = seg.build_segment_index(tf, n, 10.0, salt_hot_terms=False)
+    with pytest.raises(ValueError):
+        seg.near_docs(sidx, "def", "return", 3)
