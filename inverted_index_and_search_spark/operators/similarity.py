@@ -8,8 +8,9 @@ Three operators, all deterministic and oracle-checkable:
   nearest of C deterministic centroids (the first C vectors of the
   table — a seeded-kmeans stand-in that keeps the oracle exact);
   queries probe the P closest centroids and scan only those cells.
-  At 100 TB the assignment is one broadcast join (C centroids) and
-  the index is partitioned by cell id, so a probe reads P/C of data.
+  At 100 TB the assignment is a pure MAP-SIDE generated argmax over
+  the C literal centroids (zero exchanges, plan-gated) and the index
+  is partitioned by cell id, so a probe reads P/C of data.
 - :func:`lsh_bucket_neardup` — sign-LSH near-dup: H fixed literal
   hyperplanes (seeded numpy constants, embedded identically in Spark
   and DuckDB SQL) map each vector to an H-bit bucket; exact cosine
@@ -119,28 +120,43 @@ def kmeans_centroids(emb: DataFrame, *, c: int = IVF_C, dim: int = DIM,
     return [[round(float(x), 6) for x in cents[j]] for j in range(c)]
 
 
+def _vec_lit(vec: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({x} as double)" for x in vec) + ")"
+
+
 def _assign_cells(emb: DataFrame, *, dim: int,
                   centroids: list[list[float]] | None = None
                   ) -> tuple[DataFrame, DataFrame]:
     """(vectors with cell id, centroids). Default centroids = first
     IVF_C vectors (deterministic, what the DuckDB oracle replicates);
     pass :func:`kmeans_centroids` output for data-adapted cells.
-    Assignment = argmax cosine, tie -> lowest centroid id. Broadcast
-    join: C rows against the full table."""
+
+    Assignment = argmax cosine, tie -> lowest centroid id — computed
+    ENTIRELY MAP-SIDE: the C centroids become literal arrays in one
+    generated ``greatest(struct(sim_j, -j), ...)`` projection, so the
+    assignment stage has ZERO exchanges (plan-gated). Round 2 shipped
+    every row through a C-fold broadcast join + groupBy argmax — a
+    C-fold row blowup and a full shuffle of the corpus that a 100 TB
+    scan cannot afford. Each sim_j is the same round(cosine, 6)
+    expression the DuckDB oracle evaluates, so assignments stay
+    bit-identical."""
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     if centroids is None:
-        cents = (base.where(F.col("vec_id") < IVF_C)
-                 .select(F.col("vec_id").alias("cell"), F.col("v").alias("c")))
-    else:
-        cents = emb.sparkSession.createDataFrame(
-            [(j, v) for j, v in enumerate(centroids)],
-            "cell long, c array<double>")
-    cos = F.expr(cosine_col("v", "c", dim, SPARK))
-    scored = base.join(F.broadcast(cents)).select(
-        "vec_id", "v", "cell", cos.alias("sim"))
-    best = F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negcell"))).alias("b")
-    assigned = (scored.groupBy("vec_id").agg(best, F.first("v").alias("v"))
-                .select("vec_id", "v", (-F.col("b.negcell")).cast("long").alias("cell")))
+        rows = base.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+        centroids = [[float(x) for x in r["v"]] for r in rows]
+    cents = emb.sparkSession.createDataFrame(
+        [(j, v) for j, v in enumerate(centroids)],
+        "cell long, c array<double>")
+    if len(centroids) == 1:
+        assigned = base.select("vec_id", "v", F.lit(0).cast("long").alias("cell"))
+        return assigned, cents
+    structs = ", ".join(
+        f"struct({cosine_col('v', _vec_lit(cv), dim, SPARK)} AS sim, "
+        f"{-j} AS negcell)"
+        for j, cv in enumerate(centroids))
+    best = F.expr(f"greatest({structs})")
+    assigned = base.select(
+        "vec_id", "v", (-best["negcell"]).cast("long").alias("cell"))
     return assigned, cents
 
 
@@ -159,13 +175,13 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], *, k: int = 10,
     0.73 with C=64/probe=16 k-means cells (bench reports the curve).
     Clustered real-world embeddings only improve on this."""
     assigned, cents = _assign_cells(emb, dim=dim, centroids=centroids)
-    lit = "array(" + ", ".join(f"cast({x} as double)" for x in query_vec) + ")"
+    lit = _vec_lit(query_vec)
     qsim = F.expr(cosine_col("c", lit, dim, SPARK))
-    probe = (cents.select("cell", qsim.alias("qs"))
-             .orderBy(F.desc("qs"), F.asc("cell")).limit(int(probe))
-             .select("cell"))
+    probe_cells = (cents.select("cell", qsim.alias("qs"))
+                   .orderBy(F.desc("qs"), F.asc("cell")).limit(int(probe))
+                   .select("cell"))
     cos = F.expr(cosine_col("v", lit, dim, SPARK))
-    return (assigned.join(F.broadcast(probe), "cell")
+    return (assigned.join(F.broadcast(probe_cells), "cell")
             .select("vec_id", cos.alias("score"))
             .orderBy(F.desc("score"), F.asc("vec_id")).limit(k))
 
