@@ -281,24 +281,31 @@ def phrase_bm25_topk(index: Index, phrase: list[str], k: int = 10) -> DataFrame:
     phrase (same k1/b/IDF as query.bm25_topk, so single-word phrases
     are score-identical to the ordinary path).
 
-    df is computed with an unpartitioned window COUNT over the *matched
-    set only* — the docs containing the full phrase, already k-way
-    intersected and tiny relative to the corpus — not over the corpus;
-    this trades one narrow single-partition pass of the match list for
-    a second aggregation job.
+    df is computed as a driver-side ``count()`` of the persisted match
+    relation and injected as a literal — the matched set (docs
+    containing the full phrase, already k-way intersected) is computed
+    once and scored fully parallel; round 2 used an unpartitioned
+    window COUNT instead, which funneled the whole match list through
+    one task. The persist lives until the session drops it (cheap: the
+    match relation is two ints per matching doc).
     """
     norm = _norm_phrase(phrase)
     spark = index.postings.sparkSession
     if not norm:
         return spark.createDataFrame([], "doc_id long, score double")
     n_docs, avgdl = index.collection_stats()
-    matched = _phrase_starts(index, norm)
-    df_col = F.count("*").over(Window.partitionBy())
+    matched = _phrase_starts(index, norm).persist()
+    phrase_df = matched.count()
+    if phrase_df == 0:
+        matched.unpersist()
+        return spark.createDataFrame([], "doc_id long, score double")
     dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
+    # idf still evaluates IN-PLAN (JVM log, same engine as every other
+    # score path) — only df became a constant
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     return (
-        matched.withColumn("df", df_col)
+        matched.withColumn("df", F.lit(float(phrase_df)))
         .join(dl, "doc_id")
         .select(
             "doc_id",

@@ -185,6 +185,9 @@ def test_phrase_bm25_broadcasts_doc_stats_and_takeordered(
                                         ["table", "hash"], k=10))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+    # phrase-df is a driver literal now — no unpartitioned Window
+    # funneling the match list through one task (VERDICT r02 next #10)
+    assert n_nodes(plan, "Window") == 0, plan
 
 
 def test_expr_eval_has_no_per_leaf_sorts(spark, persisted_positional_index):
