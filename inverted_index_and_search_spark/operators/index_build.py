@@ -174,12 +174,20 @@ def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
     only for terms detected hot (df > hot_df) by a cheap sampled pass
     (:func:`hot_terms`; round-1 salted EVERY term x16, taxing the long
     tail with 16x more partial groups). Phase 1 aggregates (term, salt)
-    where salt = pmod(hash(doc_id), s) for hot terms and 0 otherwise,
-    phase 2 merges the partial lists per term. Output is byte-identical
-    to the unsalted path (verified in tests) because the final
-    sort_array restores canonical doc_id order. This bounds the largest
-    single collect_list task at ~df/s postings, the engine's answer to
-    the reference's IMC flush threshold (TokenizerMapperStateful.java:14).
+    where salt = pmod(hash(doc_id), s) for hot terms and 0 otherwise.
+    A NON-hot term's phase-1 group (salt 0) is already its final
+    postings row, so phase 2 — the merge of partial lists per term —
+    runs over the HOT terms' rows only: the second shuffle carries a
+    handful of skewed terms' partials, not the whole corpus's postings
+    payload (round 2 re-shuffled everything through phase 2; measured
+    2.1 s -> 5.5 s on the 20k-file synth build when nothing was even
+    hot). Both branches consume the SAME phase-1 exchange (Catalyst
+    ReuseExchange — plan-gated), so the tokenize+tf stage still runs
+    once. Output is byte-identical to the unsalted path (verified in
+    tests) because every postings list is sort_array'd. This bounds the
+    largest single collect_list task at ~df/s postings, the engine's
+    answer to the reference's IMC flush threshold
+    (TokenizerMapperStateful.java:14).
     """
     post = F.struct(F.col("doc_id"), F.col("tf"))
     if not salt_hot_terms:
@@ -197,19 +205,27 @@ def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
             hot = hot_terms(tf, hot_df=hot_df, sample_mod=hot_sample_mod)
         hot = hot.withColumn("_hot", F.lit(True))
         salted = (tf.join(F.broadcast(hot), "term", "left")
-                  .withColumn("salt", salt_col(F.col("_hot").isNotNull(),
-                                               salt_factor))
-                  .drop("_hot"))
-        partial = salted.groupBy("term", "salt").agg(
-            F.collect_list(post).alias("p_postings"),
+                  .withColumn("_hot", F.col("_hot").isNotNull())
+                  .withColumn("salt", salt_col(F.col("_hot"), salt_factor)))
+        # _hot joins the grouping key (term determines it, so groups are
+        # unchanged) purely to make the post-agg hot/cold split free
+        partial = salted.groupBy("term", "_hot", "salt").agg(
+            F.sort_array(F.collect_list(post)).alias("p_postings"),
             F.count("*").cast("long").alias("p_df"),
             F.sum("tf").cast("long").alias("p_cf"),
         )
-        agg = partial.groupBy("term").agg(
+        cold = partial.where(~F.col("_hot")).select(
+            "term",
+            F.col("p_postings").alias("postings"),
+            F.col("p_df").alias("df"),
+            F.col("p_cf").alias("cf"),
+        )
+        hot_merged = partial.where(F.col("_hot")).groupBy("term").agg(
             F.sort_array(F.flatten(F.collect_list("p_postings"))).alias("postings"),
             F.sum("p_df").cast("long").alias("df"),
             F.sum("p_cf").cast("long").alias("cf"),
         )
+        agg = cold.unionByName(hot_merged)
     return agg.withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets)).select(
         "term", "term_bucket", "df", "cf", "postings"
     )

@@ -97,19 +97,28 @@ def grouped_postings_arrays(
             hot = hot_terms(tf_dl, hot_df=hot_df, sample_mod=hot_sample_mod)
         hot = hot.withColumn("_hot", F.lit(True))
         salted = (tf_dl.join(F.broadcast(hot), "term", "left")
-                  .withColumn("salt", salt_col(F.col("_hot").isNotNull(),
-                                               salt_factor))
-                  .drop("_hot"))
-        partial = salted.groupBy("term", "salt").agg(
-            F.collect_list(post).alias("pp"),
+                  .withColumn("_hot", F.col("_hot").isNotNull())
+                  .withColumn("salt", salt_col(F.col("_hot"), salt_factor)))
+        # phase 2 merges HOT terms' partials only — a non-hot term's
+        # single salt-0 group is already final, so the second shuffle
+        # carries just the skewed terms (same split as index_build.
+        # postings; both branches reuse one phase-1 exchange)
+        partial = salted.groupBy("term", "_hot", "salt").agg(
+            F.sort_array(F.collect_list(post)).alias("pp"),
             F.count("*").alias("p_df"),
             F.sum("tf").alias("p_cf"),
         )
-        agg = partial.groupBy("term").agg(
+        cold = partial.where(~F.col("_hot")).select(
+            "term", F.col("pp").alias("p"),
+            F.col("p_df").cast("long").alias("df"),
+            F.col("p_cf").cast("long").alias("cf"),
+        )
+        hot_merged = partial.where(F.col("_hot")).groupBy("term").agg(
             F.sort_array(F.flatten(F.collect_list("pp"))).alias("p"),
             F.sum("p_df").cast("long").alias("df"),
             F.sum("p_cf").cast("long").alias("cf"),
         )
+        agg = cold.unionByName(hot_merged)
     else:
         agg = tf_dl.groupBy("term").agg(
             F.sort_array(F.collect_list(post)).alias("p"),
@@ -554,6 +563,24 @@ class QueryServer:
         matched = _phrase_eval(fetched, norm)
         return _score_phrase_matched(matched, self.idx.n_docs,
                                      self.idx.avgdl, k)
+
+    def phrase_match(self, phrase: list[str]) -> list[tuple[int, int]]:
+        """[(doc_id, phrase_tf)] for the exact phrase, doc_id ascending —
+        the warm twin of :func:`phrase_docs` (same kernel, per-term
+        cache instead of a fresh fetch)."""
+        _require_positional(self.idx)
+        from inverted_index_and_search_spark.operators.positional import (
+            norm_phrase,
+        )
+
+        norm = norm_phrase(phrase)
+        if not norm:
+            return []
+        uniq = sorted(set(norm))
+        self._ensure(uniq)
+        fetched = {t: c for t in uniq
+                   if (c := self._cache.get(t)) is not None}
+        return [(d, ptf) for d, ptf, _ in _phrase_eval(fetched, norm)]
 
     def near_terms(self, term_a: str, term_b: str,
                    window: int) -> list[int]:

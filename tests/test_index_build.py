@@ -90,6 +90,35 @@ def test_salted_path_identical_with_forced_hot_set(docs_df, index):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
+def test_salted_path_identical_with_mixed_hot_set(spark, docs_df, index):
+    """Explicit PARTIAL hot set: some terms route through the two-phase
+    merge, the rest finalize in phase 1 (the round-3 split plan) —
+    output must still be byte-identical to the unsalted build."""
+    tok = ib.tokens(docs_df, use_pandas_udf=False)
+    tf = ib.term_doc_tf(tok)
+    hot = spark.createDataFrame(
+        [("def",), ("return",), ("zzznothere",)], "term string")
+    mixed = ib.postings(tf, salt_hot_terms=True, hot=hot)
+    a = index.postings.select("term", "df", "cf", "postings").collect()
+    b = mixed.select("term", "df", "cf", "postings").collect()
+    key = lambda r: r["term"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_salted_phase2_merges_hot_terms_only(spark, docs_df):
+    """The phase-2 merge (flatten of partial lists) must aggregate ONLY
+    the hot branch: one flatten aggregate in the plan, fed by a filter
+    on the hot flag, unioned with the already-final cold rows — round 2
+    re-shuffled the ENTIRE postings payload through phase 2."""
+    tok = ib.tokens(docs_df, use_pandas_udf=False)
+    tf = ib.term_doc_tf(tok)
+    hot = spark.createDataFrame([("def",)], "term string")
+    plan = (ib.postings(tf, salt_hot_terms=True, hot=hot)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("flatten") == 1, plan
+    assert "Union" in plan, plan
+
+
 def test_roundtrip_persisted(tmp_path, spark, index):
     out = str(tmp_path / "idx")
     ib.write_index(index, out)
