@@ -83,6 +83,43 @@ def _build(args: argparse.Namespace) -> None:
     import time
 
     t0 = time.perf_counter()
+    if args.format == "segments":
+        # north-star layout: delta+varint compressed postings with
+        # block-max metadata (positional iff --positional), queryable
+        # warm via `search --index-format segments` (QueryServer)
+        from pyspark.sql import functions as F
+
+        from inverted_index_and_search_spark.operators import segments as seg
+
+        if args.positional:
+            from inverted_index_and_search_spark.operators.positional import (
+                term_doc_positions_arrow,
+            )
+            tf = term_doc_positions_arrow(docs, content_col=args.content_col,
+                                          id_col=args.id_col)
+        else:
+            tf = ib.term_doc_tf_arrow(docs, content_col=args.content_col,
+                                      id_col=args.id_col)
+        n_docs = docs.count()
+        avgdl = float(
+            tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            .join(docs.select(F.col(args.id_col).alias("doc_id")),
+                  "doc_id", "right").fillna({"dl": 0})
+            .agg(F.avg("dl")).collect()[0][0] or 0.0)
+        sidx = seg.build_segment_index(
+            tf, n_docs, avgdl,
+            n_buckets=args.num_output_partitions,
+            hot=ib.hot_terms_from_docs(docs, content_col=args.content_col,
+                                       id_col=args.id_col))
+        seg.write_segment_index(sidx, args.output)
+        from inverted_index_and_search_spark.metrics import write_run_metrics
+        write_run_metrics(spark, args.output,
+                          wall_seconds=time.perf_counter() - t0,
+                          extra={"input": args.input, "format": args.format})
+        print(f"index written to {args.output} (segments)")
+        if created:
+            spark.stop()
+        return
     if args.positional:
         from inverted_index_and_search_spark.operators.positional import (
             build_positional_index,
@@ -208,8 +245,80 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
     return True
 
 
+def _run_query_server(server, line: str, bm25: bool, topk: int,
+                      phrase: bool) -> None:
+    """One query against a warm QueryServer (compressed segments):
+    repeat terms answer from the per-term cache in microseconds —
+    the scale-valid interactive path (no full-index residency)."""
+    terms = line.split()
+    if not terms:
+        return
+    if phrase:
+        if bm25:
+            hits = server.phrase_topk(terms, k=topk)
+            if not hits:
+                print("No matches found.")
+            for d, s in hits:
+                print(f"{d}\t{s:.6f}")
+        else:
+            rows = server.phrase_match(terms)
+            if not rows:
+                print("No matches found.")
+            for d, ptf in rows:
+                print(f"{d}\t{ptf}")
+    elif bm25:
+        hits = server.bm25_topk(terms, k=topk)
+        if not hits:
+            print("No matches found.")
+        for d, s in hits:
+            print(f"{d}\t{s:.6f}")
+    else:
+        ids = server.boolean_and(terms)
+        if not ids:
+            print("No matches found.")
+        else:
+            print("\n".join(str(d) for d in ids))
+
+
+def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    server = seg.QueryServer(seg.read_segment_index(spark, args.index))
+    if args.expr:
+        print("error: --expr needs a parquet/text/json index "
+              "(the expression evaluator runs on the DataFrame layout)",
+              file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
+    if args.phrase and "positions_enc" not in server.idx.segments.columns:
+        print("error: --phrase needs positional segments "
+              "(build with --positional)", file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
+    if args.query is not None:
+        _run_query_server(server, args.query, args.bm25, args.topk,
+                          args.phrase)
+    else:
+        try:
+            while True:
+                line = input("> ")
+                _run_query_server(server, line, args.bm25, args.topk,
+                                  args.phrase)
+        except EOFError:
+            pass
+    if created:
+        spark.stop()
+
+
 def _search(args: argparse.Namespace) -> None:
     spark, created = _session("iis-search")
+    if args.index_format == "segments":
+        # north-star compressed layout -> warm QueryServer (per-term
+        # on-demand cache; never materializes the index)
+        _search_segments(spark, created, args)
+        return
     if args.index_format == "text":
         # reference-variant interchange: consume a `term\tdoc:tf...`
         # text index from any builder (search-query.py:75-90 parity)
@@ -282,8 +391,12 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--id-col", default="doc_id")
     b.add_argument("--limit-mb", type=float, default=None,
                    help="greedy largest-first input cap (reference --limit-mb)")
-    b.add_argument("--format", choices=["parquet", "text", "json"],
-                   default="parquet")
+    b.add_argument("--format", choices=["parquet", "text", "json",
+                                        "segments"],
+                   default="parquet",
+                   help="'segments' writes the compressed delta+varint "
+                        "block-max layout (query with --index-format "
+                        "segments; positional iff --positional)")
     b.add_argument("--positional", action="store_true",
                    help="store per-(term,doc) token positions — enables "
                         "`search --phrase`; all other queries work "
@@ -292,11 +405,14 @@ def main(argv: list[str] | None = None) -> None:
 
     s = sub.add_parser("search", help="query a built index")
     s.add_argument("--index", required=True)
-    s.add_argument("--index-format", choices=["parquet", "text", "json"],
+    s.add_argument("--index-format",
+                   choices=["parquet", "text", "json", "segments"],
                    default="parquet",
                    help="'text' consumes a reference-wire-format "
                         "term\\tdoc:tf index from any variant; 'json' "
-                        "consumes the {word, docs:[...]} JSON sink")
+                        "consumes the {word, docs:[...]} JSON sink; "
+                        "'segments' serves the compressed layout warm "
+                        "via the per-term QueryServer cache")
     s.add_argument("--query", default=None,
                    help="one-shot query; omit for an interactive REPL")
     s.add_argument("--bm25", action="store_true",

@@ -438,3 +438,51 @@ def test_cli_expr_ranked_search(spark, tmp_path, capsys):
     assert 0 < len(bm) <= 5
     scores = [float(ln.split("\t")[1]) for ln in bm]
     assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------- compressed-segment CLI format
+
+def test_cli_segments_build_and_search(spark, tmp_path, capsys):
+    """build --format segments -> search --index-format segments: the
+    north-star compressed layout is a first-class CLI citizen, served
+    warm by QueryServer (boolean, BM25, and — positional — phrase)."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    seg_dir = str(tmp_path / "cliseg")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", seg_dir, "--format", "segments", "--positional"])
+    capsys.readouterr()
+
+    # results match the DataFrame-path index on the same corpus
+    idx_dir = str(tmp_path / "cliref")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+
+    for extra in (["--bm25", "--topk", "5"], []):
+        cli.main(["search", "--index", seg_dir, "--index-format", "segments",
+                  *extra, "--query", "table query"])
+        got = capsys.readouterr().out
+        cli.main(["search", "--index", idx_dir, *extra,
+                  "--query", "table query"])
+        want = capsys.readouterr().out
+        assert got == want, extra
+
+    cli.main(["search", "--index", seg_dir, "--index-format", "segments",
+              "--phrase", "--query", "table hash"])
+    hits = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert hits and all(int(ln.split("\t")[1]) >= 1 for ln in hits)
+
+    cli.main(["search", "--index", seg_dir, "--index-format", "segments",
+              "--query", "zzznotaterm"])
+    assert "No matches found." in capsys.readouterr().out
+
+
+def test_cli_segments_tf_only_rejects_phrase(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    seg_dir = str(tmp_path / "clisegtf")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", seg_dir, "--format", "segments"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        cli.main(["search", "--index", seg_dir, "--index-format", "segments",
+                  "--phrase", "--query", "table hash"])
