@@ -58,6 +58,7 @@ Q_NOT_INC, Q_NOT_EXC = ["table"], ["query"]
 Q_PHRASE = ["table", "hash"]
 Q_NEAR = ("merge", "group", 3)  # (term_a, term_b, window)
 Q_EXPR = '("table hash" OR merge) AND NOT stream'
+Q_EXPR_NEAR = "(merge NEAR/3 group) AND NOT stream"
 
 K1, B = 1.2, 0.75
 
@@ -384,6 +385,16 @@ def _q_query_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def _q_query_expr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/k inside the boolean query language: proximity doc set
+    composed with AND NOT — driver-verified against an independent
+    DuckDB list-lambda oracle."""
+    from inverted_index_and_search_spark.operators import search_expr as se
+
+    return se.search_expr(_pindex(spark, sf_dir), Q_EXPR_NEAR).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def _q_query_expr_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked boolean retrieval: BM25 over the expression's positive
     terms, restricted to its boolean match set."""
@@ -521,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": _q_batch_bm25,
         "batch_phrase_topk": _q_batch_phrase,
         "query_expr": _q_query_expr,
+        "query_expr_near": _q_query_expr_near,
         "query_expr_ranked": _q_query_expr_ranked,
         "top_terms": _q_top_terms,
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
@@ -824,6 +836,21 @@ st AS (SELECT doc_id FROM t WHERE list_contains(tk, 'stream'))
 SELECT doc_id::BIGINT AS doc_id FROM (
   SELECT doc_id FROM ph UNION SELECT doc_id FROM mg
   EXCEPT SELECT doc_id FROM st
+) ORDER BY doc_id
+""",
+        # (merge NEAR/3 group) AND NOT stream — the proximity set from
+        # the independent list-lambda oracle minus the stream set
+        "query_expr_near": f"""
+WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+nr AS (
+  SELECT doc_id FROM t
+  WHERE len(list_filter(range(1, len(tk) + 1),
+        i -> tk[i] = 'merge' AND len(list_filter(range(1, len(tk) + 1),
+             j -> tk[j] = 'group' AND abs(j - i) <= 3)) > 0)) > 0
+),
+st AS (SELECT doc_id FROM t WHERE list_contains(tk, 'stream'))
+SELECT doc_id::BIGINT AS doc_id FROM (
+  SELECT doc_id FROM nr EXCEPT SELECT doc_id FROM st
 ) ORDER BY doc_id
 """,
         # BM25 over the expression's positive terms (table, hash, merge)

@@ -62,6 +62,8 @@ __all__ = [
     "phrase_match",
     "phrase_bm25_topk",
     "terms_within_window",
+    "near_doc_ids",
+    "norm_phrase",
 ]
 
 
@@ -318,20 +320,12 @@ def phrase_bm25_topk(index: Index, phrase: list[str], k: int = 10) -> DataFrame:
     )
 
 
-def terms_within_window(index: Index, term_a: str, term_b: str,
-                        window: int) -> DataFrame:
-    """(doc_id) — docs where ``term_a`` and ``term_b`` occur within
-    ``window`` token offsets of each other (|pos_a - pos_b| <= window),
-    sorted by doc_id asc. Proximity via nested array `exists` over the
-    two terms' position lists — per-doc cost |Pa|*|Pb| with both lists
-    bounded by the doc's term frequency (short for non-stop-words; a
-    sorted two-pointer kernel is the upgrade path if a stop-word pair
-    ever matters).
-
-    Same-term queries (``term_a == term_b``) require two DISTINCT
-    occurrences within the window — a position trivially satisfies
-    |x - x| <= w against itself, which would otherwise return every
-    doc containing the term once."""
+def near_doc_ids(index: Index, term_a: str, term_b: str,
+                 window: int) -> DataFrame:
+    """UNSORTED (doc_id) proximity doc set — the composable core of
+    :func:`terms_within_window` and of the query language's ``NEAR/k``
+    operator (whose enclosing joins would destroy an embedded sort).
+    Semantics documented on :func:`terms_within_window`."""
     a, b = term_a.lower(), term_b.lower()
     qp = _query_postings(index, sorted({a, b}))
     rows = qp.select("term", F.explode("postings").alias("p")).select(
@@ -346,5 +340,22 @@ def terms_within_window(index: Index, term_a: str, term_b: str,
     else:
         near = F.exists("pa", lambda x: F.exists(
             "pb", lambda y: F.abs(x - y) <= w))
-    return (pa.join(pb, "doc_id").filter(near)
-            .select("doc_id").orderBy("doc_id"))
+    return pa.join(pb, "doc_id").filter(near).select("doc_id")
+
+
+def terms_within_window(index: Index, term_a: str, term_b: str,
+                        window: int) -> DataFrame:
+    """(doc_id) — docs where ``term_a`` and ``term_b`` occur within
+    ``window`` token offsets of each other (|pos_a - pos_b| <= window),
+    sorted by doc_id asc. Proximity via nested array `exists` over the
+    two terms' position lists — per-doc cost |Pa|*|Pb| with both lists
+    bounded by the doc's term frequency (short for non-stop-words; a
+    sorted two-pointer kernel is the upgrade path if a stop-word pair
+    ever matters; the segment path, segments.near_docs, already uses
+    searchsorted).
+
+    Same-term queries (``term_a == term_b``) require two DISTINCT
+    occurrences within the window — a position trivially satisfies
+    |x - x| <= w against itself, which would otherwise return every
+    doc containing the term once."""
+    return near_doc_ids(index, term_a, term_b, window).orderBy("doc_id")

@@ -7,10 +7,15 @@ as a tiny recursive-descent grammar:
     expr   := or
     or     := and ( OR and )*
     and    := unary ( [AND] unary )*          # adjacency = implicit AND
-    unary  := NOT unary | atom
+    unary  := NOT unary | prox
+    prox   := atom ( NEAR/k atom )?           # proximity, plain terms only
     atom   := '(' expr ')' | '"' word+ '"' | term
 
 ``"quoted words"`` are exact token phrases (positional index required);
+``a NEAR/3 b`` matches docs where the terms occur within 3 token
+offsets (positional index required; same semantics as
+positional.terms_within_window, including the same-term
+two-distinct-occurrences rule);
 bare terms and operators are case-insensitive except that AND/OR/NOT in
 upper case are keywords (reference-parity: a lowercase ``and`` is a
 search term, so plain term lines behave exactly like the reference).
@@ -39,7 +44,7 @@ from inverted_index_and_search_spark.operators.query import (
 )
 
 __all__ = ["parse", "eval_expr", "search_expr", "ExprError",
-           "Term", "Phrase", "And", "Or", "Not"]
+           "Term", "Phrase", "And", "Or", "Not", "Near"]
 
 
 class ExprError(ValueError):
@@ -69,6 +74,19 @@ class Or:
 @dataclass(frozen=True)
 class Not:
     child: object
+
+
+@dataclass(frozen=True)
+class Near:
+    """``a NEAR/k b`` — both terms within k token offsets (positional
+    index required; same-term queries need two distinct occurrences)."""
+
+    term_a: str
+    term_b: str
+    window: int
+
+
+_NEAR_RE = re.compile(r"NEAR/(\d+)$")
 
 
 _TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
@@ -132,7 +150,17 @@ def parse(query: str):
             if isinstance(child, Not):  # NOT NOT x == x
                 return child.child
             return Not(child)
-        return parse_atom()
+        return parse_prox()
+
+    def parse_prox():
+        left = parse_atom()
+        while (t := peek()) is not None and (m := _NEAR_RE.match(t)):
+            take()
+            right = parse_atom()
+            if not (isinstance(left, Term) and isinstance(right, Term)):
+                raise ExprError("NEAR/k joins two plain terms")
+            left = Near(left.term, right.term, int(m.group(1)))
+        return left
 
     def parse_atom():
         t = peek()
@@ -158,7 +186,7 @@ def parse(query: str):
             if not words:
                 raise ExprError("empty phrase")
             return Phrase(words)
-        if t in ("AND", "OR"):
+        if t in ("AND", "OR") or _NEAR_RE.match(t):
             raise ExprError(f"operator {t} needs operands")
         take()
         return Term(t.lower())
@@ -173,6 +201,13 @@ def parse(query: str):
 
 def _ids(df: DataFrame) -> DataFrame:
     return df.select("doc_id")
+
+
+def _require_positions(index: Index, what: str) -> None:
+    post_t = index.postings.schema["postings"].dataType.elementType
+    if "positions" not in post_t.fieldNames():
+        raise ExprError(f"{what} need a positional index "
+                        "(build with positions)")
 
 
 def _any_term_docs(index: Index, terms: list[str]) -> DataFrame:
@@ -211,11 +246,15 @@ def eval_expr(index: Index, node) -> DataFrame:
     if isinstance(node, Term):
         return _any_term_docs(index, [node.term])
     if isinstance(node, Phrase):
-        post_t = index.postings.schema["postings"].dataType.elementType
-        if "positions" not in post_t.fieldNames():
-            raise ExprError('"phrase" atoms need a positional index '
-                            "(build with positions)")
+        _require_positions(index, '"phrase" atoms')
         return _ids(_phrase_starts(index, [w for w in node.words]))
+    if isinstance(node, Near):
+        from inverted_index_and_search_spark.operators.positional import (
+            near_doc_ids,
+        )
+
+        _require_positions(index, "NEAR/k")
+        return near_doc_ids(index, node.term_a, node.term_b, node.window)
     if isinstance(node, Or):
         # one pruned scan for all plain-term children; recurse the rest
         terms = [p.term for p in node.parts if isinstance(p, Term)]
@@ -286,6 +325,8 @@ def expr_terms(node) -> list[str]:
         return [node.term]
     if isinstance(node, Phrase):
         return list(node.words)
+    if isinstance(node, Near):
+        return _norm_terms([node.term_a, node.term_b])
     if isinstance(node, (And, Or)):
         out: list[str] = []
         for p in node.parts:

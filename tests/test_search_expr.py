@@ -21,6 +21,12 @@ EXPRS = [
     '"def trait" AND NOT var_3_0',
     "zzzqqqxx OR def",
     "zzzqqqxx AND def",
+    "def NEAR/3 return",
+    "def NEAR/0 return",
+    "def NEAR/2 def",                  # same term: two distinct occurrences
+    "(def NEAR/3 trait) OR var_3_0",
+    "def NEAR/5 return AND NOT var_3_0",
+    "zzzqqqxx NEAR/4 def",
 ]
 
 BAD = [
@@ -33,6 +39,11 @@ BAD = [
     "NOT a AND NOT b",  # pure-negation AND
     "OR def",         # operator needs operands
     '""',             # empty phrase
+    "NEAR/3 def",     # proximity needs a left operand
+    "def NEAR/3",     # ... and a right one
+    '"a b" NEAR/2 c',  # NEAR joins plain terms only
+    "a NEAR/2 (b OR c)",
+    "a NEAR/1 b NEAR/2 c",  # no chaining
 ]
 
 
@@ -50,6 +61,12 @@ def oracle_eval(toks: dict[int, list[str]], node) -> set[int]:
         want = list(node.words)
         return {d for d, ts in toks.items()
                 if any(ts[i:i + k] == want for i in range(len(ts) - k + 1))}
+    if isinstance(node, se.Near):
+        a, b, w = node.term_a, node.term_b, node.window
+        return {d for d, ts in toks.items()
+                if any(t == a and abs(i - j) <= w and (a != b or i != j)
+                       for i, t in enumerate(ts)
+                       for j, u in enumerate(ts) if u == b)}
     if isinstance(node, se.Or):
         out: set[int] = set()
         for p in node.parts:
@@ -155,10 +172,32 @@ def _render(node) -> str:
         return node.term
     if isinstance(node, se.Phrase):
         return '"' + " ".join(node.words) + '"'
+    if isinstance(node, se.Near):
+        return f"({node.term_a} NEAR/{node.window} {node.term_b})"
     if isinstance(node, se.Not):
         return "NOT (" + _render(node.child) + ")"
     op = " OR " if isinstance(node, se.Or) else " AND "
     return "(" + op.join(_render(p) for p in node.parts) + ")"
+
+
+def test_near_parses_and_roundtrips():
+    assert se.parse("def NEAR/3 return") == se.Near("def", "return", 3)
+    assert se.parse("DEF NEAR/3 Return") == se.Near("def", "return", 3)
+    node = se.parse("(def NEAR/2 trait) OR x AND NOT y")
+    assert se.parse(_render(node)) == node
+    # lowercase near/3 is a search term, not an operator (keyword policy)
+    assert se.parse("def near/3 return") == se.And(
+        (se.Term("def"), se.Term("near/3"), se.Term("return")))
+
+
+def test_near_matches_terms_within_window(pidx):
+    for a, b, w in [("def", "return", 3), ("def", "def", 2),
+                    ("def", "zzzqqqxx", 4)]:
+        want = [int(r["doc_id"])
+                for r in pos.terms_within_window(pidx, a, b, w).collect()]
+        got = [int(r["doc_id"])
+               for r in se.search_expr(pidx, f"{a} NEAR/{w} {b}").collect()]
+        assert got == want, (a, b, w)
 
 
 @settings(max_examples=300, deadline=None)
