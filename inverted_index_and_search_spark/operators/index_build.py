@@ -299,17 +299,28 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
     The shared (term, doc_id, tf) stage is persisted across the two
     writes — doc_stats' doc lengths derive from it, and without the
     cache the whole tokenize+tf pipeline would execute twice.
-    Postings are repartitioned to exactly n_buckets partitions so each
-    bucket directory holds one file (bounded commit/listing cost).
+
+    Write-stage partitioning is RANGE on (term_bucket, term) into
+    max(n_buckets, cluster parallelism) tasks: hash-repartitioning P
+    distinct bucket values into P partitions (the round-2 layout)
+    collides ~1/e of the tasks empty and loads the worst with 3
+    buckets (measured 18/32 non-empty, max 3), a built-in write
+    straggler at exactly cores == P; range boundaries give one bucket
+    per task — or several term-contiguous slices per bucket when the
+    cluster has more cores than buckets — with files-per-bucket
+    bounded by ceil(parallelism / P).
     """
     import json
     import os
 
+    spark = index.postings.sparkSession
+    n_parts = max(index.n_buckets, spark.sparkContext.defaultParallelism)
     if index.tf is not None:
         index.tf.persist()
     try:
-        (index.postings.repartition(index.n_buckets, "term_bucket")
-         .sortWithinPartitions("term")
+        (index.postings
+         .repartitionByRange(n_parts, "term_bucket", "term")
+         .sortWithinPartitions("term_bucket", "term")
          .write.mode(mode).partitionBy("term_bucket")
          .parquet(f"{out_dir}/postings"))
         index.doc_stats.write.mode(mode).parquet(f"{out_dir}/doc_stats")

@@ -241,8 +241,14 @@ def build_segment_index(
 
 
 def write_segment_index(idx: SegmentIndex, out_dir: str, mode: str = "overwrite") -> None:
-    (idx.segments.repartition("term_bucket")
-     .sortWithinPartitions("term")
+    # range on (bucket, term): one bucket per write task (hash-
+    # repartitioning P values into P tasks leaves ~1/e empty and
+    # triples the worst task — see write_index), extra cores split
+    # buckets at term boundaries
+    spark = idx.segments.sparkSession
+    n_parts = max(idx.n_buckets, spark.sparkContext.defaultParallelism)
+    (idx.segments.repartitionByRange(n_parts, "term_bucket", "term")
+     .sortWithinPartitions("term_bucket", "term")
      .write.mode(mode).partitionBy("term_bucket")
      .parquet(f"{out_dir}/segments"))
     os.makedirs(out_dir, exist_ok=True)
@@ -301,7 +307,14 @@ def fetch_term_postings(idx: SegmentIndex, terms: list[str]) -> dict[str, bm25.T
         bvals = sorted({term_bucket(t, idx.n_buckets) for t in norm})
         seg = seg.filter(F.col("term_bucket").isin(bvals))
     rows = seg.filter(F.col("term").isin(norm)).collect()
-    return {r["term"]: _decode_row(r, idx.avgdl, idx.n_docs, idx.block) for r in rows}
+    # SORTED-term order, not collect order: every consumer that sums
+    # per-term float scores (WAND/exhaustive kernels) must accumulate
+    # in one deterministic order or scores drift in the last ulp
+    # between the driver, server, and batch paths (scan row order is a
+    # file-layout artifact)
+    decoded = {r["term"]: _decode_row(r, idx.avgdl, idx.n_docs, idx.block)
+               for r in rows}
+    return {t: decoded[t] for t in norm if t in decoded}
 
 
 #: below this many total candidate postings, vectorized exhaustive
@@ -397,7 +410,9 @@ def batch_topk(idx: SegmentIndex, queries: list[tuple[int, list[str]]],
 
     def eval_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
-        present = pdf[pdf["n"].notna()]
+        # sorted-term cursor order = the driver path's accumulation
+        # order (fetch_term_postings) -> bit-identical scores
+        present = pdf[pdf["n"].notna()].sort_values("term")
         cursors = [
             _decode_row(row, avgdl, n_docs, block)
             for _, row in present.iterrows()

@@ -199,7 +199,12 @@ def write_ivf_index(emb: DataFrame, out_dir: str, *, dim: int = DIM,
     import os
 
     assigned, cents = _assign_cells(emb, dim=dim, centroids=centroids)
-    (assigned.repartition("cell")
+    # range on (cell, vec_id): one cell per write task, extra cores
+    # split cells (hashing C distinct values into C tasks leaves ~1/e
+    # empty — see index_build.write_index)
+    n_parts = max(len(centroids) if centroids else IVF_C,
+                  emb.sparkSession.sparkContext.defaultParallelism)
+    (assigned.repartitionByRange(n_parts, "cell", "vec_id")
      .write.mode(mode).partitionBy("cell").parquet(f"{out_dir}/cells"))
     cent_rows = [[int(r["cell"]), list(r["c"])]
                  for r in cents.orderBy("cell").collect()]
