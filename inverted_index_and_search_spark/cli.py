@@ -280,6 +280,36 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
             print("\n".join(str(d) for d in ids))
 
 
+def _run_batch(spark, created: bool, args: argparse.Namespace) -> None:
+    """Offline batch evaluation: one query per line in --queries-file,
+    evaluated ON EXECUTORS via the distributed batch kernels (segments
+    layout required); prints `query_id \\t rank \\t doc_id \\t score`
+    lines. Query ids are 0-based input line numbers; queries whose
+    terms are all absent print nothing (documented batch contract)."""
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    if args.index_format != "segments":
+        print("error: --queries-file needs --index-format segments "
+              "(build with --format segments)", file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
+    idx = seg.read_segment_index(spark, args.index)
+    with open(args.queries_file, encoding="utf-8") as f:
+        queries = [(i, ln.split()) for i, ln in enumerate(f)
+                   if ln.split()]
+    if args.phrase:
+        res = seg.batch_phrase_topk(idx, queries, k=args.topk)
+    else:
+        res = seg.batch_topk(idx, queries, k=args.topk,
+                             conjunctive=not args.bm25)
+    for r in res.orderBy("query_id", "rank").collect():
+        print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}"
+              f"\t{r['score']:.6f}")
+    if created:
+        spark.stop()
+
+
 def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
     from inverted_index_and_search_spark.operators import segments as seg
 
@@ -314,6 +344,9 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
 
 def _search(args: argparse.Namespace) -> None:
     spark, created = _session("iis-search")
+    if args.queries_file is not None:
+        _run_batch(spark, created, args)
+        return
     if args.index_format == "segments":
         # north-star compressed layout -> warm QueryServer (per-term
         # on-demand cache; never materializes the index)
@@ -415,6 +448,13 @@ def main(argv: list[str] | None = None) -> None:
                         "via the per-term QueryServer cache")
     s.add_argument("--query", default=None,
                    help="one-shot query; omit for an interactive REPL")
+    s.add_argument("--queries-file", default=None,
+                   help="batch mode: one query per line, evaluated ON "
+                        "EXECUTORS (needs --index-format segments); "
+                        "prints query_id\\trank\\tdoc_id\\tscore with "
+                        "0-based line-number ids; conjunctive ranked "
+                        "by default, disjunctive BM25 with --bm25, "
+                        "exact phrases with --phrase")
     s.add_argument("--bm25", action="store_true",
                    help="ranked BM25 instead of boolean AND")
     s.add_argument("--phrase", action="store_true",

@@ -486,3 +486,36 @@ def test_cli_segments_tf_only_rejects_phrase(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["search", "--index", seg_dir, "--index-format", "segments",
                   "--phrase", "--query", "table hash"])
+
+
+def test_cli_batch_queries_file(spark, tmp_path, capsys):
+    """Offline batch surface: --queries-file over a segments index runs
+    the executor-side batch kernels and prints line-number-keyed
+    ranked results; absent-term queries print nothing."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    seg_dir = str(tmp_path / "batchseg")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", seg_dir, "--format", "segments", "--positional"])
+    qf = tmp_path / "queries.txt"
+    qf.write_text("table query\nzzznotaterm\ndup\n", encoding="utf-8")
+    capsys.readouterr()
+
+    cli.main(["search", "--index", seg_dir, "--index-format", "segments",
+              "--queries-file", str(qf), "--bm25", "--topk", "3"])
+    out = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()]
+    qids = {int(f[0]) for f in out}
+    assert qids == {0, 2}  # qid 1 is all-absent -> no rows
+    for f in out:
+        assert len(f) == 4 and 1 <= int(f[1]) <= 3
+
+    # phrase batch over the same positional segments
+    qf.write_text("table hash\n", encoding="utf-8")
+    cli.main(["search", "--index", seg_dir, "--index-format", "segments",
+              "--queries-file", str(qf), "--phrase", "--topk", "5"])
+    out = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()]
+    assert out and all(f[0] == "0" for f in out)
+
+    # batch mode requires the segments layout
+    with pytest.raises(SystemExit):
+        cli.main(["search", "--index", seg_dir,
+                  "--queries-file", str(qf)])
