@@ -206,6 +206,31 @@ def _q_bm25_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score"), 6).alias("score"))
 
 
+def _q_bm25_merged_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through a MERGED segment index: the corpus is indexed as
+    two disjoint halves (doc_id parity), merged at the compressed layer
+    (decode -> union -> re-encode, no re-tokenize), and queried —
+    hash-equal to the same SQL oracle as bm25_top10, driver-verifying
+    the SPIMI/LSM-style merge operator end to end."""
+    docs = _docs(spark, sf_dir)
+    halves = []
+    for par in (0, 1):
+        part = docs.where(F.pmod("doc_id", F.lit(2)) == par)
+        tok = ib.tokens(part, content_col="text", id_col="doc_id")
+        tf = ib.term_doc_tf(tok)
+        nd = part.count()
+        ad = float(
+            tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            .join(part.select("doc_id"), "doc_id", "right").fillna({"dl": 0})
+            .agg(F.avg("dl")).collect()[0][0] or 0.0)
+        halves.append(seg.build_segment_index(tf, nd, ad))
+    merged = seg.merge_segment_indexes(halves)
+    hits = seg.topk(merged, Q_BM25, k=10)
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double")
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_bm25_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 through the JSON interchange: build -> write the reference
     {word, docs:[...]} JSON sink -> parse it back (read_index_json) ->
@@ -538,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
         "bm25_text_roundtrip": _q_bm25_text_roundtrip,
         "bm25_json_roundtrip": _q_bm25_json_roundtrip,
+        "bm25_merged_segments": _q_bm25_merged_segments,
         "term_tf_rawfiles": _q_term_tf_rawfiles,
         "bm25_top10_rare": lambda s, d: _bm25_rounded(s, d, Q_BM25_RARE),
         "bm25_wand_top10": _q_bm25_wand,
@@ -912,6 +938,7 @@ FROM ranked WHERE rank <= 3
         "bm25_top10": _bm25_sql(Q_BM25),
         "bm25_text_roundtrip": _bm25_sql(Q_BM25),
         "bm25_json_roundtrip": _bm25_sql(Q_BM25),
+        "bm25_merged_segments": _bm25_sql(Q_BM25),
         "term_tf_rawfiles":
             f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
         "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),

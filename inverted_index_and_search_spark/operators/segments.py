@@ -269,6 +269,83 @@ def read_segment_index(spark: SparkSession, out_dir: str) -> SegmentIndex:
     )
 
 
+def decode_segments_tf(idx: SegmentIndex) -> DataFrame:
+    """(term, doc_id, tf[, positions]) — the compressed segments decoded
+    back to the flat tf relation, distributed (Arrow ``mapInPandas``
+    over segment rows; each task decodes only its own rows). The
+    inverse of the encode path, and the substrate for
+    :func:`merge_segment_indexes` — no re-tokenize, no source access."""
+    positional = "positions_enc" in idx.segments.columns
+    cols = ["term", "n", "doc_ids_enc", "tfs_enc"]
+    if positional:
+        cols.append("positions_enc")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms: list = []
+            ids: list = []
+            tfs: list = []
+            poss: list = []
+            for i in range(len(pdf)):
+                n = int(pdf["n"].iloc[i])
+                d_ids = codec.decode_deltas(bytes(pdf["doc_ids_enc"].iloc[i]), n)
+                d_tfs = codec.decode_varint(bytes(pdf["tfs_enc"].iloc[i]), n)
+                terms.extend([pdf["term"].iloc[i]] * n)
+                ids.extend(d_ids.tolist())
+                tfs.extend(d_tfs.tolist())
+                if positional:
+                    flat = codec.decode_position_lists(
+                        bytes(pdf["positions_enc"].iloc[i]), d_tfs)
+                    start = 0
+                    for b in np.cumsum(d_tfs):
+                        poss.append(flat[start:int(b)].tolist())
+                        start = int(b)
+            out = {
+                "term": pd.Series(terms, dtype="object"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "tf": pd.Series(tfs, dtype="int32"),
+            }
+            if positional:
+                out["positions"] = pd.Series(poss, dtype="object")
+            yield pd.DataFrame(out)
+
+    schema = "term string, doc_id long, tf int"
+    if positional:
+        schema += ", positions array<int>"
+    return idx.segments.select(*cols).mapInPandas(dec, schema=schema)
+
+
+def merge_segment_indexes(parts: list[SegmentIndex], *,
+                          n_buckets: int | None = None,
+                          salt_hot_terms: bool = True,
+                          hot: DataFrame | None = None) -> SegmentIndex:
+    """One segment index from several built over DISJOINT doc-id spaces
+    — the SPIMI/LSM merge at the compressed layer: each part's postings
+    decode back to flat tf rows (distributed, no re-tokenize), union,
+    and re-encode through the normal build. n_docs adds; avgdl is the
+    doc-count-weighted mean (recovers the global mean because parts
+    partition the corpus). All parts must share positional-ness;
+    callers guarantee doc-id disjointness (overlaps would double-count
+    postings, exactly like unioning raw corpora would)."""
+    if not parts:
+        raise ValueError("merge_segment_indexes needs at least one part")
+    pos_flags = {"positions_enc" in p.segments.columns for p in parts}
+    if len(pos_flags) > 1:
+        raise ValueError("cannot merge positional with non-positional "
+                         "segment indexes")
+    from functools import reduce
+
+    tf = reduce(lambda a, b: a.unionByName(b),
+                (decode_segments_tf(p) for p in parts))
+    n_docs = sum(p.n_docs for p in parts)
+    avgdl = (sum(p.avgdl * p.n_docs for p in parts) / n_docs
+             if n_docs else 0.0)
+    return build_segment_index(
+        tf, n_docs, avgdl,
+        n_buckets=n_buckets if n_buckets is not None else parts[0].n_buckets,
+        salt_hot_terms=salt_hot_terms, hot=hot)
+
+
 def _decode_row(row, avgdl: float, n_docs: int, block: int) -> bm25.TermPostings:
     ids = codec.decode_deltas(bytes(row["doc_ids_enc"]), row["n"])
     tfs = codec.decode_varint(bytes(row["tfs_enc"]), row["n"])

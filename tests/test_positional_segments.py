@@ -164,3 +164,26 @@ def test_near_docs_requires_positional(spark, docs_df):
     sidx = seg.build_segment_index(tf, n, 10.0, salt_hot_terms=False)
     with pytest.raises(ValueError):
         seg.near_docs(sidx, "def", "return", 3)
+
+
+def test_positional_merge_preserves_phrases(spark, docs_df, psegs):
+    """Merging positional halves keeps positions intact: phrase results
+    equal the whole-corpus positional segment index."""
+    from pyspark.sql import functions as F
+
+    halves = []
+    for par in (0, 1):
+        part = docs_df.where(F.pmod("doc_id", F.lit(2)) == par)
+        tdp = pos.term_doc_positions(part)
+        nd = part.count()
+        ad = float(
+            tdp.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            .join(part.select("doc_id"), "doc_id", "right").fillna({"dl": 0})
+            .agg(F.avg("dl")).collect()[0][0] or 0.0)
+        halves.append(seg.build_segment_index(tdp, nd, ad))
+    merged = seg.merge_segment_indexes(halves)
+    for phrase in PHRASES[:4]:
+        assert seg.phrase_docs(merged, phrase) == seg.phrase_docs(
+            psegs, phrase), phrase
+        assert seg.phrase_topk(merged, phrase, k=10) == pytest.approx(
+            seg.phrase_topk(psegs, phrase, k=10)), phrase

@@ -195,3 +195,62 @@ def test_batch_topk_prunes_segment_scan(seg_index):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "term_bucket" in pf[0], plan
     assert "LeftOuter" not in plan, plan
+
+
+# ------------------------------------------------------------ index merge
+
+def test_decode_segments_tf_roundtrip(seg_index, oracle_idx):
+    rows = seg.decode_segments_tf(seg_index).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["term"], {})[r["doc_id"]] = r["tf"]
+    assert got == oracle_idx.postings
+
+
+def test_merge_segment_indexes_equals_whole_build(spark, docs_df,
+                                                  oracle_idx):
+    """Index halves separately (disjoint doc ids), merge at the
+    compressed layer, and get the whole-corpus index back: identical
+    decoded postings, identical stats, rank/score-identical top-k."""
+    tok = ib.tokens(docs_df)
+    tf = ib.term_doc_tf(tok)
+    whole = seg.build_segment_index(tf, oracle_idx.n_docs, oracle_idx.avgdl)
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    halves = []
+    for par in (0, 1):
+        part = docs_df.where(F.pmod("doc_id", F.lit(2)) == par)
+        ptf = ib.term_doc_tf(ib.tokens(part))
+        nd = part.count()
+        dls = (ptf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+               .join(part.select("doc_id"), "doc_id", "right")
+               .fillna({"dl": 0}))
+        ad = float(dls.agg(F.avg("dl")).collect()[0][0] or 0.0)
+        halves.append(seg.build_segment_index(ptf, nd, ad))
+    merged = seg.merge_segment_indexes(halves)
+    assert merged.n_docs == whole.n_docs
+    assert merged.avgdl == pytest.approx(whole.avgdl, rel=1e-12)
+
+    w = {(r["term"], r["doc_id"]): r["tf"]
+         for r in seg.decode_segments_tf(whole).collect()}
+    m = {(r["term"], r["doc_id"]): r["tf"]
+         for r in seg.decode_segments_tf(merged).collect()}
+    assert m == w
+
+    for terms in QUERY_SET[:5]:
+        assert seg.topk(merged, terms, k=10) == pytest.approx(
+            seg.topk(whole, terms, k=10)), terms
+
+
+def test_merge_rejects_mixed_positionality(spark, docs_df, oracle_idx):
+    tf = ib.term_doc_tf(ib.tokens(docs_df))
+    plain = seg.build_segment_index(tf, oracle_idx.n_docs, oracle_idx.avgdl)
+    from inverted_index_and_search_spark.operators import positional as pos
+    tdp = pos.term_doc_positions(docs_df)
+    posi = seg.build_segment_index(tdp, oracle_idx.n_docs, oracle_idx.avgdl)
+    with pytest.raises(ValueError):
+        seg.merge_segment_indexes([plain, posi])
+    with pytest.raises(ValueError):
+        seg.merge_segment_indexes([])
