@@ -420,6 +420,16 @@ def _q_query_expr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def _q_query_expr_server(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME boolean expression evaluated entirely warm — parse +
+    numpy set algebra over the QueryServer's per-term decoded-segment
+    cache — against the exact oracle of query_expr: the warm
+    expression surface is driver-verified, not just pytest'd."""
+    server = seg.QueryServer(_pos_segment_index(spark, sf_dir))
+    ids = server.search_expr(Q_EXPR)
+    return spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
+
+
 def _q_query_expr_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked boolean retrieval: BM25 over the expression's positive
     terms, restricted to its boolean match set."""
@@ -558,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_phrase_topk": _q_batch_phrase,
         "query_expr": _q_query_expr,
         "query_expr_near": _q_query_expr_near,
+        "query_expr_server": _q_query_expr_server,
         "query_expr_ranked": _q_query_expr_ranked,
         "top_terms": _q_top_terms,
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
@@ -738,7 +749,7 @@ ORDER BY doc_id
 def oracle_sql() -> dict[str, str]:
     _aug = dd.planted_dups_sql()
     _eaug = dd.planted_emb_sql()
-    return {
+    out = {
         "token_counts": _text_metric_sql([ts.token_count_exprs]),
         "quality_scores": _text_metric_sql([ts.quality_exprs]),
         "lang_id": _text_metric_sql([ts.lang_id_expr]),
@@ -944,3 +955,6 @@ FROM ranked WHERE rank <= 3
         "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),
         "bm25_wand_top10": _bm25_sql(Q_BM25),
     }
+    # the warm QueryServer expression path shares query_expr's oracle
+    out["query_expr_server"] = out["query_expr"]
+    return out

@@ -246,13 +246,36 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
 
 
 def _run_query_server(server, line: str, bm25: bool, topk: int,
-                      phrase: bool) -> None:
+                      phrase: bool, expr: bool = False) -> bool:
     """One query against a warm QueryServer (compressed segments):
     repeat terms answer from the per-term cache in microseconds —
-    the scale-valid interactive path (no full-index residency)."""
+    the scale-valid interactive path (no full-index residency).
+    Returns False only on a malformed --expr query."""
     terms = line.split()
     if not terms:
-        return
+        return True
+    if expr:
+        from inverted_index_and_search_spark.operators.search_expr import (
+            ExprError,
+        )
+
+        try:
+            if bm25:
+                hits = server.search_expr_ranked(line, k=topk)
+                if not hits:
+                    print("No matches found.")
+                for d, s in hits:
+                    print(f"{d}\t{s:.6f}")
+            else:
+                ids = server.search_expr(line)
+                if not ids:
+                    print("No matches found.")
+                else:
+                    print("\n".join(str(d) for d in ids))
+        except ExprError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return False
+        return True
     if phrase:
         if bm25:
             hits = server.phrase_topk(terms, k=topk)
@@ -278,6 +301,7 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
             print("No matches found.")
         else:
             print("\n".join(str(d) for d in ids))
+    return True
 
 
 def _run_batch(spark, created: bool, args: argparse.Namespace) -> None:
@@ -314,13 +338,6 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
     from inverted_index_and_search_spark.operators import segments as seg
 
     server = seg.QueryServer(seg.read_segment_index(spark, args.index))
-    if args.expr:
-        print("error: --expr needs a parquet/text/json index "
-              "(the expression evaluator runs on the DataFrame layout)",
-              file=sys.stderr)
-        if created:
-            spark.stop()
-        raise SystemExit(2)
     if args.phrase and "positions_enc" not in server.idx.segments.columns:
         print("error: --phrase needs positional segments "
               "(build with --positional)", file=sys.stderr)
@@ -328,14 +345,18 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
             spark.stop()
         raise SystemExit(2)
     if args.query is not None:
-        _run_query_server(server, args.query, args.bm25, args.topk,
-                          args.phrase)
+        ok = _run_query_server(server, args.query, args.bm25, args.topk,
+                               args.phrase, expr=args.expr)
+        if not ok:
+            if created:
+                spark.stop()
+            raise SystemExit(2)
     else:
         try:
             while True:
                 line = input("> ")
                 _run_query_server(server, line, args.bm25, args.topk,
-                                  args.phrase)
+                                  args.phrase, expr=args.expr)
         except EOFError:
             pass
     if created:

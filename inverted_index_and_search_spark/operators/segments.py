@@ -702,6 +702,109 @@ class QueryServer:
             acc = np.intersect1d(acc, tp.doc_ids, assume_unique=True)
         return [int(d) for d in acc]
 
+    # ------------------------------------------- expression language
+    def _collect_expr_terms(self, node) -> list[str]:
+        """Every term the expression touches (negated included — NOT
+        needs its child's doc set), for one batched cache ensure."""
+        from inverted_index_and_search_spark.operators import search_expr as se
+
+        if isinstance(node, se.Term):
+            return [node.term]
+        if isinstance(node, se.Phrase):
+            return list(node.words)
+        if isinstance(node, se.Near):
+            return [node.term_a, node.term_b]
+        if isinstance(node, se.Not):
+            return self._collect_expr_terms(node.child)
+        if isinstance(node, (se.And, se.Or)):
+            out: list[str] = []
+            for p in node.parts:
+                out.extend(self._collect_expr_terms(p))
+            return out
+        return []
+
+    def _eval_node(self, node) -> np.ndarray:
+        """Sorted unique doc_id array of an AST node, entirely from the
+        per-term cache (the warm twin of search_expr.eval_expr)."""
+        from inverted_index_and_search_spark.operators import search_expr as se
+
+        if isinstance(node, se.Term):
+            tp = self._cache.get(node.term)
+            return tp.doc_ids if tp is not None else np.empty(0, np.int64)
+        if isinstance(node, se.Phrase):
+            _require_positional(self.idx)
+            norm = list(node.words)
+            fetched = {t: c for t in sorted(set(norm))
+                       if (c := self._cache.get(t)) is not None}
+            return np.asarray([d for d, _, _ in _phrase_eval(fetched, norm)],
+                              np.int64)
+        if isinstance(node, se.Near):
+            _require_positional(self.idx)
+            fetched = {t: c for t in (node.term_a, node.term_b)
+                       if (c := self._cache.get(t)) is not None}
+            return np.asarray(
+                _near_eval(fetched, node.term_a, node.term_b, node.window),
+                np.int64)
+        if isinstance(node, se.Or):
+            acc = np.empty(0, np.int64)
+            for p in node.parts:
+                acc = np.union1d(acc, self._eval_node(p))
+            return acc
+        if isinstance(node, se.And):
+            pos_sets = [self._eval_node(p) for p in node.parts
+                        if not isinstance(p, se.Not)]
+            acc = pos_sets[0]
+            for s in pos_sets[1:]:
+                acc = np.intersect1d(acc, s, assume_unique=True)
+            for p in node.parts:
+                if isinstance(p, se.Not):
+                    acc = np.setdiff1d(acc, self._eval_node(p.child),
+                                       assume_unique=True)
+            return acc
+        raise ValueError(f"unknown node {node!r}")
+
+    def search_expr(self, query: str) -> list[int]:
+        """Boolean query-language evaluation entirely from the warm
+        per-term cache — doc_ids ascending, list-identical to the
+        DataFrame search_expr (tested). Parse errors raise ExprError
+        exactly like the DataFrame surface."""
+        from inverted_index_and_search_spark.operators import search_expr as se
+
+        node = se.parse(query)
+        self._ensure(sorted(set(self._collect_expr_terms(node))))
+        return [int(d) for d in self._eval_node(node)]
+
+    def search_expr_ranked(self, query: str,
+                           k: int = 10) -> list[tuple[int, float]]:
+        """Ranked boolean retrieval, warm: BM25 over the expression's
+        positive terms restricted to its boolean match set — the
+        QueryServer twin of search_expr.search_expr_ranked."""
+        from inverted_index_and_search_spark.operators import search_expr as se
+
+        node = se.parse(query)
+        terms = se.expr_terms(node)
+        if not terms:
+            return []
+        self._ensure(sorted(set(self._collect_expr_terms(node))))
+        matched = self._eval_node(node)
+        if matched.size == 0:
+            return []
+        # disjunctive per-doc score sums over the positive terms, in
+        # sorted-term order (the kernels' deterministic accumulation),
+        # restricted to the match set before the sort
+        matched_set = {int(x) for x in matched}
+        scores: dict[int, float] = {}
+        for t in terms:  # expr_terms returns sorted unique
+            tp = self._cache.get(t)
+            if tp is None:
+                continue
+            for d, s in zip(tp.doc_ids, tp.scores):
+                di = int(d)
+                if di in matched_set:
+                    scores[di] = scores.get(di, 0.0) + float(s)
+        hits = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
 
 def _slot_keys(tp: bm25.TermPostings, cand: np.ndarray, shift: int,
                big: int, pad: int) -> np.ndarray:

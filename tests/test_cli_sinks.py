@@ -519,3 +519,34 @@ def test_cli_batch_queries_file(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["search", "--index", seg_dir,
                   "--queries-file", str(qf)])
+
+
+def test_cli_segments_expr_search(spark, tmp_path, capsys):
+    """--expr works on segment indexes too (warm QueryServer
+    evaluation), matching the DataFrame-path CLI output."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    seg_dir = str(tmp_path / "clisegexpr")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", seg_dir, "--format", "segments", "--positional"])
+    idx_dir = str(tmp_path / "cliposexpr")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir, "--positional"])
+    capsys.readouterr()
+
+    q = '("table hash" OR merge) AND NOT stream'
+    cli.main(["search", "--index", seg_dir, "--index-format", "segments",
+              "--expr", "--query", q])
+    got = capsys.readouterr().out
+    cli.main(["search", "--index", idx_dir, "--expr", "--query", q])
+    want = capsys.readouterr().out
+    assert got == want and got.strip()
+
+    cli.main(["search", "--index", seg_dir, "--index-format", "segments",
+              "--expr", "--bm25", "--query", "table NEAR/4 hash"])
+    bm = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert bm
+
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["search", "--index", seg_dir, "--index-format",
+                  "segments", "--expr", "--query", "NOT x"])
+    assert ei.value.code == 2

@@ -187,3 +187,48 @@ def test_positional_merge_preserves_phrases(spark, docs_df, psegs):
             psegs, phrase), phrase
         assert seg.phrase_topk(merged, phrase, k=10) == pytest.approx(
             seg.phrase_topk(psegs, phrase, k=10)), phrase
+
+
+# ------------------------------------- warm expression evaluation
+
+EXPRS_WARM = [
+    "def",
+    "def AND return",
+    "def OR var_3_0",
+    "def AND NOT var_3_0",
+    '("def trait" OR var_3_0) AND NOT zzzqqqxx',
+    "def NEAR/3 return",
+    "(def NEAR/2 trait) OR var_3_0",
+    "zzzqqqxx AND def",
+]
+
+
+def test_query_server_search_expr_matches_dataframe(psegs, pidx):
+    from inverted_index_and_search_spark.operators import search_expr as se
+
+    server = seg.QueryServer(psegs)
+    for expr in EXPRS_WARM:
+        want = [int(r["doc_id"])
+                for r in se.search_expr(pidx, expr).collect()]
+        assert server.search_expr(expr) == want, expr
+
+
+def test_query_server_search_expr_ranked_matches_dataframe(psegs, pidx):
+    from inverted_index_and_search_spark.operators import search_expr as se
+
+    server = seg.QueryServer(psegs)
+    for expr in EXPRS_WARM:
+        want = [(int(r["doc_id"]), r["score"])
+                for r in se.search_expr_ranked(pidx, expr, k=10).collect()]
+        got = server.search_expr_ranked(expr, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], expr
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, expr
+
+
+def test_query_server_expr_errors(psegs):
+    from inverted_index_and_search_spark.operators.search_expr import ExprError
+
+    server = seg.QueryServer(psegs)
+    with pytest.raises(ExprError):
+        server.search_expr("NOT def")
