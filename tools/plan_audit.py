@@ -142,6 +142,39 @@ def main() -> None:
         "transparent.",
         explain(sharded)))
 
+    hot = spark.createDataFrame([("table",), ("query",)], "term string")
+    sections.append((
+        "Salted postings aggregation (hot/cold split, round 3)",
+        "Phase 1 groups (term, _hot, salt); the phase-2 flatten-merge "
+        "aggregates ONLY the hot branch's partial rows (Filter on the "
+        "hot flag above the shared phase-1 exchange), unioned with the "
+        "already-final cold rows. Round 2 re-shuffled the entire "
+        "postings payload through phase 2 (measured 5.5 s vs 2.1 s "
+        "unsalted on a 20k-doc build with nothing hot); the split runs "
+        "at parity with the unsalted plan.",
+        explain(ib.postings(tf2, salt_hot_terms=True, hot=hot))))
+
+    sections.append((
+        "IVF cell assignment (map-side, round 3)",
+        "One generated greatest(struct(round(cosine,6), -cell)) "
+        "projection over the C literal centroids: zero exchanges, zero "
+        "joins. Round 2 shipped every vector through a C-fold broadcast "
+        "join + groupBy argmax.",
+        explain(sim._assign_cells(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            dim=sim.DIM)[0])))
+
+    sections.append((
+        "Bucketed index write (range partitioning, round 3)",
+        "repartitionByRange on (term_bucket, term) into max(buckets, "
+        "parallelism) tasks: one bucket per write task. Hash-"
+        "repartitioning P distinct bucket ids into P tasks left ~1/e "
+        "of them empty and tripled the worst (measured 18/32 non-empty, "
+        "max 3 buckets/task) — a write straggler exactly at cores == P.",
+        explain(pidx0.postings
+                .repartitionByRange(32, "term_bucket", "term")
+                .sortWithinPartitions("term_bucket", "term"))))
+
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("# PLANS.md — physical plans of the headline pipelines\n\n"
                 "Generated by tools/plan_audit.py; the scale-critical plan\n"
