@@ -259,6 +259,20 @@ def main() -> None:
         extra["bm25_server_p95_ms"] = round(
             sorted(lat_srv)[int(0.95 * (len(lat_srv) - 1))] * 1e3, 3)
 
+        # --- offline batch throughput: the executor-side batch kernel
+        # over a 64-query workload against the persisted positional
+        # segments (one applyInPandas job; per-query data = its own
+        # terms' pruned segments)
+        batch_queries = [(i, BM25_QUERIES[i % len(BM25_QUERIES)] + ([f"q{i}"] if i % 3 == 0 else []))
+                         for i in range(64)]
+        sdocs = seg.read_segment_index(spark, f"{tmp}/seg_docs")
+        t0 = time.perf_counter()
+        n_hits = seg.batch_topk(sdocs, batch_queries, k=10).count()
+        dt = time.perf_counter() - t0
+        extra["batch_topk_64q_sec"] = round(dt, 3)
+        extra["batch_topk_qps"] = round(64 / dt, 1)
+        extra["batch_topk_rows"] = n_hits
+
         # --- warm exact-phrase latency (positional segments)
         PHRASES = [["table", "hash"], ["customer", "join"],
                    ["merge", "group"], ["a", "a"]]
