@@ -318,6 +318,12 @@ def _run_batch(spark, created: bool, args: argparse.Namespace) -> None:
         if created:
             spark.stop()
         raise SystemExit(2)
+    if args.expr:
+        print("error: --queries-file evaluates term/phrase queries; "
+              "--expr is interactive/one-shot only", file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
     idx = seg.read_segment_index(spark, args.index)
     with open(args.queries_file, encoding="utf-8") as f:
         queries = [(i, ln.split()) for i, ln in enumerate(f)

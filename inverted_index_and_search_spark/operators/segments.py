@@ -732,14 +732,18 @@ class QueryServer:
             tp = self._cache.get(node.term)
             return tp.doc_ids if tp is not None else np.empty(0, np.int64)
         if isinstance(node, se.Phrase):
-            _require_positional(self.idx)
+            if "positions_enc" not in self.idx.segments.columns:
+                raise se.ExprError('"phrase" atoms need positional '
+                                   "segments (build with --positional)")
             norm = list(node.words)
             fetched = {t: c for t in sorted(set(norm))
                        if (c := self._cache.get(t)) is not None}
             return np.asarray([d for d, _, _ in _phrase_eval(fetched, norm)],
                               np.int64)
         if isinstance(node, se.Near):
-            _require_positional(self.idx)
+            if "positions_enc" not in self.idx.segments.columns:
+                raise se.ExprError("NEAR/k needs positional segments "
+                                   "(build with --positional)")
             fetched = {t: c for t in (node.term_a, node.term_b)
                        if (c := self._cache.get(t)) is not None}
             return np.asarray(

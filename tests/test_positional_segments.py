@@ -232,3 +232,16 @@ def test_query_server_expr_errors(psegs):
     server = seg.QueryServer(psegs)
     with pytest.raises(ExprError):
         server.search_expr("NOT def")
+
+
+def test_query_server_expr_phrase_needs_positions(spark, docs_df):
+    from inverted_index_and_search_spark.operators.search_expr import ExprError
+
+    tf = ib.term_doc_tf_arrow(docs_df)
+    sidx = seg.build_segment_index(tf, docs_df.count(), 10.0,
+                                   salt_hot_terms=False)
+    server = seg.QueryServer(sidx)
+    for expr in ['"def return"', "def NEAR/2 return"]:
+        with pytest.raises(ExprError):
+            server.search_expr(expr)
+    assert server.search_expr("def AND return")  # plain boolean still fine
