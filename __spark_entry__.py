@@ -206,6 +206,31 @@ def _q_bm25_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score"), 6).alias("score"))
 
 
+def _q_term_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term stats through the STREAMING ingest path: the corpus is
+    staged as three parquet chunks, drained by the availableNow
+    Structured Streaming ingest (foreachBatch -> LSM delta segments),
+    and the live merged view's postings produce (term, df, cf) —
+    hash-equal to the exact term_stats oracle, so the streaming ingest
+    is driver-verified against DuckDB, not just pytest'd vs the batch
+    build."""
+    import tempfile
+
+    from inverted_index_and_search_spark.streaming import ingest
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    tmp = tempfile.mkdtemp(prefix="iis_stream_")
+    for i in range(3):
+        (docs.filter((F.col("doc_id") % 3) == i)
+         .coalesce(1).write.mode("append").parquet(f"{tmp}/chunks"))
+    writer = ingest.ingest_stream(spark, f"{tmp}/chunks", f"{tmp}/ingest")
+    live = writer.live_index(spark)
+    return live.postings.select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"))
+
+
 def _q_bm25_merged_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 through a MERGED segment index: the corpus is indexed as
     two disjoint halves (doc_id parity), merged at the compressed layer
@@ -550,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf": _q_term_tf,
         "term_stats": _q_term_stats,
         "term_stats_salted": _q_term_stats_salted,
+        "term_stats_streamed": _q_term_stats_streamed,
         "doc_id_assign": _q_doc_id_assign,
         "doc_stats": _q_doc_stats,
         "collection_stats": _q_collection_stats,
@@ -955,6 +981,8 @@ FROM ranked WHERE rank <= 3
         "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),
         "bm25_wand_top10": _bm25_sql(Q_BM25),
     }
-    # the warm QueryServer expression path shares query_expr's oracle
+    # the warm QueryServer expression path shares query_expr's oracle;
+    # the streaming-ingest stats share term_stats' exact oracle
     out["query_expr_server"] = out["query_expr"]
+    out["term_stats_streamed"] = out["term_stats"]
     return out

@@ -63,10 +63,14 @@ def oracle_eval(toks: dict[int, list[str]], node) -> set[int]:
                 if any(ts[i:i + k] == want for i in range(len(ts) - k + 1))}
     if isinstance(node, se.Near):
         a, b, w = node.term_a, node.term_b, node.window
-        return {d for d, ts in toks.items()
-                if any(t == a and abs(i - j) <= w and (a != b or i != j)
-                       for i, t in enumerate(ts)
-                       for j, u in enumerate(ts) if u == b)}
+        out = set()
+        for d, ts in toks.items():
+            pa = [i for i, t in enumerate(ts) if t == a]
+            pb = [j for j, t in enumerate(ts) if t == b]
+            if any(abs(i - j) <= w and (a != b or i != j)
+                   for i in pa for j in pb):
+                out.add(d)
+        return out
     if isinstance(node, se.Or):
         out: set[int] = set()
         for p in node.parts:
