@@ -465,6 +465,32 @@ def _q_query_expr_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score"), 6).alias("score"))
 
 
+Q_PREFIX = "tab"
+Q_FUZZY = ("tble", 1)
+Q_FILTER_LANG = "de"
+
+
+def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q.prefix_docs(_index(spark, sf_dir), Q_PREFIX).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, d = Q_FUZZY
+    return q.fuzzy_docs(_index(spark, sf_dir), t, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: BM25 top-10 restricted to docs with
+    lang = 'py' (metadata doc_filter semi-join; corpus-wide IDF)."""
+    docs = _docs(spark, sf_dir)
+    flt = docs.where(F.col("lang") == Q_FILTER_LANG).select("doc_id")
+    res = q.bm25_topk(_index(spark, sf_dir), Q_BM25, k=10, doc_filter=flt)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round(F.col("score"), 6).alias("score"))
+
+
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = q.top_terms_per_doc(_index(spark, sf_dir), k=3)
     return res.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -597,6 +623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_expr_server": _q_query_expr_server,
         "query_expr_ranked": _q_query_expr_ranked,
         "top_terms": _q_top_terms,
+        "prefix_docs": _q_prefix,
+        "fuzzy_docs": _q_fuzzy,
+        "bm25_filtered_top10": _q_bm25_filtered,
         "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
         "bm25_text_roundtrip": _q_bm25_text_roundtrip,
         "bm25_json_roundtrip": _q_bm25_json_roundtrip,
@@ -683,6 +712,35 @@ SELECT doc_id::BIGINT AS doc_id,
               * (phrase_tf * {K1 + 1.0})
               / (phrase_tf + {K1} * (1.0 - {B} + {B} * dl / s.avgdl)), 6) AS score
 FROM m CROSS JOIN stats s WHERE phrase_tf > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_filtered_sql(terms: list[str], lang: str, k: int = 10) -> str:
+    """bm25_top10's oracle with the result set restricted to docs of
+    one lang (corpus-wide IDF, filter narrows results only)."""
+    return f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+qt AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ({_sql_in(terms)}) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - qt.df + 0.5) / (qt.df + 0.5))
+              * (tf.tf * {K1 + 1.0})
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
@@ -972,6 +1030,17 @@ SELECT doc_id::BIGINT AS doc_id, term, round(tfidf, 6) AS tfidf,
        rank::INT AS rank
 FROM ranked WHERE rank <= 3
 """,
+        "prefix_docs": f"""
+WITH {_TOK_CTE}
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
+WHERE term LIKE '{Q_PREFIX}%' ORDER BY doc_id
+""",
+        "fuzzy_docs": f"""
+WITH {_TOK_CTE}
+SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
+WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
+""",
+        "bm25_filtered_top10": _bm25_filtered_sql(Q_BM25, Q_FILTER_LANG),
         "bm25_top10": _bm25_sql(Q_BM25),
         "bm25_text_roundtrip": _bm25_sql(Q_BM25),
         "bm25_json_roundtrip": _bm25_sql(Q_BM25),

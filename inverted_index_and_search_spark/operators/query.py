@@ -125,6 +125,48 @@ def boolean_and_not(index: Index, include: list[str],
     return base.join(ex, "doc_id", "left_anti").orderBy("doc_id")
 
 
+def prefix_docs(index: Index, prefix: str) -> DataFrame:
+    """(doc_id) — docs containing ANY term starting with ``prefix``
+    (Lucene PrefixQuery semantics), sorted asc.
+
+    Scale note: the hash-bucketed layout cannot partition-prune a
+    prefix (buckets are xxhash64-distributed), so this is a full
+    DICTIONARY scan — but a narrow one: the predicate pushes to the
+    parquet scan as StringStartsWith(term) (plan-gated), and column
+    pruning reads only the matched rows' postings. A sorted
+    term-dictionary secondary index is the upgrade path if prefix
+    queries dominate a workload."""
+    p = prefix.lower()
+    spark = index.postings.sparkSession
+    if not p:
+        return spark.createDataFrame([], "doc_id long")
+    matched = index.postings.filter(F.col("term").startswith(p))
+    return (matched.select(F.explode("postings").alias("p"))
+            .select(F.col("p.doc_id").alias("doc_id"))
+            .distinct().orderBy("doc_id"))
+
+
+def fuzzy_docs(index: Index, term: str, max_dist: int = 1) -> DataFrame:
+    """(doc_id) — docs containing any term within Levenshtein distance
+    ``max_dist`` of ``term`` (Lucene FuzzyQuery semantics), sorted asc.
+
+    The dictionary scan is pre-pruned by the length band
+    |len(t) - len(term)| <= max_dist (a cheap pushable range filter —
+    edit distance can never beat the length difference) before the
+    levenshtein evaluation; postings explode only for matched terms."""
+    t = term.lower()
+    spark = index.postings.sparkSession
+    if not t:
+        return spark.createDataFrame([], "doc_id long")
+    cand = index.postings.filter(
+        (F.length("term") >= len(t) - max_dist)
+        & (F.length("term") <= len(t) + max_dist))
+    matched = cand.filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
+    return (matched.select(F.explode("postings").alias("p"))
+            .select(F.col("p.doc_id").alias("doc_id"))
+            .distinct().orderBy("doc_id"))
+
+
 def top_terms_per_doc(index: Index, k: int = 3) -> DataFrame:
     """(doc_id, term, tfidf, rank) — each doc's top-k terms by TF-IDF
     (tf * ln((N+1)/(df+1)), smoothed non-negative), rank 1..k ordered
@@ -162,6 +204,7 @@ def bm25_topk(
     k: int = 10,
     *,
     conjunctive: bool = False,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score) — BM25 top-k, score desc then doc_id asc.
 
@@ -172,7 +215,14 @@ def bm25_topk(
     computed in-plan from each postings row's df column with the exact
     ``ln(1 + (N - df + .5)/(df + .5))`` formulation — one Spark job per
     query, no driver-side stats collect.
-    """
+
+    ``doc_filter``: optional (doc_id) relation restricting the RESULT
+    set (faceted/metadata search — e.g. ``docs.where(lang = 'py')
+    .select('doc_id')``): a left-semi join applied to the scored
+    relation before the top-k, so ranking touches only the query
+    terms' postings plus the filter relation. IDF/df stay CORPUS-wide
+    (standard filtered-search semantics — the filter narrows results,
+    it does not re-weight terms)."""
     norm = _norm_terms(terms)
     spark = index.postings.sparkSession
     if not norm:
@@ -180,6 +230,9 @@ def bm25_topk(
     scored = bm25_scores(index, norm)
     if conjunctive:
         scored = scored.filter(F.col("n_matched") == len(norm))
+    if doc_filter is not None:
+        scored = scored.join(doc_filter.select("doc_id"), "doc_id",
+                             "left_semi")
     return (
         scored.select("doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -101,6 +101,14 @@ def persisted_index(spark, tmp_path_factory):
     return ib.read_index(spark, out)
 
 
+def test_prefix_query_pushes_startswith(spark, persisted_index):
+    """The prefix dictionary scan pushes StringStartsWith(term) to the
+    parquet scan — a narrow dictionary pass, not a full-row read."""
+    plan = explain(q.prefix_docs(persisted_index, "tab"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "StringStartsWith(term,tab" in pushed[0], plan
+
+
 def test_query_prunes_term_bucket_partitions(spark, persisted_index):
     plan = explain(q.boolean_and(persisted_index, ["table", "query"]))
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]

@@ -77,3 +77,45 @@ def test_nondefault_bucket_count_roundtrip(spark, docs_df, tmp_path_factory):
         wb = [(r["doc_id"], round(r["score"], 9))
               for r in q.bm25_topk(base, terms, k=10).collect()]
         assert gb == wb, terms
+
+
+# ----------------------------------- prefix / fuzzy / filtered queries
+
+def test_prefix_docs_oracle(index, oracle_idx):
+    want = sorted({d for t, posts in oracle_idx.postings.items()
+                   if t.startswith("re") for d in posts})
+    got = [r["doc_id"] for r in q.prefix_docs(index, "re").collect()]
+    assert got == want and got
+    assert q.prefix_docs(index, "zzzqqq").collect() == []
+    assert q.prefix_docs(index, "").collect() == []
+
+
+def test_fuzzy_docs_oracle(index, oracle_idx):
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    for term, d in [("retrn", 1), ("def", 1), ("xx", 2)]:
+        want = sorted({doc for t, posts in oracle_idx.postings.items()
+                       if lev(t, term) <= d for doc in posts})
+        got = [r["doc_id"]
+               for r in q.fuzzy_docs(index, term, d).collect()]
+        assert got == want, (term, d)
+
+
+def test_bm25_doc_filter_restricts_results(spark, index, oracle_idx):
+    from inverted_index_and_search_spark import oracle as orc
+
+    allowed = spark.createDataFrame(
+        [(d,) for d in range(0, 60, 2)], "doc_id long")
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in q.bm25_topk(index, ["def", "return"], k=10,
+                                doc_filter=allowed).collect()]
+    full = orc.bm25_topk(oracle_idx, ["def", "return"], k=10_000)
+    want = [(d, round(s, 9)) for d, s in full if d % 2 == 0][:10]
+    assert got == want and got
