@@ -206,6 +206,28 @@ def _q_bm25_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score"), 6).alias("score"))
 
 
+def _q_bm25_sharded_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 WAND over a segment index with a FORCED all-hot set: every
+    term's postings split across shard segment rows (the corpus-scale
+    layout for stop words) and merge at read time — hash-equal to the
+    same SQL oracle as bm25_top10, driver-verifying segmented posting
+    lists in the compressed layout."""
+    docs = _docs(spark, sf_dir)
+    tok = ib.tokens(docs, content_col="text", id_col="doc_id")
+    tf = ib.term_doc_tf(tok)
+    n_docs = docs.count()
+    avgdl = float(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        .join(docs.select("doc_id"), "doc_id", "right").fillna({"dl": 0})
+        .agg(F.avg("dl")).collect()[0][0])
+    all_terms = tf.select("term").distinct()
+    sidx = seg.build_segment_index(tf, n_docs, avgdl, hot=all_terms)
+    hits = seg.topk(sidx, Q_BM25, k=10, method="wand")
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double")
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_term_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term stats through the STREAMING ingest path: the corpus is
     staged as three parquet chunks, drained by the availableNow
@@ -633,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf_rawfiles": _q_term_tf_rawfiles,
         "bm25_top10_rare": lambda s, d: _bm25_rounded(s, d, Q_BM25_RARE),
         "bm25_wand_top10": _q_bm25_wand,
+        "bm25_sharded_segments": _q_bm25_sharded_segments,
     }
 
 
@@ -1049,6 +1072,7 @@ WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
             f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
         "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),
         "bm25_wand_top10": _bm25_sql(Q_BM25),
+        "bm25_sharded_segments": _bm25_sql(Q_BM25),
     }
     # the warm QueryServer expression path shares query_expr's oracle;
     # the streaming-ingest stats share term_stats' exact oracle

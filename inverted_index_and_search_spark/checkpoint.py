@@ -100,11 +100,11 @@ def build_resumable(
         tf_dl = seg.tf_with_dl(tf).withColumn(
             "term_bucket", ib.term_bucket_col(F.col("term"), n_buckets)
         )
-        # range, not hash, on the bucket id: hashing P distinct values
-        # into P tasks leaves ~1/e empty and triples the worst (see
-        # index_build.write_index)
-        n_parts = max(n_buckets, spark.sparkContext.defaultParallelism)
-        (tf_dl.repartitionByRange(n_parts, "term_bucket", "term")
+        # one bucket per write task via the Murmur3 routing column
+        # (hash partitioning leaves ~1/e of tasks empty; range would
+        # sample-execute the tokenize+tf pipeline twice)
+        route = ib.bucket_route_col(spark, F.col("term_bucket"), n_buckets)
+        (tf_dl.repartition(n_buckets, route)
          .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(f"{out_dir}/stage/tf_dl"))
         ds = ib.doc_stats(docs, tf, content_col=content_col, id_col=id_col)

@@ -44,6 +44,43 @@ def term_bucket_col(term: F.Column, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
 
 
+def bucket_route_col(spark, bucket_col: F.Column, n_buckets: int) -> F.Column:
+    """Routing column that places bucket value b in shuffle partition b
+    under ``repartition(n_buckets, route)``.
+
+    Hash-repartitioning P distinct bucket ids into P partitions leaves
+    ~1/e of the write tasks empty and loads the worst with ~3 buckets
+    (murmur3 collisions — measured 18/32 non-empty, max 3): a built-in
+    write straggler exactly when cores == P. Range partitioning fixes
+    the balance but SAMPLES the child plan, executing the (expensive —
+    tokenize/encode) write input twice. This instead picks, per target
+    partition, a representative int whose Murmur3 hash lands there
+    (one tiny driver-side probe job over a few thousand ints, cached
+    per modulus) and routes bucket b through representative r_b:
+    deterministic 1:1 bucket->task, one pass over the data, one file
+    per bucket directory."""
+    key = (id(spark), n_buckets)
+    rep = _ROUTE_CACHE.get(key)
+    if rep is None:
+        probe = 64 * n_buckets
+        while True:
+            rows = (spark.range(0, probe)
+                    .select(F.col("id").cast("int").alias("id"))
+                    .select("id",
+                            F.pmod(F.hash("id"), F.lit(n_buckets)).alias("p"))
+                    .groupBy("p").agg(F.min("id").alias("r")).collect())
+            rep = {int(r["p"]): int(r["r"]) for r in rows}
+            if len(rep) == n_buckets:
+                break
+            probe *= 4  # astronomically unlikely; widen and retry
+        _ROUTE_CACHE[key] = rep
+    arr = F.array(*[F.lit(rep[b]).cast("int") for b in range(n_buckets)])
+    return F.element_at(arr, bucket_col.cast("int") + 1)
+
+
+_ROUTE_CACHE: dict = {}
+
+
 def tokens(docs: DataFrame, *, use_pandas_udf: bool = True,
            content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, term) — one row per token occurrence.
@@ -300,26 +337,22 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
     writes — doc_stats' doc lengths derive from it, and without the
     cache the whole tokenize+tf pipeline would execute twice.
 
-    Write-stage partitioning is RANGE on (term_bucket, term) into
-    max(n_buckets, cluster parallelism) tasks: hash-repartitioning P
-    distinct bucket values into P partitions (the round-2 layout)
-    collides ~1/e of the tasks empty and loads the worst with 3
-    buckets (measured 18/32 non-empty, max 3), a built-in write
-    straggler at exactly cores == P; range boundaries give one bucket
-    per task — or several term-contiguous slices per bucket when the
-    cluster has more cores than buckets — with files-per-bucket
-    bounded by ceil(parallelism / P).
+    Write-stage partitioning: one bucket per task via the deterministic
+    Murmur3 routing column (:func:`bucket_route_col`) — balanced write
+    parallelism with one file per bucket directory, one pass over the
+    data (hash partitioning collided ~1/e of tasks empty; range
+    partitioning would sample-execute the aggregation twice).
     """
     import json
     import os
 
     spark = index.postings.sparkSession
-    n_parts = max(index.n_buckets, spark.sparkContext.defaultParallelism)
+    route = bucket_route_col(spark, F.col("term_bucket"), index.n_buckets)
     if index.tf is not None:
         index.tf.persist()
     try:
         (index.postings
-         .repartitionByRange(n_parts, "term_bucket", "term")
+         .repartition(index.n_buckets, route)
          .sortWithinPartitions("term_bucket", "term")
          .write.mode(mode).partitionBy("term_bucket")
          .parquet(f"{out_dir}/postings"))

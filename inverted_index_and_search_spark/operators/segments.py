@@ -80,10 +80,16 @@ def grouped_postings_arrays(
     hot: DataFrame | None = None,
 ) -> DataFrame:
     """(term, df, cf, doc_ids, tfs, dls) with parallel arrays sorted by
-    doc_id — the encoder's input. Salted two-phase agg for terms the
-    sampled hot-set detector flags (df > hot_df) bounds the biggest
-    single collect_list task; the long tail keeps salt 0 and aggregates
-    in one phase-1 group (same rationale as index_build.postings)."""
+    doc_id — the encoder's input. Terms the sampled hot-set detector
+    flags (df > hot_df) are SHARDED: their postings stay split across
+    up to ``salt_factor`` rows (pmod(xxhash64(doc_id), s)), each row
+    carrying the TERM-level df/cf (so per-posting BM25 scores computed
+    from any shard row are identical to the unsharded layout's). The
+    giant merged row never exists — no phase-2 shuffle at all — and a
+    hot term becomes multiple SEGMENT rows that the read side merges
+    (fetch_term_postings / the batch kernels), rank/score-identical by
+    construction (tested). The long tail keeps salt 0 and finalizes in
+    the single phase-1 aggregation."""
     from inverted_index_and_search_spark.operators.index_build import (
         hot_terms,
         salt_col,
@@ -99,10 +105,6 @@ def grouped_postings_arrays(
         salted = (tf_dl.join(F.broadcast(hot), "term", "left")
                   .withColumn("_hot", F.col("_hot").isNotNull())
                   .withColumn("salt", salt_col(F.col("_hot"), salt_factor)))
-        # phase 2 merges HOT terms' partials only — a non-hot term's
-        # single salt-0 group is already final, so the second shuffle
-        # carries just the skewed terms (same split as index_build.
-        # postings; both branches reuse one phase-1 exchange)
         partial = salted.groupBy("term", "_hot", "salt").agg(
             F.sort_array(F.collect_list(post)).alias("pp"),
             F.count("*").alias("p_df"),
@@ -113,12 +115,20 @@ def grouped_postings_arrays(
             F.col("p_df").cast("long").alias("df"),
             F.col("p_cf").cast("long").alias("cf"),
         )
-        hot_merged = partial.where(F.col("_hot")).groupBy("term").agg(
-            F.sort_array(F.flatten(F.collect_list("pp"))).alias("p"),
-            F.sum("p_df").cast("long").alias("df"),
-            F.sum("p_cf").cast("long").alias("cf"),
-        )
-        agg = cold.unionByName(hot_merged)
+        # term-level df/cf ride on every shard row via a per-term
+        # window over the HOT partials only (few rows: shards per hot
+        # term) — NOT a broadcast of an aggregate derived from phase 1,
+        # which would recompute the whole tokenize+tf pipeline for the
+        # broadcast side (measured 2x the build); both branches here
+        # consume the same phase-1 exchange
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("term")
+        hot_rows = (partial.where(F.col("_hot"))
+                    .select("term", F.col("pp").alias("p"),
+                            F.sum("p_df").over(w).cast("long").alias("df"),
+                            F.sum("p_cf").over(w).cast("long").alias("cf")))
+        agg = cold.unionByName(hot_rows)
     else:
         agg = tf_dl.groupBy("term").agg(
             F.sort_array(F.collect_list(post)).alias("p"),
@@ -226,6 +236,15 @@ def build_segment_index(
     *, n_buckets: int = DEFAULT_BUCKETS, salt_hot_terms: bool = True,
     hot: DataFrame | None = None,
 ) -> SegmentIndex:
+    """SegmentIndex over a (term, doc_id, tf[, positions]) relation.
+
+    ``salt_hot_terms``: terms in the ``hot`` set (or detected by the
+    sampled pass) keep their postings SPLIT across shard segment rows
+    — a stop-word-class term at corpus scale would otherwise merge
+    into one multi-GB row. Every shard row carries term-level df/cf,
+    so scores are identical; the read side merges shard cursors
+    (merge_term_postings), rank/score-identical to the single-row
+    layout (tested + driver-verified)."""
     # tf feeds both the per-doc dl aggregation and the join side of
     # tf_with_dl — persist so the (often expensive: tokenize + IMC)
     # upstream runs once; the cache lives for the index's lifetime
@@ -241,13 +260,17 @@ def build_segment_index(
 
 
 def write_segment_index(idx: SegmentIndex, out_dir: str, mode: str = "overwrite") -> None:
-    # range on (bucket, term): one bucket per write task (hash-
-    # repartitioning P values into P tasks leaves ~1/e empty and
-    # triples the worst task — see write_index), extra cores split
-    # buckets at term boundaries
+    # one bucket per write task via the Murmur3 routing column (hash
+    # partitioning leaves ~1/e of tasks empty; range partitioning
+    # would sample-execute the whole encode pipeline twice — see
+    # index_build.bucket_route_col)
+    from inverted_index_and_search_spark.operators.index_build import (
+        bucket_route_col,
+    )
+
     spark = idx.segments.sparkSession
-    n_parts = max(idx.n_buckets, spark.sparkContext.defaultParallelism)
-    (idx.segments.repartitionByRange(n_parts, "term_bucket", "term")
+    route = bucket_route_col(spark, F.col("term_bucket"), idx.n_buckets)
+    (idx.segments.repartition(idx.n_buckets, route)
      .sortWithinPartitions("term_bucket", "term")
      .write.mode(mode).partitionBy("term_bucket")
      .parquet(f"{out_dir}/segments"))
@@ -369,9 +392,54 @@ def _decode_row(row, avgdl: float, n_docs: int, block: int) -> bm25.TermPostings
     return tp
 
 
+def merge_term_postings(tps: list[bm25.TermPostings],
+                        block: int) -> bm25.TermPostings:
+    """One TermPostings from a hot term's SHARD rows: concatenate and
+    doc_id-sort the decoded arrays (shards partition the doc space, so
+    ids are globally unique), recompute block metadata from the merged
+    scores. Per-posting scores are already correct — every shard row
+    carries the TERM-level df, so its idf equals the unsharded
+    layout's. Positional payloads merge by gathering each posting's
+    position slice in the new doc order (multi-arange, no per-posting
+    python)."""
+    if len(tps) == 1:
+        return tps[0]
+    ids = np.concatenate([t.doc_ids for t in tps])
+    scores = np.concatenate([t.scores for t in tps])
+    order = np.argsort(ids, kind="stable")
+    ids_m, scores_m = ids[order], scores[order]
+    bmx, blast = bm25.block_maxes(scores_m, ids_m, tps[0].block)
+    out = bm25.TermPostings(doc_ids=ids_m, scores=scores_m,
+                            block_max=bmx, block_last=blast,
+                            block=tps[0].block)
+    if all(t.positions_enc is not None or t.positions_flat is not None
+           for t in tps):
+        for t in tps:
+            t.ensure_positions()
+        tf_rows, start_rows = [], []
+        off = 0
+        for t in tps:
+            pb = t.pos_bounds
+            tf_rows.append(np.diff(np.concatenate(([0], pb))))
+            start_rows.append(np.concatenate(([0], pb[:-1])) + off)
+            off += int(pb[-1]) if pb.size else 0
+        flat = np.concatenate([t.positions_flat for t in tps])
+        tfs_m = np.concatenate(tf_rows)[order]
+        starts_m = np.concatenate(start_rows)[order]
+        total = int(tfs_m.sum())
+        offs = np.concatenate(([0], np.cumsum(tfs_m)[:-1]))
+        gather = (np.repeat(starts_m, tfs_m)
+                  + (np.arange(total) - np.repeat(offs, tfs_m)))
+        out.positions_flat = flat[gather]
+        out.pos_bounds = np.cumsum(tfs_m)
+        out.dls = np.concatenate([t.dls for t in tps])[order]
+    return out
+
+
 def fetch_term_postings(idx: SegmentIndex, terms: list[str]) -> dict[str, bm25.TermPostings]:
     """Pruned segment fetch + decode for a query's terms (driver-side;
-    the per-query data is only those terms' segments)."""
+    the per-query data is only those terms' segments). A hot term's
+    shard rows merge into one cursor (:func:`merge_term_postings`)."""
     from inverted_index_and_search_spark.kernels.xxhash import term_bucket
 
     norm = sorted({t.lower() for t in terms})
@@ -384,14 +452,20 @@ def fetch_term_postings(idx: SegmentIndex, terms: list[str]) -> dict[str, bm25.T
         bvals = sorted({term_bucket(t, idx.n_buckets) for t in norm})
         seg = seg.filter(F.col("term_bucket").isin(bvals))
     rows = seg.filter(F.col("term").isin(norm)).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
     # SORTED-term order, not collect order: every consumer that sums
     # per-term float scores (WAND/exhaustive kernels) must accumulate
     # in one deterministic order or scores drift in the last ulp
     # between the driver, server, and batch paths (scan row order is a
     # file-layout artifact)
-    decoded = {r["term"]: _decode_row(r, idx.avgdl, idx.n_docs, idx.block)
-               for r in rows}
-    return {t: decoded[t] for t in norm if t in decoded}
+    return {
+        t: merge_term_postings(
+            [_decode_row(r, idx.avgdl, idx.n_docs, idx.block)
+             for r in by_term[t]], idx.block)
+        for t in norm if t in by_term
+    }
 
 
 #: below this many total candidate postings, vectorized exhaustive
@@ -488,11 +562,14 @@ def batch_topk(idx: SegmentIndex, queries: list[tuple[int, list[str]]],
     def eval_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         # sorted-term cursor order = the driver path's accumulation
-        # order (fetch_term_postings) -> bit-identical scores
-        present = pdf[pdf["n"].notna()].sort_values("term")
+        # order (fetch_term_postings) -> bit-identical scores; a hot
+        # term's shard rows merge into one cursor
+        present = pdf[pdf["n"].notna()]
         cursors = [
-            _decode_row(row, avgdl, n_docs, block)
-            for _, row in present.iterrows()
+            merge_term_postings(
+                [_decode_row(row, avgdl, n_docs, block)
+                 for _, row in grp.iterrows()], block)
+            for _, grp in present.groupby("term", sort=True)
         ]
         want = n_terms_b.value[qid]
         if not cursors or (conjunctive and len(cursors) < want):
@@ -559,8 +636,10 @@ def batch_phrase_topk(idx: SegmentIndex,
         qid = int(pdf["query_id"].iloc[0])
         norm = phrases_b.value[qid]
         fetched = {
-            row["term"]: _decode_row(row, avgdl, n_docs, block)
-            for _, row in pdf[pdf["n"].notna()].iterrows()
+            term: merge_term_postings(
+                [_decode_row(row, avgdl, n_docs, block)
+                 for _, row in grp.iterrows()], block)
+            for term, grp in pdf[pdf["n"].notna()].groupby("term")
         }
         matched = _phrase_eval(fetched, norm)
         hits = _score_phrase_matched(matched, n_docs, avgdl, k)

@@ -199,12 +199,16 @@ def write_ivf_index(emb: DataFrame, out_dir: str, *, dim: int = DIM,
     import os
 
     assigned, cents = _assign_cells(emb, dim=dim, centroids=centroids)
-    # range on (cell, vec_id): one cell per write task, extra cores
-    # split cells (hashing C distinct values into C tasks leaves ~1/e
-    # empty — see index_build.write_index)
-    n_parts = max(len(centroids) if centroids else IVF_C,
-                  emb.sparkSession.sparkContext.defaultParallelism)
-    (assigned.repartitionByRange(n_parts, "cell", "vec_id")
+    # one cell per write task via the Murmur3 routing column (hash
+    # partitioning leaves ~1/e of tasks empty; range would sample-
+    # execute the assignment scan twice — index_build.bucket_route_col)
+    from inverted_index_and_search_spark.operators.index_build import (
+        bucket_route_col,
+    )
+
+    n_cells = len(centroids) if centroids else IVF_C
+    route = bucket_route_col(emb.sparkSession, F.col("cell"), n_cells)
+    (assigned.repartition(n_cells, route)
      .write.mode(mode).partitionBy("cell").parquet(f"{out_dir}/cells"))
     cent_rows = [[int(r["cell"]), list(r["c"])]
                  for r in cents.orderBy("cell").collect()]

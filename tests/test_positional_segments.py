@@ -245,3 +245,26 @@ def test_query_server_expr_phrase_needs_positions(spark, docs_df):
         with pytest.raises(ExprError):
             server.search_expr(expr)
     assert server.search_expr("def AND return")  # plain boolean still fine
+
+
+def test_sharded_positional_segments_phrase_identical(spark, docs_df,
+                                                      psegs):
+    """Forced all-hot positional segments: positions merge correctly
+    across shard rows — phrase and proximity results identical to the
+    single-row layout."""
+    tdp = pos.term_doc_positions(docs_df)
+    all_terms = tdp.select("term").distinct()
+    sh = seg.build_segment_index(tdp, psegs.n_docs, psegs.avgdl,
+                                 hot=all_terms)
+    from pyspark.sql import functions as F
+    mx = (sh.segments.groupBy("term").count()
+          .agg(F.max("count")).collect()[0][0])
+    assert mx > 1
+    for phrase in PHRASES[:4]:
+        assert seg.phrase_docs(sh, phrase) == seg.phrase_docs(
+            psegs, phrase), phrase
+        assert seg.phrase_topk(sh, phrase, k=10) == pytest.approx(
+            seg.phrase_topk(psegs, phrase, k=10)), phrase
+    for a, b, w in NEAR_CASES[:3]:
+        assert seg.near_docs(sh, a, b, w) == seg.near_docs(
+            psegs, a, b, w), (a, b, w)

@@ -254,3 +254,57 @@ def test_merge_rejects_mixed_positionality(spark, docs_df, oracle_idx):
         seg.merge_segment_indexes([plain, posi])
     with pytest.raises(ValueError):
         seg.merge_segment_indexes([])
+
+
+# ------------------------------------------------ sharded segment rows
+
+@pytest.fixture(scope="module")
+def sharded_seg_index(spark, docs_df, oracle_idx, tmp_path_factory):
+    """Segment index with a FORCED all-hot set: every term's postings
+    split across shard rows (the corpus-scale layout for stop words)."""
+    tok = ib.tokens(docs_df)
+    tf = ib.term_doc_tf(tok)
+    all_terms = tf.select("term").distinct()
+    idx = seg.build_segment_index(tf, oracle_idx.n_docs, oracle_idx.avgdl,
+                                  hot=all_terms)
+    out = str(tmp_path_factory.mktemp("shsegidx"))
+    seg.write_segment_index(idx, out)
+    return seg.read_segment_index(spark, out)
+
+
+def test_sharded_segments_have_multiple_rows(sharded_seg_index):
+    from pyspark.sql import functions as F
+
+    mx = (sharded_seg_index.segments.groupBy("term").count()
+          .agg(F.max("count")).collect()[0][0])
+    assert mx > 1  # hot terms really are split
+
+
+@pytest.mark.parametrize("terms", QUERY_SET[:6],
+                         ids=["-".join(t) for t in QUERY_SET[:6]])
+def test_sharded_segments_rank_identical(sharded_seg_index, seg_index,
+                                         terms):
+    got = seg.topk(sharded_seg_index, terms, k=10)
+    want = seg.topk(seg_index, terms, k=10)
+    assert got == pytest.approx(want), terms
+    assert seg.boolean_and_docs(sharded_seg_index, terms) == \
+        seg.boolean_and_docs(seg_index, terms)
+
+
+def test_sharded_segments_batch_identical(sharded_seg_index, seg_index):
+    queries = list(enumerate(QUERY_SET[:5]))
+    a = sorted(tuple(r) for r in
+               seg.batch_topk(sharded_seg_index, queries, k=10).collect())
+    b = sorted(tuple(r) for r in
+               seg.batch_topk(seg_index, queries, k=10).collect())
+    assert [t[:3] for t in a] == [t[:3] for t in b]
+    for x, y in zip(a, b):
+        assert abs(x[3] - y[3]) < 1e-9
+
+
+def test_sharded_segments_query_server(sharded_seg_index, seg_index):
+    s1 = seg.QueryServer(sharded_seg_index)
+    s2 = seg.QueryServer(seg_index)
+    for terms in QUERY_SET[:5]:
+        assert s1.bm25_topk(terms, k=10) == pytest.approx(
+            s2.bm25_topk(terms, k=10)), terms

@@ -23,6 +23,14 @@ def explain(df, mode: str = "formatted") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
+def _route_col(spark):
+    from pyspark.sql import functions as F
+
+    from inverted_index_and_search_spark.operators import index_build as ib
+
+    return ib.bucket_route_col(spark, F.col("term_bucket"), 32)
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from inverted_index_and_search_spark.operators import index_build as ib
@@ -165,14 +173,16 @@ def main() -> None:
             dim=sim.DIM)[0])))
 
     sections.append((
-        "Bucketed index write (range partitioning, round 3)",
-        "repartitionByRange on (term_bucket, term) into max(buckets, "
-        "parallelism) tasks: one bucket per write task. Hash-"
-        "repartitioning P distinct bucket ids into P tasks left ~1/e "
-        "of them empty and tripled the worst (measured 18/32 non-empty, "
-        "max 3 buckets/task) — a write straggler exactly at cores == P.",
+        "Bucketed index write (Murmur3 routing column, round 3)",
+        "One bucket per write task: bucket b routes through a driver-"
+        "computed representative int whose Murmur3 hash lands in "
+        "partition b. Hash-repartitioning P distinct bucket ids into P "
+        "tasks left ~1/e of them empty and tripled the worst (measured "
+        "18/32 non-empty, max 3 buckets/task); range partitioning "
+        "balances but SAMPLES the child, executing the aggregation/"
+        "encode pipeline twice (measured 2x segment-build cost).",
         explain(pidx0.postings
-                .repartitionByRange(32, "term_bucket", "term")
+                .repartition(32, _route_col(spark))
                 .sortWithinPartitions("term_bucket", "term"))))
 
     with open(f"{REPO}/PLANS.md", "w") as f:
