@@ -505,7 +505,8 @@ def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search: BM25 top-10 restricted to docs with
-    lang = 'py' (metadata doc_filter semi-join; corpus-wide IDF)."""
+    lang = Q_FILTER_LANG (metadata doc_filter semi-join; corpus-wide
+    IDF)."""
     docs = _docs(spark, sf_dir)
     flt = docs.where(F.col("lang") == Q_FILTER_LANG).select("doc_id")
     res = q.bm25_topk(_index(spark, sf_dir), Q_BM25, k=10, doc_filter=flt)

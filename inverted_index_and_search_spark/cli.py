@@ -100,6 +100,9 @@ def _build(args: argparse.Namespace) -> None:
         else:
             tf = ib.term_doc_tf_arrow(docs, content_col=args.content_col,
                                       id_col=args.id_col)
+        # persist BEFORE the stats collect: the avgdl aggregation and
+        # the encode job otherwise each run the whole tokenize pipeline
+        tf = tf.persist()
         n_docs = docs.count()
         avgdl = float(
             tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -112,6 +115,7 @@ def _build(args: argparse.Namespace) -> None:
             hot=ib.hot_terms_from_docs(docs, content_col=args.content_col,
                                        id_col=args.id_col))
         seg.write_segment_index(sidx, args.output)
+        tf.unpersist()
         from inverted_index_and_search_spark.metrics import write_run_metrics
         write_run_metrics(spark, args.output,
                           wall_seconds=time.perf_counter() - t0,
@@ -325,6 +329,12 @@ def _run_batch(spark, created: bool, args: argparse.Namespace) -> None:
             spark.stop()
         raise SystemExit(2)
     idx = seg.read_segment_index(spark, args.index)
+    if args.phrase and "positions_enc" not in idx.segments.columns:
+        print("error: --phrase needs positional segments "
+              "(build with --positional)", file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
     with open(args.queries_file, encoding="utf-8") as f:
         queries = [(i, ln.split()) for i, ln in enumerate(f)
                    if ln.split()]

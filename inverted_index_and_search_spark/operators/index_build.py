@@ -603,7 +603,11 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         with open(meta_path) as f:
             meta = json.load(f)
         n_buckets = int(meta["n_buckets"])
-        sharded = bool(meta.get("sharded", False))
+        # a meta.json WITHOUT the key predates the flag — such an index
+        # may well be sharded (round-2 CLI --positional builds were), so
+        # default to the SAFE side: the wire sinks' shard merge is
+        # always correct, merely skippable when sharded is known False
+        sharded = bool(meta.get("sharded", True))
     return Index(
         postings=spark.read.parquet(f"{out_dir}/postings"),
         doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),

@@ -283,23 +283,25 @@ def phrase_bm25_topk(index: Index, phrase: list[str], k: int = 10) -> DataFrame:
     phrase (same k1/b/IDF as query.bm25_topk, so single-word phrases
     are score-identical to the ordinary path).
 
-    df is computed as a driver-side ``count()`` of the persisted match
-    relation and injected as a literal — the matched set (docs
+    df is computed as a driver-side ``count()`` of the materialized
+    match relation and injected as a literal — the matched set (docs
     containing the full phrase, already k-way intersected) is computed
     once and scored fully parallel; round 2 used an unpartitioned
     window COUNT instead, which funneled the whole match list through
-    one task. The persist lives until the session drops it (cheap: the
-    match relation is two ints per matching doc).
+    one task. ``localCheckpoint(eager=True)`` (not ``persist``)
+    materializes it: the backing blocks are released by the
+    ContextCleaner once the result DataFrame is dropped, so repeated
+    phrase queries in a long-lived session don't accumulate pinned
+    cache entries.
     """
     norm = _norm_phrase(phrase)
     spark = index.postings.sparkSession
     if not norm:
         return spark.createDataFrame([], "doc_id long, score double")
     n_docs, avgdl = index.collection_stats()
-    matched = _phrase_starts(index, norm).persist()
+    matched = _phrase_starts(index, norm).localCheckpoint(eager=True)
     phrase_df = matched.count()
     if phrase_df == 0:
-        matched.unpersist()
         return spark.createDataFrame([], "doc_id long, score double")
     dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
     # idf still evaluates IN-PLAN (JVM log, same engine as every other

@@ -408,10 +408,10 @@ def merge_term_postings(tps: list[bm25.TermPostings],
     scores = np.concatenate([t.scores for t in tps])
     order = np.argsort(ids, kind="stable")
     ids_m, scores_m = ids[order], scores[order]
-    bmx, blast = bm25.block_maxes(scores_m, ids_m, tps[0].block)
+    bmx, blast = bm25.block_maxes(scores_m, ids_m, block)
     out = bm25.TermPostings(doc_ids=ids_m, scores=scores_m,
                             block_max=bmx, block_last=blast,
-                            block=tps[0].block)
+                            block=block)
     if all(t.positions_enc is not None or t.positions_flat is not None
            for t in tps):
         for t in tps:
@@ -872,20 +872,30 @@ class QueryServer:
         matched = self._eval_node(node)
         if matched.size == 0:
             return []
-        # disjunctive per-doc score sums over the positive terms, in
-        # sorted-term order (the kernels' deterministic accumulation),
-        # restricted to the match set before the sort
-        matched_set = {int(x) for x in matched}
-        scores: dict[int, float] = {}
+        # disjunctive per-doc score sums over the positive terms,
+        # restricted to the (sorted, unique) match set — fully numpy:
+        # per-term searchsorted membership mask, then one bincount over
+        # match-set ranks. Occurrences concatenate in sorted-term order
+        # and bincount accumulates in element order, so per-doc float
+        # sums use the same deterministic order as every other path.
+        ranks_all, sc_all = [], []
         for t in terms:  # expr_terms returns sorted unique
             tp = self._cache.get(t)
             if tp is None:
                 continue
-            for d, s in zip(tp.doc_ids, tp.scores):
-                di = int(d)
-                if di in matched_set:
-                    scores[di] = scores.get(di, 0.0) + float(s)
-        hits = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+            j = np.searchsorted(matched, tp.doc_ids)
+            j_c = np.minimum(j, matched.size - 1)
+            mask = matched[j_c] == tp.doc_ids
+            ranks_all.append(j_c[mask])
+            sc_all.append(tp.scores[mask])
+        if not ranks_all:
+            return []
+        sums = np.bincount(np.concatenate(ranks_all),
+                           weights=np.concatenate(sc_all),
+                           minlength=matched.size)
+        hit = np.flatnonzero(sums)
+        hits = sorted(((int(matched[h]), float(sums[h])) for h in hit),
+                      key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
 

@@ -147,6 +147,12 @@ def _assign_cells(emb: DataFrame, *, dim: int,
     cents = emb.sparkSession.createDataFrame(
         [(j, v) for j, v in enumerate(centroids)],
         "cell long, c array<double>")
+    if not centroids:
+        # empty table / no default centroids: empty assignment, not a
+        # zero-arg greatest() plan error
+        empty = emb.sparkSession.createDataFrame(
+            [], "vec_id long, v array<double>, cell long")
+        return empty, cents
     if len(centroids) == 1:
         assigned = base.select("vec_id", "v", F.lit(0).cast("long").alias("cell"))
         return assigned, cents

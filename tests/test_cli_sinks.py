@@ -550,3 +550,23 @@ def test_cli_segments_expr_search(spark, tmp_path, capsys):
         cli.main(["search", "--index", seg_dir, "--index-format",
                   "segments", "--expr", "--query", "NOT x"])
     assert ei.value.code == 2
+
+
+def test_read_index_legacy_meta_assumes_sharded(spark, docs_df, tmp_path):
+    """A meta.json WITHOUT the 'sharded' key (round-2 indexes) must be
+    treated as possibly-sharded: the wire sinks' shard merge is always
+    correct, skipping it on an actually-sharded legacy index would
+    silently drop all but one shard row per term."""
+    import json as _json
+
+    idx = ib.build_index(docs_df)
+    out = str(tmp_path / "legacy")
+    ib.write_index(idx, out)
+    with open(f"{out}/meta.json", "w") as f:
+        _json.dump({"n_buckets": idx.n_buckets}, f)  # legacy shape
+    back = ib.read_index(spark, out)
+    assert back.sharded is True
+    # wire output still one line per term
+    lines = [r["value"] for r in ib.postings_text_lines(back).collect()]
+    terms = [ln.split("\t")[0] for ln in lines]
+    assert len(terms) == len(set(terms))
