@@ -102,6 +102,26 @@ class StreamingIndexWriter:
         (identical to a one-shot batch build over the same docs)."""
         ib.write_index(self.live_index(spark), index_dir)
 
+    def compact_segments(self, spark: SparkSession, seg_dir: str) -> None:
+        """Fold all deltas into the COMPRESSED segment layout (the
+        north-star delta+varint block-max format) — queryable warm via
+        segments.QueryServer / `search --index-format segments`;
+        identical to a one-shot build_segment_index over the same docs
+        (tested). Positional deltas keep their positions, so the
+        compacted segments answer phrase/proximity queries."""
+        from pyspark.sql import functions as F
+
+        from inverted_index_and_search_spark.operators import segments as sg
+
+        tf = self._delta_tf(spark).drop("term_bucket")
+        ds = self._delta_doc_stats(spark)
+        row = ds.agg(F.count("*").alias("n"),
+                     F.avg("dl").alias("avgdl")).collect()[0]
+        sidx = sg.build_segment_index(
+            tf, int(row["n"]), float(row["avgdl"] or 0.0),
+            n_buckets=self.n_buckets)
+        sg.write_segment_index(sidx, seg_dir)
+
 
 def ingest_stream(spark: SparkSession, input_dir: str, out_dir: str, *,
                   content_col: str = "content", id_col: str = "doc_id",

@@ -146,3 +146,41 @@ def test_positional_ingest_answers_phrases(spark, docs_df, tmp_path):
     comp_rows = sorted(tuple(r) for r in compacted.postings.select(cols).collect())
     batch_rows = sorted(tuple(r) for r in batch.postings.select(cols).collect())
     assert comp_rows == batch_rows
+
+
+def test_compact_segments_equals_batch_segment_build(spark, docs_df,
+                                                     tmp_path):
+    """Stream in chunks -> compact_segments == one-shot segment build
+    over the same docs: identical decoded postings, identical warm
+    query results (positional: phrase-capable)."""
+    from inverted_index_and_search_spark.operators import positional as pos
+    from inverted_index_and_search_spark.operators import segments as sg
+
+    chunks_dir = str(tmp_path / "segchunks")
+    docs = docs_df.select("doc_id", "content")
+    for i in range(3):
+        (docs.filter((ib.F.col("doc_id") % 3) == i)
+         .coalesce(1).write.mode("append").parquet(chunks_dir))
+    out = str(tmp_path / "seging")
+    writer = ingest.ingest_stream(spark, chunks_dir, out, positional=True)
+    seg_dir = str(tmp_path / "segout")
+    writer.compact_segments(spark, seg_dir)
+    streamed = sg.read_segment_index(spark, seg_dir)
+
+    tdp = pos.term_doc_positions(docs)
+    n = docs.count()
+    avgdl = float(tdp.groupBy("doc_id").agg(ib.F.sum("tf").alias("dl"))
+                  .agg(ib.F.avg("dl")).collect()[0][0])
+    batch = sg.build_segment_index(tdp, n, avgdl)
+
+    a = {(r["term"], r["doc_id"], r["tf"])
+         for r in sg.decode_segments_tf(streamed).collect()}
+    b = {(r["term"], r["doc_id"], r["tf"])
+         for r in sg.decode_segments_tf(batch).collect()}
+    assert a == b
+    assert streamed.n_docs == batch.n_docs
+    for terms in (["def"], ["def", "return"]):
+        assert sg.topk(streamed, terms, k=10) == pytest.approx(
+            sg.topk(batch, terms, k=10))
+    assert sg.phrase_docs(streamed, ["def", "return"]) == \
+        sg.phrase_docs(batch, ["def", "return"])
