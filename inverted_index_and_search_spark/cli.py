@@ -178,11 +178,28 @@ def _resolve_keys(index: ib.Index,
 
 
 def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
-               phrase: bool = False, expr: bool = False) -> bool:
+               phrase: bool = False, expr: bool = False,
+               prefix: bool = False, fuzzy: int | None = None) -> bool:
     """Evaluate one query line and print results; returns False only on
     a malformed --expr query (one-shot callers exit nonzero on that)."""
     terms = line.split()
     if not terms:
+        return True
+    if prefix or fuzzy is not None:
+        if prefix:
+            rows = q.prefix_docs(index, terms[0]).collect()
+        else:
+            rows = q.fuzzy_docs(index, terms[0], fuzzy).collect()
+        key_map = _resolve_keys(index, [r["doc_id"] for r in rows])
+
+        def show_d(doc_id: int) -> str:
+            return (key_map.get(doc_id, str(doc_id)) if key_map
+                    else str(doc_id))
+
+        if not rows:
+            print("No matches found.")
+        else:
+            print("\n".join(show_d(r["doc_id"]) for r in rows))
         return True
 
     def keyed(rows) -> dict[int, str] | None:
@@ -322,9 +339,10 @@ def _run_batch(spark, created: bool, args: argparse.Namespace) -> None:
         if created:
             spark.stop()
         raise SystemExit(2)
-    if args.expr:
+    if args.expr or args.prefix or args.fuzzy is not None:
         print("error: --queries-file evaluates term/phrase queries; "
-              "--expr is interactive/one-shot only", file=sys.stderr)
+              "--expr/--prefix/--fuzzy are interactive/one-shot only",
+              file=sys.stderr)
         if created:
             spark.stop()
         raise SystemExit(2)
@@ -354,6 +372,13 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
     from inverted_index_and_search_spark.operators import segments as seg
 
     server = seg.QueryServer(seg.read_segment_index(spark, args.index))
+    if args.prefix or args.fuzzy is not None:
+        print("error: --prefix/--fuzzy need a parquet/text/json index "
+              "(dictionary scan over the DataFrame layout)",
+              file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
     if args.phrase and "positions_enc" not in server.idx.segments.columns:
         print("error: --phrase needs positional segments "
               "(build with --positional)", file=sys.stderr)
@@ -416,7 +441,8 @@ def _search(args: argparse.Namespace) -> None:
             raise SystemExit(2)
     if args.query is not None:
         ok = _run_query(index, args.query, args.bm25, args.topk,
-                        phrase=args.phrase, expr=args.expr)
+                        phrase=args.phrase, expr=args.expr,
+                        prefix=args.prefix, fuzzy=args.fuzzy)
         if not ok:
             # scripts must see malformed one-shot expressions fail
             if created:
@@ -429,7 +455,8 @@ def _search(args: argparse.Namespace) -> None:
             while True:
                 line = input("> ")
                 _run_query(index, line, args.bm25, args.topk,
-                           phrase=args.phrase, expr=args.expr)
+                           phrase=args.phrase, expr=args.expr,
+                           prefix=args.prefix, fuzzy=args.fuzzy)
         except EOFError:
             pass
     if created:
@@ -502,6 +529,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="boolean query language: AND/OR/NOT, parens, "
                         '"exact phrases" (phrases need --positional '
                         "indexes); bare term lists still mean AND")
+    s.add_argument("--prefix", action="store_true",
+                   help="treat the query's first token as a term PREFIX "
+                        "(Lucene PrefixQuery): print docs containing any "
+                        "matching dictionary term")
+    s.add_argument("--fuzzy", type=int, default=None, metavar="D",
+                   help="treat the query's first token as a FUZZY term: "
+                        "print docs containing any dictionary term "
+                        "within Levenshtein distance D")
     s.add_argument("--topk", type=int, default=10)
     s.set_defaults(fn=_search)
 

@@ -570,3 +570,24 @@ def test_read_index_legacy_meta_assumes_sharded(spark, docs_df, tmp_path):
     lines = [r["value"] for r in ib.postings_text_lines(back).collect()]
     terms = [ln.split("\t")[0] for ln in lines]
     assert len(terms) == len(set(terms))
+
+
+def test_cli_prefix_and_fuzzy_search(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clipfz")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx_dir, "--prefix", "--query", "tab"])
+    pref = capsys.readouterr().out.splitlines()
+    assert pref and all(ln.isdigit() for ln in pref)
+
+    cli.main(["search", "--index", idx_dir, "--fuzzy", "1",
+              "--query", "tble"])
+    fz = capsys.readouterr().out.splitlines()
+    assert fz and all(ln.isdigit() for ln in fz)
+
+    cli.main(["search", "--index", idx_dir, "--prefix",
+              "--query", "zzzqqq"])
+    assert "No matches found." in capsys.readouterr().out
