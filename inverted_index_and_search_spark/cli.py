@@ -144,6 +144,12 @@ def _build(args: argparse.Namespace) -> None:
         # spark/inverted_index_search.py:223-231)
         ib.write_index_text(idx, args.output,
                             num_partitions=args.num_output_partitions)
+    elif args.format in ("ref-parquet", "ref-parquet-nested"):
+        # the reference's own two Parquet layouts (DF {word, docs} /
+        # RDD {word, postings:[{doc,count}]}) — read back with
+        # `search --index-format ref-parquet`
+        ib.write_index_parquet_ref(idx, args.output,
+                                   nested=args.format.endswith("nested"))
     else:
         ib.write_index_json(idx, args.output,
                             num_partitions=args.num_output_partitions)
@@ -267,13 +273,25 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
 
 
 def _run_query_server(server, line: str, bm25: bool, topk: int,
-                      phrase: bool, expr: bool = False) -> bool:
+                      phrase: bool, expr: bool = False,
+                      prefix: bool = False, fuzzy: int | None = None) -> bool:
     """One query against a warm QueryServer (compressed segments):
     repeat terms answer from the per-term cache in microseconds —
     the scale-valid interactive path (no full-index residency).
     Returns False only on a malformed --expr query."""
     terms = line.split()
     if not terms:
+        return True
+    if prefix or fuzzy is not None:
+        # segment dictionary scan (memoized per server) + per-term cache
+        if prefix:
+            ids = server.prefix_docs(terms[0])
+        else:
+            ids = server.fuzzy_docs(terms[0], fuzzy)
+        if not ids:
+            print("No matches found.")
+        else:
+            print("\n".join(str(d) for d in ids))
         return True
     if expr:
         from inverted_index_and_search_spark.operators.search_expr import (
@@ -372,13 +390,6 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
     from inverted_index_and_search_spark.operators import segments as seg
 
     server = seg.QueryServer(seg.read_segment_index(spark, args.index))
-    if args.prefix or args.fuzzy is not None:
-        print("error: --prefix/--fuzzy need a parquet/text/json index "
-              "(dictionary scan over the DataFrame layout)",
-              file=sys.stderr)
-        if created:
-            spark.stop()
-        raise SystemExit(2)
     if args.phrase and "positions_enc" not in server.idx.segments.columns:
         print("error: --phrase needs positional segments "
               "(build with --positional)", file=sys.stderr)
@@ -387,7 +398,8 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
         raise SystemExit(2)
     if args.query is not None:
         ok = _run_query_server(server, args.query, args.bm25, args.topk,
-                               args.phrase, expr=args.expr)
+                               args.phrase, expr=args.expr,
+                               prefix=args.prefix, fuzzy=args.fuzzy)
         if not ok:
             if created:
                 spark.stop()
@@ -397,7 +409,8 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
             while True:
                 line = input("> ")
                 _run_query_server(server, line, args.bm25, args.topk,
-                                  args.phrase, expr=args.expr)
+                                  args.phrase, expr=args.expr,
+                                  prefix=args.prefix, fuzzy=args.fuzzy)
         except EOFError:
             pass
     if created:
@@ -420,6 +433,9 @@ def _search(args: argparse.Namespace) -> None:
         index = ib.read_index_text(spark, args.index)
     elif args.index_format == "json":
         index = ib.read_index_json(spark, args.index)
+    elif args.index_format == "ref-parquet":
+        # either reference Parquet layout, auto-detected from schema
+        index = ib.read_index_parquet_ref(spark, args.index)
     else:
         index = ib.read_index(spark, args.index)
     # Warm only the SMALL side: doc_stats + collection stats. Caching
@@ -489,11 +505,15 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--limit-mb", type=float, default=None,
                    help="greedy largest-first input cap (reference --limit-mb)")
     b.add_argument("--format", choices=["parquet", "text", "json",
-                                        "segments"],
+                                        "segments", "ref-parquet",
+                                        "ref-parquet-nested"],
                    default="parquet",
                    help="'segments' writes the compressed delta+varint "
                         "block-max layout (query with --index-format "
-                        "segments; positional iff --positional)")
+                        "segments; positional iff --positional); "
+                        "'ref-parquet[-nested]' writes the reference's "
+                        "own Parquet layouts ({word, docs} / "
+                        "{word, postings:[{doc,count}]})")
     b.add_argument("--positional", action="store_true",
                    help="store per-(term,doc) token positions — enables "
                         "`search --phrase`; all other queries work "
@@ -503,13 +523,16 @@ def main(argv: list[str] | None = None) -> None:
     s = sub.add_parser("search", help="query a built index")
     s.add_argument("--index", required=True)
     s.add_argument("--index-format",
-                   choices=["parquet", "text", "json", "segments"],
+                   choices=["parquet", "text", "json", "segments",
+                            "ref-parquet"],
                    default="parquet",
                    help="'text' consumes a reference-wire-format "
                         "term\\tdoc:tf index from any variant; 'json' "
                         "consumes the {word, docs:[...]} JSON sink; "
-                        "'segments' serves the compressed layout warm "
-                        "via the per-term QueryServer cache")
+                        "'ref-parquet' consumes EITHER reference "
+                        "Parquet layout (auto-detected); 'segments' "
+                        "serves the compressed layout warm via the "
+                        "per-term QueryServer cache")
     s.add_argument("--query", default=None,
                    help="one-shot query; omit for an interactive REPL")
     s.add_argument("--queries-file", default=None,

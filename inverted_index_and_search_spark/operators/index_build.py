@@ -59,7 +59,11 @@ def bucket_route_col(spark, bucket_col: F.Column, n_buckets: int) -> F.Column:
     per modulus) and routes bucket b through representative r_b:
     deterministic 1:1 bucket->task, one pass over the data, one file
     per bucket directory."""
-    key = (id(spark), n_buckets)
+    # keyed by applicationId, not id(spark): a Python id can be reused
+    # after a stopped session is GC'd, which would serve a stale map
+    # (harmless today — same modulus gives the same representatives —
+    # but the applicationId is unique per context and free)
+    key = (spark.sparkContext.applicationId, n_buckets)
     rep = _ROUTE_CACHE.get(key)
     if rep is None:
         probe = 64 * n_buckets
@@ -499,6 +503,80 @@ def read_index_json(spark: SparkSession, path: str, *,
     return _index_from_posts(raw, n_buckets=n_buckets)
 
 
+def write_index_parquet_ref(index: Index, out_dir: str, *,
+                            nested: bool = False,
+                            mode: str = "overwrite") -> None:
+    """Reference Parquet interchange sinks:
+
+    - flat (default): ``{word: string, docs: array<string 'doc:tf'>}``
+      — the DF variant's ``--format parquet`` output
+      (``spark/inverted_index_search.py:238-241``);
+    - ``nested=True``: ``{word, postings: array<struct<doc: string,
+      count: long>>}`` — the RDD variant's layout
+      (``spark/RDD_inverted_index_search.py:270-282``).
+
+    Shard rows merge to one row per word (wire-format invariant, see
+    :func:`postings_text_lines`)."""
+    if index.sharded:
+        merged = _one_row_per_term(index.postings)
+    else:
+        merged = index.postings.select("term", "postings")
+    if nested:
+        arr = F.transform(
+            "postings",
+            lambda p: F.struct(p["doc_id"].cast("string").alias("doc"),
+                               p["tf"].cast("long").alias("count")),
+        )
+        out = merged.select(F.col("term").alias("word"),
+                            arr.alias("postings"))
+    else:
+        arr = F.transform(
+            "postings",
+            lambda p: F.concat_ws(":", p["doc_id"].cast("string"),
+                                  p["tf"].cast("string")),
+        )
+        out = merged.select(F.col("term").alias("word"), arr.alias("docs"))
+    out.write.mode(mode).parquet(out_dir)
+
+
+def read_index_parquet_ref(spark: SparkSession, path: str, *,
+                           n_buckets: int = DEFAULT_BUCKETS) -> Index:
+    """Parse EITHER reference Parquet index layout back into a typed
+    :class:`Index` — the last interchange format the engine did not
+    consume (text and JSON readers above; a user holding a
+    reference-built Parquet index could not query it before):
+
+    - ``{word, docs: array<string 'doc:tf'>}``
+      (``spark/inverted_index_search.py:238-241``) goes through the
+      shared last-colon-split tail like the text/JSON readers;
+    - ``{word, postings: array<struct<doc, count>>}``
+      (``spark/RDD_inverted_index_search.py:270-282``) is already
+      typed, so it maps straight to (term, doc_key, tf) — no string
+      round-trip.
+
+    The layout is detected from the parquet schema; filename doc keys
+    dense-rank exactly like :func:`read_index_text`."""
+    raw = spark.read.parquet(path)
+    if "docs" in raw.columns:
+        posts = (raw.where(F.col("word").isNotNull()
+                           & F.col("docs").isNotNull())
+                 .select(F.col("word").alias("term"),
+                         F.col("docs").alias("posts")))
+        return _index_from_posts(posts, n_buckets=n_buckets)
+    if "postings" not in raw.columns:
+        raise ValueError(
+            f"unrecognized parquet index layout at {path}: expected a "
+            "'docs' (DF variant) or 'postings' (RDD variant) column, got "
+            f"{raw.columns}")
+    tfk = (raw.where(F.col("word").isNotNull())
+           .select(F.col("word").alias("term"),
+                   F.explode("postings").alias("p"))
+           .select("term", F.col("p.doc").alias("doc_key"),
+                   F.col("p.count").cast("int").alias("tf"))
+           .where(F.col("tf").isNotNull() & (F.col("doc_key") != "")))
+    return _index_from_doc_key_tf(tfk, n_buckets=n_buckets)
+
+
 def _index_from_posts(raw: DataFrame, *, n_buckets: int) -> Index:
     """Shared interchange tail: (term, posts: array<'doc:tf'>) rows ->
     typed Index (explode, last-colon split, malformed skip, doc-key
@@ -511,6 +589,12 @@ def _index_from_posts(raw: DataFrame, *, n_buckets: int) -> Index:
     tfk = (raw.select("term", F.explode("posts").alias("ps"))
            .select("term", doc_key.alias("doc_key"), tf_col.alias("tf"))
            .where(F.col("tf").isNotNull() & (F.col("doc_key") != "")))
+    return _index_from_doc_key_tf(tfk, n_buckets=n_buckets)
+
+
+def _index_from_doc_key_tf(tfk: DataFrame, *, n_buckets: int) -> Index:
+    """(term, doc_key: string, tf) -> typed Index: numeric doc keys pass
+    through as doc_id, filename keys dense-rank; dl = sum(tf) per doc."""
     all_numeric = tfk.select("doc_key").where(
         ~F.col("doc_key").rlike("^[0-9]+$")).isEmpty()
     if all_numeric:

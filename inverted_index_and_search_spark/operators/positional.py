@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from inverted_index_and_search_spark.operators.index_build import (
@@ -134,11 +134,21 @@ def positional_postings(tdp: DataFrame, *,
     merging it into ONE row is a straggler/OOM by construction. Terms
     in the ``hot`` set are instead split into up to ``shard_factor``
     rows by pmod(xxhash64(doc_id), s) — the standard segmented-posting-
-    list layout. Every shard row carries the TERM-level df/cf (summed
-    with a per-term window over the shard rows), so all query operators
-    — which explode ``postings`` and read df off the row — work
-    unchanged and return identical results (tested). There is no
-    merge phase at all for hot terms: the giant row never exists.
+    list layout. Every shard row carries the TERM-level df/cf, so all
+    query operators — which explode ``postings`` and read df off the
+    row — work unchanged and return identical results (tested). There
+    is no merge phase at all for hot terms: the giant row never exists.
+
+    Term-level df/cf are attached WITHOUT moving the postings payload
+    again: the phase-1 partials persist (spill-safe local cache, the
+    only materialization), the tiny (term, p_df, p_cf) projection
+    aggregates per term — the columnar cache prunes the payload column
+    — and the totals broadcast-join back onto the payload rows. Round
+    3 used a per-term window OVER the payload rows instead, which
+    re-exchanged every posting array and co-located all of a hot
+    term's shards in one window task — the exact straggler sharding
+    exists to prevent. Cold terms (shard 0, one group) finalize in
+    phase 1 and never touch the join.
     """
     post = F.struct(F.col("doc_id"), F.col("tf"), F.col("positions"))
     if hot is None:
@@ -151,25 +161,31 @@ def positional_postings(tdp: DataFrame, *,
     else:
         hot_flag = hot.withColumn("_hot", F.lit(True))
         sharded = (tdp.join(F.broadcast(hot_flag), "term", "left")
+                   .withColumn("_hot", F.col("_hot").isNotNull())
                    .withColumn(
                        "shard",
-                       F.when(F.col("_hot").isNotNull(),
+                       F.when(F.col("_hot"),
                               F.pmod(F.xxhash64("doc_id"),
                                      F.lit(shard_factor)))
-                       .otherwise(F.lit(0)))
-                   .drop("_hot"))
-        g = sharded.groupBy("term", "shard").agg(
+                       .otherwise(F.lit(0))))
+        # _hot rides the grouping key (term determines it; groups are
+        # unchanged) so the post-agg hot/cold split is a metadata filter
+        g = sharded.groupBy("term", "_hot", "shard").agg(
             F.sort_array(F.collect_list(post)).alias("postings"),
             F.count("*").cast("long").alias("p_df"),
             F.sum("tf").cast("long").alias("p_cf"),
-        )
-        w = Window.partitionBy("term")
-        agg = g.select(
-            "term",
-            F.sum("p_df").over(w).cast("long").alias("df"),
-            F.sum("p_cf").over(w).cast("long").alias("cf"),
-            "postings",
-        )
+        ).persist()
+        cold = g.where(~F.col("_hot")).select(
+            "term", F.col("p_df").alias("df"), F.col("p_cf").alias("cf"),
+            "postings")
+        totals = (g.where(F.col("_hot"))
+                  .groupBy("term")
+                  .agg(F.sum("p_df").cast("long").alias("df"),
+                       F.sum("p_cf").cast("long").alias("cf")))
+        hot_rows = (g.where(F.col("_hot"))
+                    .join(F.broadcast(totals), "term")
+                    .select("term", "df", "cf", "postings"))
+        agg = cold.unionByName(hot_rows)
     return agg.withColumn(
         "term_bucket", term_bucket_col(F.col("term"), n_buckets)
     ).select("term", "term_bucket", "df", "cf", "postings")

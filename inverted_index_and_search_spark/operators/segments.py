@@ -110,24 +110,31 @@ def grouped_postings_arrays(
             F.count("*").alias("p_df"),
             F.sum("tf").alias("p_cf"),
         )
+        # the phase-1 partials persist ONCE (spill-safe local cache) so
+        # the cold branch, the hot payload rows, and the tiny totals
+        # aggregation all read the same materialization. Term-level
+        # df/cf come from a payload-free aggregation of the cached
+        # (term, p_df, p_cf) projection — the columnar cache prunes the
+        # postings column — broadcast-joined back onto the hot shard
+        # rows. Round 3 used a per-term window OVER the payload rows,
+        # which re-exchanged every hot posting array and co-located all
+        # of a hot term's shards in one window task (the straggler
+        # sharding exists to prevent); a totals broadcast WITHOUT the
+        # persist is no better — it re-executes the whole tokenize+tf
+        # pipeline for the broadcast side (measured 2x the build).
+        partial = partial.persist()
         cold = partial.where(~F.col("_hot")).select(
             "term", F.col("pp").alias("p"),
             F.col("p_df").cast("long").alias("df"),
             F.col("p_cf").cast("long").alias("cf"),
         )
-        # term-level df/cf ride on every shard row via a per-term
-        # window over the HOT partials only (few rows: shards per hot
-        # term) — NOT a broadcast of an aggregate derived from phase 1,
-        # which would recompute the whole tokenize+tf pipeline for the
-        # broadcast side (measured 2x the build); both branches here
-        # consume the same phase-1 exchange
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("term")
+        totals = (partial.where(F.col("_hot"))
+                  .groupBy("term")
+                  .agg(F.sum("p_df").cast("long").alias("df"),
+                       F.sum("p_cf").cast("long").alias("cf")))
         hot_rows = (partial.where(F.col("_hot"))
-                    .select("term", F.col("pp").alias("p"),
-                            F.sum("p_df").over(w).cast("long").alias("df"),
-                            F.sum("p_cf").over(w).cast("long").alias("cf")))
+                    .join(F.broadcast(totals), "term")
+                    .select("term", F.col("pp").alias("p"), "df", "cf"))
         agg = cold.unionByName(hot_rows)
     else:
         agg = tf_dl.groupBy("term").agg(
@@ -674,6 +681,8 @@ class QueryServer:
         self.idx = idx
         self.max_terms = max_terms
         self._cache: dict[str, bm25.TermPostings | None] = {}
+        #: (kind, ...) -> matched dictionary terms for prefix/fuzzy
+        self._dict_cache: dict[tuple, list[str]] = {}
 
     def _ensure(self, norm: list[str]) -> None:
         missing = [t for t in norm if t not in self._cache]
@@ -766,6 +775,51 @@ class QueryServer:
         fetched = {t: c for t in uniq
                    if (c := self._cache.get(t)) is not None}
         return _near_eval(fetched, a, b, window)
+
+    def _dict_terms(self, key: tuple, cond) -> list[str]:
+        """Matched dictionary terms for a prefix/fuzzy predicate, memoized
+        per server — the first evaluation is one pushed dictionary scan
+        (term column only); repeats are a dict hit. The postings
+        themselves go through the ordinary per-term LRU cache."""
+        hit = self._dict_cache.get(key)
+        if hit is None:
+            hit = sorted({r["term"] for r in
+                          self.idx.segments.filter(cond)
+                          .select("term").collect()})
+            self._dict_cache[key] = hit
+        return hit
+
+    def prefix_docs(self, prefix: str) -> list[int]:
+        """Warm prefix query: dictionary scan memoized, matched terms'
+        doc_ids unioned from the per-term cache — list-identical to
+        segments.prefix_docs / query.prefix_docs (tested)."""
+        p = prefix.lower()
+        if not p:
+            return []
+        terms = self._dict_terms(("prefix", p), F.col("term").startswith(p))
+        return self._union_docs(terms)
+
+    def fuzzy_docs(self, term: str, max_dist: int = 1) -> list[int]:
+        """Warm fuzzy query (length-band + levenshtein dictionary match,
+        memoized) — list-identical to segments.fuzzy_docs."""
+        t = term.lower()
+        if not t:
+            return []
+        band = ((F.length("term") >= len(t) - max_dist)
+                & (F.length("term") <= len(t) + max_dist))
+        cond = band & (F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
+        terms = self._dict_terms(("fuzzy", t, max_dist), cond)
+        return self._union_docs(terms)
+
+    def _union_docs(self, terms: list[str]) -> list[int]:
+        if not terms:
+            return []
+        self._ensure(terms)
+        sets = [c.doc_ids for t in terms
+                if (c := self._cache.get(t)) is not None]
+        if not sets:
+            return []
+        return [int(d) for d in np.unique(np.concatenate(sets))]
 
     def boolean_and(self, terms: list[str]) -> list[int]:
         norm = sorted({t.lower() for t in terms})
@@ -1075,6 +1129,51 @@ def phrase_topk(idx: SegmentIndex, phrase: list[str],
     fetched = fetch_term_postings(idx, norm)
     matched = _phrase_eval(fetched, norm)
     return _score_phrase_matched(matched, idx.n_docs, idx.avgdl, k)
+
+
+def _dict_match_docs(idx: SegmentIndex, cond) -> list[int]:
+    """Sorted unique doc_ids of every segment row whose TERM matches
+    ``cond`` — the dictionary-scan core of :func:`prefix_docs` /
+    :func:`fuzzy_docs`. Only (n, doc_ids_enc) move to the driver
+    (columnar pruning skips tfs/dls/positions); a sharded hot term's
+    rows just contribute more arrays to the union — no cursor merge
+    needed for a doc SET. Scale note: the hash-bucketed layout cannot
+    partition-prune a term predicate, so this is a full — but narrow
+    and pushed — dictionary pass; a sorted term-dictionary secondary
+    index is the upgrade path if prefix/fuzzy dominate a workload
+    (same trade documented on query.prefix_docs)."""
+    rows = idx.segments.filter(cond).select("n", "doc_ids_enc").collect()
+    if not rows:
+        return []
+    ids = np.unique(np.concatenate([
+        codec.decode_deltas(bytes(r["doc_ids_enc"]), int(r["n"]))
+        for r in rows]))
+    return [int(d) for d in ids]
+
+
+def prefix_docs(idx: SegmentIndex, prefix: str) -> list[int]:
+    """doc_ids (ascending) containing ANY term starting with ``prefix``
+    (Lucene PrefixQuery) over the compressed segment layout — the
+    StartsWith predicate pushes to the segment dictionary scan, matched
+    rows decode doc_ids only. List-identical to query.prefix_docs."""
+    p = prefix.lower()
+    if not p:
+        return []
+    return _dict_match_docs(idx, F.col("term").startswith(p))
+
+
+def fuzzy_docs(idx: SegmentIndex, term: str, max_dist: int = 1) -> list[int]:
+    """doc_ids (ascending) containing any term within Levenshtein
+    distance ``max_dist`` of ``term`` over the compressed segments —
+    length-band pre-pruned like query.fuzzy_docs (the band is a pushed
+    range filter; levenshtein evaluates only inside it)."""
+    t = term.lower()
+    if not t:
+        return []
+    band = ((F.length("term") >= len(t) - max_dist)
+            & (F.length("term") <= len(t) + max_dist))
+    return _dict_match_docs(
+        idx, band & (F.levenshtein(F.col("term"), F.lit(t)) <= max_dist))
 
 
 def boolean_and_docs(idx: SegmentIndex, terms: list[str]) -> list[int]:

@@ -86,11 +86,14 @@ _USER_OUT_SCHEMA = T.StructType([
 
 
 def _update_user(key, pdfs, state: GroupState):
+    # state keeps the RAW running total; rounding happens only at emit —
+    # round-at-each-update would compound representation error across
+    # micro-batches and drift from the batch twin's round(sum(value), 6)
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+    state.update((n, total))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                         "total_value": [round(total, 6)]})
 

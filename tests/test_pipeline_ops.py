@@ -16,7 +16,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 #: the new operator families (older query names covered elsewhere)
 PIPELINE_QUERIES = [
-    "token_counts", "quality_scores", "lang_id", "doc_fingerprint",
+    "text_metrics",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "simhash_fingerprint", "dedup_simhash_pairs", "dedup_embedding_cosine",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_neardup",

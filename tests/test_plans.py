@@ -215,3 +215,58 @@ def test_expr_eval_has_no_per_leaf_sorts(spark, persisted_positional_index):
         persisted_positional_index,
         '("table hash" OR merge) AND NOT stream', k=10))
     assert "TakeOrderedAndProject" in ranked, ranked
+
+
+def test_sharded_positional_build_has_no_payload_window(spark):
+    """VERDICT r03 wrong #2: term-level df/cf for sharded hot terms must
+    NOT come from a Window over the postings-carrying rows (that
+    re-exchanges every posting array and co-locates a hot term's whole
+    payload in one task). The skinny totals glue back via broadcast."""
+    from inverted_index_and_search_spark.operators import positional as pos
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tdp = pos.term_doc_positions(docs, content_col="text", id_col="doc_id")
+    hot = tdp.select("term").distinct()
+    plan = explain(pos.positional_postings(tdp, hot=hot))
+    assert n_nodes(plan, "Window") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # phase-1 partials are persisted once; every branch reads the cache
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_sharded_segments_build_has_no_payload_window(spark):
+    """Same gate for the compressed-segment build's hot/cold split."""
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tf = ib.term_doc_tf(ib.tokens(docs, use_pandas_udf=False,
+                                  content_col="text", id_col="doc_id"))
+    grouped = seg.grouped_postings_arrays(
+        seg.tf_with_dl(tf), hot=tf.select("term").distinct())
+    plan = explain(grouped)
+    assert n_nodes(plan, "Window") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_route_cache_keyed_by_application_id(spark):
+    """_ROUTE_CACHE keys by applicationId, not id(spark): a Python id
+    can be reused after a stopped session is GC'd and would serve a
+    stale map (VERDICT r03 wrong #3)."""
+    from pyspark.sql import functions as F
+
+    ib._ROUTE_CACHE.clear()
+    ib.bucket_route_col(spark, F.col("term_bucket"), 8)
+    key = (spark.sparkContext.applicationId, 8)
+    assert key in ib._ROUTE_CACHE
+    rep = ib._ROUTE_CACHE[key]
+    assert set(rep) == set(range(8))
+    # the representatives genuinely route: murmur3(r_b) % 8 == b
+    rows = spark.createDataFrame([(b, r) for b, r in rep.items()],
+                                 "b int, r int") \
+        .select("b", F.pmod(F.hash("r"), F.lit(8)).alias("p")).collect()
+    assert all(row["b"] == row["p"] for row in rows)
+    # a stale entry under a different (dead) app id is never consulted
+    ib._ROUTE_CACHE[("app-stale-id", 8)] = {0: 10 ** 9}
+    ib.bucket_route_col(spark, F.col("term_bucket"), 8)
+    assert ib._ROUTE_CACHE[key] == rep

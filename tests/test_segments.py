@@ -308,3 +308,51 @@ def test_sharded_segments_query_server(sharded_seg_index, seg_index):
     for terms in QUERY_SET[:5]:
         assert s1.bm25_topk(terms, k=10) == pytest.approx(
             s2.bm25_topk(terms, k=10)), terms
+
+
+# ------------------------------------------- prefix / fuzzy dictionary
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[-1]
+
+
+def test_segment_prefix_docs_matches_oracle(seg_index, oracle_idx):
+    want = sorted({d for t, posts in oracle_idx.postings.items()
+                   if t.startswith("re") for d in posts})
+    assert seg.prefix_docs(seg_index, "re") == want and want
+    assert seg.prefix_docs(seg_index, "zzzqqq") == []
+    assert seg.prefix_docs(seg_index, "") == []
+
+
+def test_segment_fuzzy_docs_matches_oracle(seg_index, oracle_idx):
+    for term, d in [("retrn", 1), ("def", 1), ("xx", 2)]:
+        want = sorted({doc for t, posts in oracle_idx.postings.items()
+                       if _lev(t, term) <= d for doc in posts})
+        assert seg.fuzzy_docs(seg_index, term, d) == want, (term, d)
+
+
+def test_segment_prefix_on_sharded_layout(sharded_seg_index, seg_index):
+    # a hot term's shard rows contribute multiple arrays; the doc-set
+    # union must equal the single-row layout's
+    for p in ("re", "d", "if"):
+        assert seg.prefix_docs(sharded_seg_index, p) == \
+            seg.prefix_docs(seg_index, p), p
+
+
+def test_query_server_prefix_fuzzy_warm(seg_index, oracle_idx):
+    srv = seg.QueryServer(seg_index)
+    want = sorted({d for t, posts in oracle_idx.postings.items()
+                   if t.startswith("re") for d in posts})
+    assert srv.prefix_docs("re") == want
+    # repeat answers from the memoized dictionary + per-term cache
+    assert srv.prefix_docs("re") == want
+    assert ("prefix", "re") in srv._dict_cache
+    fz = srv.fuzzy_docs("retrn", 1)
+    assert fz == seg.fuzzy_docs(seg_index, "retrn", 1)
+    assert srv.fuzzy_docs("retrn", 1) == fz
