@@ -546,13 +546,37 @@ Q_FUZZY = ("tble", 1)
 Q_FILTER_LANG = "de"
 
 
-def _dict_query_paths(spark: SparkSession, sf_dir: str, df_res: DataFrame,
-                      seg_ids: list[int], srv_ids: list[int]) -> DataFrame:
-    """(path, doc_id) union of a dictionary query's three evaluation
-    paths: DataFrame layout, cold segment dictionary scan, warm
+def _dict_query_surfaces(spark: SparkSession, sf_dir: str):
+    """(df-index-in-memory, df-index-persisted, segment-index-persisted)
+    — the three layouts a dictionary query (prefix/fuzzy) evaluates
+    over. The persisted layouts carry the SORTED dictionary side table,
+    so those paths exercise term-range file pruning + bucket-pruned
+    postings fetch; the in-memory one exercises the direct-scan
+    fallback."""
+    import tempfile
+
+    idx_mem = _index(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="iis_dictq_")
+    ib.write_index(idx_mem, f"{tmp}/idx")
+    idx_disk = ib.read_index(spark, f"{tmp}/idx")
+    seg.write_segment_index(_tf_segment_index(spark, sf_dir), f"{tmp}/seg")
+    sidx_disk = seg.read_segment_index(spark, f"{tmp}/seg")
+    return idx_mem, idx_disk, sidx_disk
+
+
+def _dict_query_paths(spark: SparkSession, df_res: DataFrame,
+                      df_dict_res: DataFrame, seg_ids: list[int],
+                      srv_ids: list[int]) -> DataFrame:
+    """(path, doc_id) union of a dictionary query's four evaluation
+    paths: in-memory DataFrame fallback scan, dictionary-backed
+    persisted DataFrame layout, persisted segment dictionary scan, warm
     QueryServer (memoized dictionary + per-term cache)."""
-    parts = [df_res.select(F.lit("df").alias("path"),
-                           F.col("doc_id").cast("long").alias("doc_id"))]
+    parts = [
+        df_res.select(F.lit("df").alias("path"),
+                      F.col("doc_id").cast("long").alias("doc_id")),
+        df_dict_res.select(F.lit("df_dict").alias("path"),
+                           F.col("doc_id").cast("long").alias("doc_id")),
+    ]
     for tag, ids in (("segments", seg_ids), ("server", srv_ids)):
         parts.append(spark.createDataFrame(
             [(tag, int(d)) for d in ids], "path string, doc_id long"))
@@ -562,25 +586,28 @@ def _dict_query_paths(spark: SparkSession, sf_dir: str, df_res: DataFrame,
 
 
 def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix query through all three surfaces (DataFrame dictionary
-    scan with pushed StartsWith; segment dictionary scan; warm
+    """Prefix query through all four surfaces (in-memory fallback scan
+    with pushed StartsWith; dictionary-backed persisted index with
+    bucket-pruned postings fetch; persisted segment dictionary; warm
     QueryServer) — each path hash-equal to the same oracle."""
-    sidx = _tf_segment_index(spark, sf_dir)
+    idx_mem, idx_disk, sidx = _dict_query_surfaces(spark, sf_dir)
     return _dict_query_paths(
-        spark, sf_dir,
-        q.prefix_docs(_index(spark, sf_dir), Q_PREFIX),
+        spark,
+        q.prefix_docs(idx_mem, Q_PREFIX),
+        q.prefix_docs(idx_disk, Q_PREFIX),
         seg.prefix_docs(sidx, Q_PREFIX),
         seg.QueryServer(sidx).prefix_docs(Q_PREFIX))
 
 
 def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (Levenshtein <= d, length-band pre-pruned) query through
-    the same three surfaces as _q_prefix."""
+    the same four surfaces as _q_prefix."""
     t, d = Q_FUZZY
-    sidx = _tf_segment_index(spark, sf_dir)
+    idx_mem, idx_disk, sidx = _dict_query_surfaces(spark, sf_dir)
     return _dict_query_paths(
-        spark, sf_dir,
-        q.fuzzy_docs(_index(spark, sf_dir), t, d),
+        spark,
+        q.fuzzy_docs(idx_mem, t, d),
+        q.fuzzy_docs(idx_disk, t, d),
         seg.fuzzy_docs(sidx, t, d),
         seg.QueryServer(sidx).fuzzy_docs(t, d))
 
@@ -1152,12 +1179,12 @@ SELECT doc_id::BIGINT AS doc_id, term, round(tfidf, 6) AS tfidf,
        rank::INT AS rank
 FROM ranked WHERE rank <= 3
 """,
-        "prefix_docs": _tagged_sql(["df", "segments", "server"], f"""
+        "prefix_docs": _tagged_sql(["df", "df_dict", "segments", "server"], f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
 WHERE term LIKE '{Q_PREFIX}%' ORDER BY doc_id
 """),
-        "fuzzy_docs": _tagged_sql(["df", "segments", "server"], f"""
+        "fuzzy_docs": _tagged_sql(["df", "df_dict", "segments", "server"], f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
 WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id

