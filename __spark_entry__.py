@@ -59,6 +59,7 @@ Q_PHRASE = ["table", "hash"]
 Q_NEAR = ("merge", "group", 3)  # (term_a, term_b, window)
 Q_EXPR = '("table hash" OR merge) AND NOT stream'
 Q_EXPR_NEAR = "(merge NEAR/3 group) AND NOT stream"
+Q_EXPR_WILD = "(tab* OR tble~1) AND NOT stream"
 
 K1, B = 1.2, 0.75
 
@@ -505,20 +506,28 @@ def _q_boolean_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_query_expr_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(path, doc_id) — the boolean query language (phrase atom + OR +
-    AND NOT) through the DataFrame evaluator AND entirely warm (parse +
-    numpy set algebra over the QueryServer's per-term decoded-segment
-    cache): both hash-equal to the same set-algebra oracle."""
+    """(path, doc_id) — the boolean query language through the
+    DataFrame evaluator AND entirely warm (parse + numpy set algebra
+    over the QueryServer's per-term decoded-segment cache), for TWO
+    expressions: Q_EXPR (phrase atom + OR + AND NOT) and Q_EXPR_WILD
+    (wildcard + fuzzy atoms, round-4 language additions). Every path
+    hash-equal to its set-algebra oracle."""
     from inverted_index_and_search_spark.operators import search_expr as se
 
-    df_part = se.search_expr(_pindex(spark, sf_dir), Q_EXPR).select(
-        F.lit("df").alias("path"),
-        F.col("doc_id").cast("long").alias("doc_id"))
+    pidx = _pindex(spark, sf_dir)
     server = seg.QueryServer(_pos_segment_index(spark, sf_dir))
-    ids = server.search_expr(Q_EXPR)
-    srv_part = spark.createDataFrame([("server", int(d)) for d in ids],
-                                     "path string, doc_id long")
-    return df_part.unionByName(srv_part)
+    parts = []
+    for base_tag, expr in (("df", Q_EXPR), ("df_wild", Q_EXPR_WILD)):
+        parts.append(se.search_expr(pidx, expr).select(
+            F.lit(base_tag).alias("path"),
+            F.col("doc_id").cast("long").alias("doc_id")))
+    for srv_tag, expr in (("server", Q_EXPR), ("server_wild", Q_EXPR_WILD)):
+        ids = server.search_expr(expr)
+        parts.append(spark.createDataFrame(
+            [(srv_tag, int(d)) for d in ids], "path string, doc_id long"))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _q_query_expr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,7 +1102,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exc) ORDER BY doc_id
         "batch_phrase_topk": _batch_phrase_sql(BATCH_PHRASES),
         # ("table hash" OR merge) AND NOT stream — set algebra mirror of
         # the engine's expression evaluator, once per path (DataFrame /
-        # warm QueryServer)
+        # warm QueryServer); the _wild tags mirror Q_EXPR_WILD
+        # ((tab* OR tble~1) AND NOT stream — the wildcard/fuzzy atoms)
         "query_expr": _tagged_sql(["df", "server"], f"""
 WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
 ph AS (
@@ -1105,6 +1115,16 @@ mg AS (SELECT doc_id FROM t WHERE list_contains(tk, 'merge')),
 st AS (SELECT doc_id FROM t WHERE list_contains(tk, 'stream'))
 SELECT doc_id::BIGINT AS doc_id FROM (
   SELECT doc_id FROM ph UNION SELECT doc_id FROM mg
+  EXCEPT SELECT doc_id FROM st
+) ORDER BY doc_id
+""") + "\nUNION ALL\n" + _tagged_sql(["df_wild", "server_wild"], f"""
+WITH {_TOK_CTE},
+pw AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'tab%'),
+fz AS (SELECT DISTINCT doc_id FROM tf
+       WHERE levenshtein(term, 'tble') <= 1),
+st AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'stream')
+SELECT doc_id::BIGINT AS doc_id FROM (
+  SELECT doc_id FROM pw UNION SELECT doc_id FROM fz
   EXCEPT SELECT doc_id FROM st
 ) ORDER BY doc_id
 """),

@@ -551,7 +551,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--expr", action="store_true",
                    help="boolean query language: AND/OR/NOT, parens, "
                         '"exact phrases" (phrases need --positional '
-                        "indexes); bare term lists still mean AND")
+                        "indexes), a NEAR/3 b proximity, tab* prefix "
+                        "and term~1 fuzzy atoms; bare term lists still "
+                        "mean AND")
     s.add_argument("--prefix", action="store_true",
                    help="treat the query's first token as a term PREFIX "
                         "(Lucene PrefixQuery): print docs containing any "

@@ -125,15 +125,13 @@ def boolean_and_not(index: Index, include: list[str],
     return base.join(ex, "doc_id", "left_anti").orderBy("doc_id")
 
 
-def _dict_matched_docs(index: Index, cond) -> DataFrame | None:
-    """(doc_id) via the SORTED dictionary side table when the index has
-    one: resolve matched terms from the range-partitioned dictionary
-    (parquet min/max file pruning applies to term-range predicates
-    there, unlike the hash-bucketed main layout), then fetch only those
-    terms' postings through the ordinary bucket-pruned scan. Returns
-    None — caller falls back to the direct dictionary-column scan —
-    when there is no dictionary or the match list is too large for a
-    useful IN literal (MAX_DICT_TERMS)."""
+def _atom_matched_terms(index: Index, cond) -> list[str] | None:
+    """Matched terms for a dictionary predicate via the SORTED
+    dictionary side table (range-partitioned, so parquet min/max file
+    pruning applies to term-range predicates — unlike the hash-bucketed
+    main layout). Returns None — caller falls back to the direct
+    dictionary-column scan — when there is no dictionary or the match
+    list is too large for a useful IN literal (MAX_DICT_TERMS)."""
     from inverted_index_and_search_spark.operators.index_build import (
         MAX_DICT_TERMS,
         dictionary_terms,
@@ -142,15 +140,27 @@ def _dict_matched_docs(index: Index, cond) -> DataFrame | None:
     if index.dictionary is None:
         return None
     terms = dictionary_terms(index.dictionary, cond)
-    if len(terms) > MAX_DICT_TERMS:
-        return None
-    spark = index.postings.sparkSession
-    if not terms:
-        return spark.createDataFrame([], "doc_id long")
-    return (_query_postings(index, terms)
-            .select(F.explode("postings").alias("p"))
+    return None if len(terms) > MAX_DICT_TERMS else terms
+
+
+def _atom_matched_docs(index: Index, cond) -> DataFrame:
+    """UNSORTED distinct (doc_id) of docs containing ANY term matching
+    ``cond`` — the shared core of :func:`prefix_docs` /
+    :func:`fuzzy_docs` and of the query language's wildcard/fuzzy
+    atoms (whose enclosing joins would destroy an embedded sort).
+    Dictionary-first; the fallback is the direct — narrow, pushed —
+    scan of the postings layout's term column."""
+    terms = _atom_matched_terms(index, cond)
+    if terms is not None:
+        if not terms:
+            spark = index.postings.sparkSession
+            return spark.createDataFrame([], "doc_id long")
+        matched = _query_postings(index, terms)
+    else:
+        matched = index.postings.filter(cond)
+    return (matched.select(F.explode("postings").alias("p"))
             .select(F.col("p.doc_id").alias("doc_id"))
-            .distinct().orderBy("doc_id"))
+            .distinct())
 
 
 def prefix_docs(index: Index, prefix: str) -> DataFrame:
@@ -168,13 +178,8 @@ def prefix_docs(index: Index, prefix: str) -> DataFrame:
     spark = index.postings.sparkSession
     if not p:
         return spark.createDataFrame([], "doc_id long")
-    via_dict = _dict_matched_docs(index, F.col("term").startswith(p))
-    if via_dict is not None:
-        return via_dict
-    matched = index.postings.filter(F.col("term").startswith(p))
-    return (matched.select(F.explode("postings").alias("p"))
-            .select(F.col("p.doc_id").alias("doc_id"))
-            .distinct().orderBy("doc_id"))
+    return _atom_matched_docs(index, F.col("term").startswith(p)) \
+        .orderBy("doc_id")
 
 
 def _fuzzy_cond(t: str, max_dist: int):
@@ -197,13 +202,8 @@ def fuzzy_docs(index: Index, term: str, max_dist: int = 1) -> DataFrame:
     spark = index.postings.sparkSession
     if not t:
         return spark.createDataFrame([], "doc_id long")
-    via_dict = _dict_matched_docs(index, _fuzzy_cond(t, max_dist))
-    if via_dict is not None:
-        return via_dict
-    matched = index.postings.filter(_fuzzy_cond(t, max_dist))
-    return (matched.select(F.explode("postings").alias("p"))
-            .select(F.col("p.doc_id").alias("doc_id"))
-            .distinct().orderBy("doc_id"))
+    return _atom_matched_docs(index, _fuzzy_cond(t, max_dist)) \
+        .orderBy("doc_id")
 
 
 def top_terms_per_doc(index: Index, k: int = 3) -> DataFrame:

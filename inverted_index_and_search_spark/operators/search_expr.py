@@ -9,13 +9,19 @@ as a tiny recursive-descent grammar:
     and    := unary ( [AND] unary )*          # adjacency = implicit AND
     unary  := NOT unary | prox
     prox   := atom ( NEAR/k atom )?           # proximity, plain terms only
-    atom   := '(' expr ')' | '"' word+ '"' | term
+    atom   := '(' expr ')' | '"' word+ '"'
+            | term | term'*' | term'~'d       # wildcard / fuzzy atoms
 
 ``"quoted words"`` are exact token phrases (positional index required);
 ``a NEAR/3 b`` matches docs where the terms occur within 3 token
 offsets (positional index required; same semantics as
 positional.terms_within_window, including the same-term
 two-distinct-occurrences rule);
+``tab*`` matches docs containing any term with that prefix (trailing
+star only — Lucene PrefixQuery) and ``tble~1`` any term within
+Levenshtein distance d (``~`` alone means 1; d in 0..2 like Lucene's
+FuzzyQuery) — both resolve through the sorted dictionary side table on
+persisted indexes and are plain dictionary scans otherwise;
 bare terms and operators are case-insensitive except that AND/OR/NOT in
 upper case are keywords (reference-parity: a lowercase ``and`` is a
 search term, so plain term lines behave exactly like the reference).
@@ -44,7 +50,8 @@ from inverted_index_and_search_spark.operators.query import (
 )
 
 __all__ = ["parse", "eval_expr", "search_expr", "ExprError",
-           "Term", "Phrase", "And", "Or", "Not", "Near"]
+           "Term", "Phrase", "And", "Or", "Not", "Near",
+           "PrefixAtom", "FuzzyAtom"]
 
 
 class ExprError(ValueError):
@@ -86,7 +93,28 @@ class Near:
     window: int
 
 
+@dataclass(frozen=True)
+class PrefixAtom:
+    """``tab*`` — any term starting with the prefix (trailing star only)."""
+
+    prefix: str
+
+
+@dataclass(frozen=True)
+class FuzzyAtom:
+    """``tble~1`` — any term within Levenshtein distance ``dist``
+    (``~`` alone means 1; 0..2 like Lucene's FuzzyQuery)."""
+
+    term: str
+    dist: int
+
+
 _NEAR_RE = re.compile(r"NEAR/(\d+)$")
+
+_FUZZY_ATOM_RE = re.compile(r"^([^~*]+)~([0-2]?)$")
+
+#: Lucene-style TooManyClauses bound for scoring-time wildcard expansion
+MAX_EXPANSION = 1024
 
 
 _TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
@@ -189,6 +217,23 @@ def parse(query: str):
         if t in ("AND", "OR") or _NEAR_RE.match(t):
             raise ExprError(f"operator {t} needs operands")
         take()
+        if t.endswith("*"):
+            body = t[:-1]
+            if not body or "*" in body or "~" in body:
+                raise ExprError(f"wildcard atom {t!r}: exactly one "
+                                "trailing * after a non-empty prefix")
+            return PrefixAtom(body.lower())
+        if "*" in t:
+            raise ExprError(f"wildcard atom {t!r}: * is only valid "
+                            "trailing (no leading/infix wildcards — "
+                            "they cannot use the sorted dictionary)")
+        if "~" in t:
+            m = _FUZZY_ATOM_RE.match(t)
+            if not m:
+                raise ExprError(f"fuzzy atom {t!r}: term~d with d in "
+                                "0..2 (bare ~ means 1)")
+            return FuzzyAtom(m.group(1).lower(),
+                             int(m.group(2)) if m.group(2) else 1)
         return Term(t.lower())
 
     node = parse_or()
@@ -245,6 +290,20 @@ def eval_expr(index: Index, node) -> DataFrame:
 
     if isinstance(node, Term):
         return _any_term_docs(index, [node.term])
+    if isinstance(node, PrefixAtom):
+        from inverted_index_and_search_spark.operators.query import (
+            _atom_matched_docs,
+        )
+
+        return _atom_matched_docs(index,
+                                  F.col("term").startswith(node.prefix))
+    if isinstance(node, FuzzyAtom):
+        from inverted_index_and_search_spark.operators.query import (
+            _atom_matched_docs,
+            _fuzzy_cond,
+        )
+
+        return _atom_matched_docs(index, _fuzzy_cond(node.term, node.dist))
     if isinstance(node, Phrase):
         _require_positions(index, '"phrase" atoms')
         return _ids(_phrase_starts(index, [w for w in node.words]))
@@ -306,7 +365,8 @@ def search_expr_ranked(index: Index, query: str, k: int = 10) -> DataFrame:
     from inverted_index_and_search_spark.operators.query import bm25_scores
 
     node = parse(query)
-    terms = expr_terms(node)
+    terms = _norm_terms(expr_terms(node)
+                        + expand_atom_terms(node, _df_atom_expander(index)))
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -319,8 +379,10 @@ def search_expr_ranked(index: Index, query: str, k: int = 10) -> DataFrame:
 
 
 def expr_terms(node) -> list[str]:
-    """All positive (non-negated) terms/phrase words — the term set a
-    ranked layer would score with."""
+    """All positive (non-negated) PLAIN terms/phrase words — the exact
+    term set a ranked layer scores with. Wildcard/fuzzy atoms are not
+    included here (their term set needs a dictionary): ranked callers
+    add :func:`expand_atom_terms`."""
     if isinstance(node, Term):
         return [node.term]
     if isinstance(node, Phrase):
@@ -334,3 +396,58 @@ def expr_terms(node) -> list[str]:
                 out.extend(expr_terms(p))
         return _norm_terms(out)
     return []
+
+
+def atom_cond(node):
+    """The dictionary predicate (a Column) of a wildcard/fuzzy atom."""
+    from inverted_index_and_search_spark.operators.query import _fuzzy_cond
+
+    if isinstance(node, PrefixAtom):
+        return F.col("term").startswith(node.prefix)
+    if isinstance(node, FuzzyAtom):
+        return _fuzzy_cond(node.term, node.dist)
+    raise ExprError(f"not a dictionary atom: {node!r}")
+
+
+def _df_atom_expander(index: Index):
+    """expander(atom) -> matched dictionary terms, for the DataFrame
+    layouts: the sorted dictionary side table when present, else a
+    narrow pushed scan of the postings term column."""
+    from inverted_index_and_search_spark.operators.query import (
+        _atom_matched_terms,
+    )
+
+    def expand(atom) -> list[str]:
+        cond = atom_cond(atom)
+        terms = _atom_matched_terms(index, cond)
+        if terms is None:
+            terms = sorted({r["term"] for r in
+                            index.postings.filter(cond)
+                            .select("term").distinct().collect()})
+        return terms
+
+    return expand
+
+
+def expand_atom_terms(node, expander) -> list[str]:
+    """Matched dictionary terms of every positive wildcard/fuzzy atom —
+    Lucene's scoring-mode rewrite (each matched term scores like a
+    query term). ``expander(atom)`` resolves one atom to its terms for
+    the caller's layout. Raises ExprError past MAX_EXPANSION, like
+    Lucene's TooManyClauses."""
+    out: list[str] = []
+
+    def walk(n) -> None:
+        if isinstance(n, (PrefixAtom, FuzzyAtom)):
+            out.extend(expander(n))
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                if not isinstance(p, Not):
+                    walk(p)
+
+    walk(node)
+    if len(out) > MAX_EXPANSION:
+        raise ExprError(
+            f"wildcard/fuzzy atoms expand to {len(out)} terms "
+            f"(> {MAX_EXPANSION}); narrow the prefix for ranked queries")
+    return _norm_terms(out)

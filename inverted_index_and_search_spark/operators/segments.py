@@ -827,15 +827,31 @@ class QueryServer:
         terms = self._dict_terms(("fuzzy", t, max_dist), cond)
         return self._union_docs(terms)
 
-    def _union_docs(self, terms: list[str]) -> list[int]:
+    def _union_array(self, terms: list[str]) -> np.ndarray:
+        """Sorted unique doc_ids of ANY of ``terms``, via the per-term
+        cache (ensures them first)."""
         if not terms:
-            return []
+            return np.empty(0, np.int64)
         self._ensure(terms)
         sets = [c.doc_ids for t in terms
                 if (c := self._cache.get(t)) is not None]
         if not sets:
-            return []
-        return [int(d) for d in np.unique(np.concatenate(sets))]
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(sets))
+
+    def _union_docs(self, terms: list[str]) -> list[int]:
+        return [int(d) for d in self._union_array(terms)]
+
+    def _atom_terms(self, node) -> list[str]:
+        """Matched dictionary terms of a wildcard/fuzzy AST atom —
+        memoized via the same keys as prefix_docs/fuzzy_docs."""
+        from inverted_index_and_search_spark.operators import search_expr as se
+
+        if isinstance(node, se.PrefixAtom):
+            key = ("prefix", node.prefix)
+        else:
+            key = ("fuzzy", node.term, node.dist)
+        return self._dict_terms(key, se.atom_cond(node))
 
     def boolean_and(self, terms: list[str]) -> list[int]:
         norm = sorted({t.lower() for t in terms})
@@ -863,6 +879,8 @@ class QueryServer:
             return list(node.words)
         if isinstance(node, se.Near):
             return [node.term_a, node.term_b]
+        if isinstance(node, (se.PrefixAtom, se.FuzzyAtom)):
+            return []  # dictionary atoms self-ensure in _eval_node
         if isinstance(node, se.Not):
             return self._collect_expr_terms(node.child)
         if isinstance(node, (se.And, se.Or)):
@@ -880,6 +898,8 @@ class QueryServer:
         if isinstance(node, se.Term):
             tp = self._cache.get(node.term)
             return tp.doc_ids if tp is not None else np.empty(0, np.int64)
+        if isinstance(node, (se.PrefixAtom, se.FuzzyAtom)):
+            return self._union_array(self._atom_terms(node))
         if isinstance(node, se.Phrase):
             if "positions_enc" not in self.idx.segments.columns:
                 raise se.ExprError('"phrase" atoms need positional '
@@ -933,12 +953,14 @@ class QueryServer:
         positive terms restricted to its boolean match set — the
         QueryServer twin of search_expr.search_expr_ranked."""
         from inverted_index_and_search_spark.operators import search_expr as se
+        from inverted_index_and_search_spark.operators.query import _norm_terms
 
         node = se.parse(query)
-        terms = se.expr_terms(node)
+        terms = _norm_terms(se.expr_terms(node)
+                            + se.expand_atom_terms(node, self._atom_terms))
         if not terms:
             return []
-        self._ensure(sorted(set(self._collect_expr_terms(node))))
+        self._ensure(sorted(set(self._collect_expr_terms(node)) | set(terms)))
         matched = self._eval_node(node)
         if matched.size == 0:
             return []

@@ -200,6 +200,11 @@ EXPRS_WARM = [
     "def NEAR/3 return",
     "(def NEAR/2 trait) OR var_3_0",
     "zzzqqqxx AND def",
+    # wildcard / fuzzy atoms (round 4): dictionary scan + per-term cache
+    "de* AND return",
+    "retur~1 OR var_3_0",
+    "(de* OR retrn~) AND NOT var_5_0",
+    "zzzqqqxx*",
 ]
 
 

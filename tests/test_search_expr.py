@@ -27,6 +27,15 @@ EXPRS = [
     "(def NEAR/3 trait) OR var_3_0",
     "def NEAR/5 return AND NOT var_3_0",
     "zzzqqqxx NEAR/4 def",
+    # wildcard / fuzzy atoms (round 4)
+    "def*",
+    "de* AND return",
+    "var_3_0 OR retur~1",
+    "retrn~",                          # bare ~ means distance 1
+    "def* AND NOT var_3_0",
+    "zzzqqqxx*",
+    "xx~2 OR def",
+    '(de* OR "def trait") AND NOT var_5_0',
 ]
 
 BAD = [
@@ -44,6 +53,14 @@ BAD = [
     '"a b" NEAR/2 c',  # NEAR joins plain terms only
     "a NEAR/2 (b OR c)",
     "a NEAR/1 b NEAR/2 c",  # no chaining
+    "*",              # bare star
+    "*def",           # leading wildcard (cannot use the dictionary)
+    "d*f",            # infix wildcard
+    "a*b*",           # multiple stars
+    "def~3",          # fuzzy distance capped at 2
+    "~",              # bare tilde
+    "def~x",          # non-numeric distance
+    "a* NEAR/2 b",    # NEAR joins plain terms only
 ]
 
 
@@ -53,9 +70,26 @@ def _oracle_docsets(corpus_pdf):
     return toks
 
 
+def _oracle_lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[-1]
+
+
 def oracle_eval(toks: dict[int, list[str]], node) -> set[int]:
     if isinstance(node, se.Term):
         return {d for d, ts in toks.items() if node.term in ts}
+    if isinstance(node, se.PrefixAtom):
+        return {d for d, ts in toks.items()
+                if any(t.startswith(node.prefix) for t in ts)}
+    if isinstance(node, se.FuzzyAtom):
+        return {d for d, ts in toks.items()
+                if any(_oracle_lev(t, node.term) <= node.dist
+                       for t in set(ts))}
     if isinstance(node, se.Phrase):
         k = len(node.words)
         want = list(node.words)
