@@ -555,22 +555,31 @@ Q_FUZZY = ("tble", 1)
 Q_FILTER_LANG = "de"
 
 
+_SURFACES_CACHE: dict = {}
+
+
 def _dict_query_surfaces(spark: SparkSession, sf_dir: str):
     """(df-index-in-memory, df-index-persisted, segment-index-persisted)
     — the three layouts a dictionary query (prefix/fuzzy) evaluates
     over. The persisted layouts carry the SORTED dictionary side table,
     so those paths exercise term-range file pruning + bucket-pruned
     postings fetch; the in-memory one exercises the direct-scan
-    fallback."""
+    fallback. Memoized per (session, sf_dir): the prefix and fuzzy
+    rows consume identical surfaces, so the builds+writes run once."""
     import tempfile
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SURFACES_CACHE.get(key)
+    if hit is not None:
+        return hit
     idx_mem = _index(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="iis_dictq_")
     ib.write_index(idx_mem, f"{tmp}/idx")
     idx_disk = ib.read_index(spark, f"{tmp}/idx")
     seg.write_segment_index(_tf_segment_index(spark, sf_dir), f"{tmp}/seg")
     sidx_disk = seg.read_segment_index(spark, f"{tmp}/seg")
-    return idx_mem, idx_disk, sidx_disk
+    _SURFACES_CACHE[key] = (idx_mem, idx_disk, sidx_disk)
+    return _SURFACES_CACHE[key]
 
 
 def _dict_query_paths(spark: SparkSession, df_res: DataFrame,

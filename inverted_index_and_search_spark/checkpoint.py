@@ -157,6 +157,18 @@ def build_resumable(
         if on_bucket_done is not None:
             on_bucket_done(b)
 
+    # ---- sorted dictionary side table (term-range pruning for
+    # prefix/fuzzy; derived from the committed segments, so it commits
+    # last and resumes like any other stage)
+    if not _committed(out_dir, "dictionary"):
+        t0 = time.perf_counter()
+        ib.write_dictionary(spark, f"{out_dir}/segments",
+                            f"{out_dir}/dictionary")
+        _atomic_write_json(_manifest_path(out_dir, "dictionary"), {
+            "seconds": round(time.perf_counter() - t0, 3),
+            "lineage": {"stage0": _manifest_path(out_dir, "stage0")},
+        })
+
     from inverted_index_and_search_spark.metrics import write_run_metrics
 
     write_run_metrics(
@@ -168,6 +180,7 @@ def build_resumable(
     return seg.SegmentIndex(
         segments=spark.read.parquet(f"{out_dir}/segments"),
         n_docs=n_docs, avgdl=avgdl, n_buckets=n_buckets, block=stats["block"],
+        dictionary=spark.read.parquet(f"{out_dir}/dictionary"),
     )
 
 

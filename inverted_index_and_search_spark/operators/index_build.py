@@ -231,6 +231,20 @@ def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
     (TokenizerMapperStateful.java:14).
     """
     post = F.struct(F.col("doc_id"), F.col("tf"))
+    if salt_hot_terms:
+        # prefer a caller-supplied hot set (hot_terms_from_docs — see
+        # its docstring for why detecting from the shared/cached tf
+        # relation double-computes the pipeline); fall back to tf-based
+        # detection for callers without a docs handle
+        if hot is None:
+            hot = hot_terms(tf, hot_df=hot_df, sample_mod=hot_sample_mod)
+        # tiny by definition — persist so the emptiness probe and the
+        # broadcast join don't re-run detection; nothing hot (the
+        # common case) skips the two-phase machinery entirely
+        hot = hot.persist()
+        if hot.isEmpty():
+            hot.unpersist()
+            salt_hot_terms = False
     if not salt_hot_terms:
         agg = tf.groupBy("term").agg(
             F.sort_array(F.collect_list(post)).alias("postings"),
@@ -238,12 +252,6 @@ def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
             F.sum("tf").cast("long").alias("cf"),
         )
     else:
-        # prefer a caller-supplied hot set (hot_terms_from_docs — see
-        # its docstring for why detecting from the shared/cached tf
-        # relation double-computes the pipeline); fall back to tf-based
-        # detection for callers without a docs handle
-        if hot is None:
-            hot = hot_terms(tf, hot_df=hot_df, sample_mod=hot_sample_mod)
         hot = hot.withColumn("_hot", F.lit(True))
         salted = (tf.join(F.broadcast(hot), "term", "left")
                   .withColumn("_hot", F.col("_hot").isNotNull())
@@ -404,17 +412,22 @@ def write_dictionary(spark: SparkSession, postings_dir: str, out_dir: str,
      .write.mode(mode).parquet(out_dir))
 
 
-def dictionary_terms(dictionary: DataFrame, cond) -> list[str]:
-    """Matched dictionary terms for a predicate — one pruned, narrow
-    scan of the sorted side table."""
-    return sorted({r["term"] for r in
-                   dictionary.filter(cond).select("term").collect()})
-
-
 #: above this many dictionary matches, fall back to the direct postings
 #: dictionary-column scan: a term IN (...) literal list this long costs
 #: more in plan/pushdown than the scan it would prune
 MAX_DICT_TERMS = 4096
+
+
+def dictionary_terms(dictionary: DataFrame, cond, *,
+                     limit: int = MAX_DICT_TERMS) -> list[str]:
+    """Matched dictionary terms for a predicate — one pruned, narrow
+    scan of the sorted side table, collected ONLY up to ``limit + 1``
+    rows: callers treat a result longer than ``limit`` as overflow and
+    fall back, so collecting past it would pull an unbounded term list
+    to the driver exactly in the case the bound exists to prevent."""
+    rows = (dictionary.filter(cond).select("term").distinct()
+            .limit(limit + 1).collect())
+    return sorted({r["term"] for r in rows})
 
 
 def postings_text_lines(index: Index, *, lexicographic: bool = False) -> DataFrame:

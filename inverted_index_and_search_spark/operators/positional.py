@@ -151,6 +151,14 @@ def positional_postings(tdp: DataFrame, *,
     phase 1 and never touch the join.
     """
     post = F.struct(F.col("doc_id"), F.col("tf"), F.col("positions"))
+    if hot is not None:
+        # tiny by definition — persist so the emptiness probe and the
+        # broadcast join don't re-run detection; nothing hot (common
+        # case) skips the sharding machinery and its phase-1 persist
+        hot = hot.persist()
+        if hot.isEmpty():
+            hot.unpersist()
+            hot = None
     if hot is None:
         grouped = tdp.groupBy("term").agg(
             F.sort_array(F.collect_list(post)).alias("postings"),
@@ -170,6 +178,9 @@ def positional_postings(tdp: DataFrame, *,
                        .otherwise(F.lit(0))))
         # _hot rides the grouping key (term determines it; groups are
         # unchanged) so the post-agg hot/cold split is a metadata filter
+        # lifecycle: cleaned by the ContextCleaner when the returned
+        # plan is GC'd; only exists for genuinely skewed corpora (the
+        # empty-hot probe above skips it)
         g = sharded.groupBy("term", "_hot", "shard").agg(
             F.sort_array(F.collect_list(post)).alias("postings"),
             F.count("*").cast("long").alias("p_df"),

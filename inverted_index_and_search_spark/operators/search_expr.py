@@ -421,9 +421,19 @@ def _df_atom_expander(index: Index):
         cond = atom_cond(atom)
         terms = _atom_matched_terms(index, cond)
         if terms is None:
+            # direct-scan fallback, collected only up to the expansion
+            # bound + 1 — and raising RIGHT HERE when it overflows: a
+            # truncated list handed to the caller could dedup under the
+            # bound against an overlapping atom and silently rank with
+            # an incomplete term set
             terms = sorted({r["term"] for r in
                             index.postings.filter(cond)
-                            .select("term").distinct().collect()})
+                            .select("term").distinct()
+                            .limit(MAX_EXPANSION + 1).collect()})
+            if len(terms) > MAX_EXPANSION:
+                raise ExprError(
+                    f"atom {atom!r} matches more than {MAX_EXPANSION} "
+                    "terms; narrow it for ranked queries")
         return terms
 
     return expand
@@ -446,8 +456,11 @@ def expand_atom_terms(node, expander) -> list[str]:
                     walk(p)
 
     walk(node)
-    if len(out) > MAX_EXPANSION:
+    # dedup BEFORE the bound: overlapping atoms (de* OR def*) must not
+    # spuriously trip TooManyClauses when the distinct set is in bounds
+    uniq = _norm_terms(out)
+    if len(uniq) > MAX_EXPANSION:
         raise ExprError(
-            f"wildcard/fuzzy atoms expand to {len(out)} terms "
+            f"wildcard/fuzzy atoms expand to {len(uniq)} terms "
             f"(> {MAX_EXPANSION}); narrow the prefix for ranked queries")
-    return _norm_terms(out)
+    return uniq

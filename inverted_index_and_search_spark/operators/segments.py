@@ -101,6 +101,15 @@ def grouped_postings_arrays(
     if salt_hot_terms:
         if hot is None:
             hot = hot_terms(tf_dl, hot_df=hot_df, sample_mod=hot_sample_mod)
+        # the hot set is tiny by definition — persist it so the
+        # emptiness probe and the broadcast join don't re-run detection
+        hot = hot.persist()
+        if hot.isEmpty():
+            # nothing hot (the common case): skip the whole salted
+            # machinery, including the phase-1 payload persist below
+            hot.unpersist()
+            salt_hot_terms = False
+    if salt_hot_terms:
         hot = hot.withColumn("_hot", F.lit(True))
         salted = (tf_dl.join(F.broadcast(hot), "term", "left")
                   .withColumn("_hot", F.col("_hot").isNotNull())
@@ -122,6 +131,10 @@ def grouped_postings_arrays(
         # sharding exists to prevent); a totals broadcast WITHOUT the
         # persist is no better — it re-executes the whole tokenize+tf
         # pipeline for the broadcast side (measured 2x the build).
+        # Lifecycle: the cache lives while the returned DataFrame does;
+        # the ContextCleaner unpersists it when the plan is GC'd, and
+        # the empty-hot fast path above means it exists only for
+        # genuinely skewed corpora.
         partial = partial.persist()
         cold = partial.where(~F.col("_hot")).select(
             "term", F.col("pp").alias("p"),
@@ -789,35 +802,50 @@ class QueryServer:
                    if (c := self._cache.get(t)) is not None}
         return _near_eval(fetched, a, b, window)
 
-    def _dict_terms(self, key: tuple, cond) -> list[str]:
+    def _dict_terms(self, key: tuple, cond) -> list[str] | None:
         """Matched dictionary terms for a prefix/fuzzy predicate, memoized
         per server — the first evaluation scans the SORTED dictionary
         side table when the index has one (term-range file pruning),
         else the segment layout's term column (full but narrow, pushed);
-        repeats are a dict hit. The postings themselves go through the
-        ordinary per-term LRU cache."""
-        hit = self._dict_cache.get(key)
-        if hit is None:
-            src = (self.idx.dictionary if self.idx.dictionary is not None
-                   else self.idx.segments)
-            hit = sorted({r["term"] for r in
-                          src.filter(cond).select("term").collect()})
-            self._dict_cache[key] = hit
+        repeats are a dict hit. Returns None (also memoized) when the
+        match exceeds MAX_DICT_TERMS — the collect stops at the bound,
+        so an over-wide prefix never pulls an unbounded term list to the
+        driver; callers fall back to the doc-set-only cold path, which
+        never touches the per-term cache."""
+        from inverted_index_and_search_spark.operators.index_build import (
+            MAX_DICT_TERMS,
+            dictionary_terms,
+        )
+
+        if key in self._dict_cache:
+            return self._dict_cache[key]
+        src = (self.idx.dictionary if self.idx.dictionary is not None
+               else self.idx.segments)
+        hit = dictionary_terms(src, cond)
+        if len(hit) > MAX_DICT_TERMS:
+            hit = None
+        self._dict_cache[key] = hit
         return hit
 
     def prefix_docs(self, prefix: str) -> list[int]:
         """Warm prefix query: dictionary scan memoized, matched terms'
         doc_ids unioned from the per-term cache — list-identical to
-        segments.prefix_docs / query.prefix_docs (tested)."""
+        segments.prefix_docs / query.prefix_docs (tested). An over-wide
+        prefix (> MAX_DICT_TERMS matches) evaluates on the cold doc-set
+        path instead of flooding the cache."""
         p = prefix.lower()
         if not p:
             return []
-        terms = self._dict_terms(("prefix", p), F.col("term").startswith(p))
+        cond = F.col("term").startswith(p)
+        terms = self._dict_terms(("prefix", p), cond)
+        if terms is None:
+            return _dict_match_docs(self.idx, cond)
         return self._union_docs(terms)
 
     def fuzzy_docs(self, term: str, max_dist: int = 1) -> list[int]:
         """Warm fuzzy query (length-band + levenshtein dictionary match,
-        memoized) — list-identical to segments.fuzzy_docs."""
+        memoized) — list-identical to segments.fuzzy_docs; over-wide
+        matches take the cold doc-set path like prefix_docs."""
         t = term.lower()
         if not t:
             return []
@@ -825,14 +853,21 @@ class QueryServer:
                 & (F.length("term") <= len(t) + max_dist))
         cond = band & (F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
         terms = self._dict_terms(("fuzzy", t, max_dist), cond)
+        if terms is None:
+            return _dict_match_docs(self.idx, cond)
         return self._union_docs(terms)
 
-    def _union_array(self, terms: list[str]) -> np.ndarray:
-        """Sorted unique doc_ids of ANY of ``terms``, via the per-term
-        cache (ensures them first)."""
+    def _union_array(self, terms: list[str], *,
+                     ensure: bool = True) -> np.ndarray:
+        """Sorted unique doc_ids of ANY of ``terms`` via the per-term
+        cache. ``ensure=False`` skips the cache-fill pass — callers that
+        already ensured a SUPERSET must use it, because a nested
+        _ensure protects only its own argument list and could evict the
+        enclosing query's other terms mid-evaluation."""
         if not terms:
             return np.empty(0, np.int64)
-        self._ensure(terms)
+        if ensure:
+            self._ensure(terms)
         sets = [c.doc_ids for t in terms
                 if (c := self._cache.get(t)) is not None]
         if not sets:
@@ -842,9 +877,10 @@ class QueryServer:
     def _union_docs(self, terms: list[str]) -> list[int]:
         return [int(d) for d in self._union_array(terms)]
 
-    def _atom_terms(self, node) -> list[str]:
+    def _atom_terms(self, node) -> list[str] | None:
         """Matched dictionary terms of a wildcard/fuzzy AST atom —
-        memoized via the same keys as prefix_docs/fuzzy_docs."""
+        memoized via the same keys as prefix_docs/fuzzy_docs; None past
+        MAX_DICT_TERMS (callers use the cold doc-set path)."""
         from inverted_index_and_search_spark.operators import search_expr as se
 
         if isinstance(node, se.PrefixAtom):
@@ -880,7 +916,12 @@ class QueryServer:
         if isinstance(node, se.Near):
             return [node.term_a, node.term_b]
         if isinstance(node, (se.PrefixAtom, se.FuzzyAtom)):
-            return []  # dictionary atoms self-ensure in _eval_node
+            # resolve the atom's dictionary terms NOW so the query's
+            # single up-front _ensure covers them — a nested ensure
+            # inside _eval_node could evict the expression's other
+            # in-flight terms mid-evaluation; over-wide atoms (None)
+            # evaluate on the cold doc-set path and need no cache slots
+            return self._atom_terms(node) or []
         if isinstance(node, se.Not):
             return self._collect_expr_terms(node.child)
         if isinstance(node, (se.And, se.Or)):
@@ -899,7 +940,13 @@ class QueryServer:
             tp = self._cache.get(node.term)
             return tp.doc_ids if tp is not None else np.empty(0, np.int64)
         if isinstance(node, (se.PrefixAtom, se.FuzzyAtom)):
-            return self._union_array(self._atom_terms(node))
+            terms = self._atom_terms(node)
+            if terms is None:  # over-wide: cold doc-set path, no cache
+                ids = _dict_match_docs(self.idx, se.atom_cond(node))
+                return np.asarray(ids, np.int64)
+            # ensure=False: the caller's single up-front _ensure already
+            # covered these terms (_collect_expr_terms resolves atoms)
+            return self._union_array(terms, ensure=False)
         if isinstance(node, se.Phrase):
             if "positions_enc" not in self.idx.segments.columns:
                 raise se.ExprError('"phrase" atoms need positional '
@@ -956,8 +1003,18 @@ class QueryServer:
         from inverted_index_and_search_spark.operators.query import _norm_terms
 
         node = se.parse(query)
+
+        def expander(atom) -> list[str]:
+            terms = self._atom_terms(atom)
+            if terms is None:  # > MAX_DICT_TERMS — same contract as the
+                # DataFrame path's MAX_EXPANSION TooManyClauses bound
+                raise se.ExprError(
+                    "wildcard/fuzzy atom matches too many terms for "
+                    "ranked mode; narrow the prefix")
+            return terms
+
         terms = _norm_terms(se.expr_terms(node)
-                            + se.expand_atom_terms(node, self._atom_terms))
+                            + se.expand_atom_terms(node, expander))
         if not terms:
             return []
         self._ensure(sorted(set(self._collect_expr_terms(node)) | set(terms)))

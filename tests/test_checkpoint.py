@@ -31,7 +31,7 @@ def test_resume_after_crash(spark, docs_df, oracle_idx, tmp_path):
     full = str(tmp_path / "full")
     cp.build_resumable(spark, docs_df, full, n_buckets=8)
     want = _content(spark, full)
-    assert len(cp.manifest(full)) == 9  # stage0 + 8 buckets
+    assert len(cp.manifest(full)) == 10  # stage0 + 8 buckets + dictionary
 
     crashed = str(tmp_path / "crashed")
 
@@ -93,3 +93,28 @@ def test_run_metrics_artifact(spark, docs_df, tmp_path):
     assert m["total_tasks"] > 0
     assert m["n_executors"] >= 1
     assert m["extra"]["lineage"]["stage0"].endswith("stage0.json")
+
+
+def test_resumable_build_emits_dictionary(spark, docs_df, tmp_path):
+    """The resumable builder writes the sorted dictionary side table
+    (with its own manifest entry) so checkpoint-built indexes get the
+    same term-range pruning as write_segment_index outputs."""
+    import os
+
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    out = str(tmp_path / "cpdict")
+    idx = cp.build_resumable(spark, docs_df, out, n_buckets=2)
+    assert os.path.isdir(f"{out}/dictionary")
+    assert "dictionary" in cp.manifest(out)
+    assert idx.dictionary is not None
+    # read_segment_index on the checkpoint dir picks it up too, and
+    # prefix queries answer through it
+    back = seg.read_segment_index(spark, out)
+    assert back.dictionary is not None
+    got = seg.prefix_docs(back, "re")
+    assert got == seg.prefix_docs(
+        seg.SegmentIndex(segments=back.segments, n_docs=back.n_docs,
+                         avgdl=back.avgdl, n_buckets=back.n_buckets,
+                         block=back.block), "re")
+    assert got
