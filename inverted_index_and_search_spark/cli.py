@@ -185,7 +185,8 @@ def _resolve_keys(index: ib.Index,
 
 def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
                phrase: bool = False, expr: bool = False,
-               prefix: bool = False, fuzzy: int | None = None) -> bool:
+               prefix: bool = False, fuzzy: int | None = None,
+               meta=None) -> bool:
     """Evaluate one query line and print results; returns False only on
     a malformed --expr query (one-shot callers exit nonzero on that)."""
     terms = line.split()
@@ -221,9 +222,10 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
 
         try:
             if bm25:
-                rows = se.search_expr_ranked(index, line, k=topk).collect()
+                rows = se.search_expr_ranked(index, line, k=topk,
+                                             meta=meta).collect()
             else:
-                rows = se.search_expr(index, line).collect()
+                rows = se.search_expr(index, line, meta=meta).collect()
         except se.ExprError as e:
             print(f"error: {e}", file=sys.stderr)
             return False
@@ -389,7 +391,8 @@ def _run_batch(spark, created: bool, args: argparse.Namespace) -> None:
 def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
     from inverted_index_and_search_spark.operators import segments as seg
 
-    server = seg.QueryServer(seg.read_segment_index(spark, args.index))
+    server = seg.QueryServer(seg.read_segment_index(spark, args.index),
+                             meta=_load_meta(spark, args))
     if args.phrase and "positions_enc" not in server.idx.segments.columns:
         print("error: --phrase needs positional segments "
               "(build with --positional)", file=sys.stderr)
@@ -415,6 +418,13 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
             pass
     if created:
         spark.stop()
+
+
+def _load_meta(spark, args: argparse.Namespace):
+    """The --meta-parquet relation for --expr field atoms (or None)."""
+    if getattr(args, "meta_parquet", None) is None:
+        return None
+    return spark.read.parquet(args.meta_parquet)
 
 
 def _search(args: argparse.Namespace) -> None:
@@ -455,10 +465,11 @@ def _search(args: argparse.Namespace) -> None:
             if created:
                 spark.stop()
             raise SystemExit(2)
+    meta = _load_meta(spark, args)
     if args.query is not None:
         ok = _run_query(index, args.query, args.bm25, args.topk,
                         phrase=args.phrase, expr=args.expr,
-                        prefix=args.prefix, fuzzy=args.fuzzy)
+                        prefix=args.prefix, fuzzy=args.fuzzy, meta=meta)
         if not ok:
             # scripts must see malformed one-shot expressions fail
             if created:
@@ -472,7 +483,8 @@ def _search(args: argparse.Namespace) -> None:
                 line = input("> ")
                 _run_query(index, line, args.bm25, args.topk,
                            phrase=args.phrase, expr=args.expr,
-                           prefix=args.prefix, fuzzy=args.fuzzy)
+                           prefix=args.prefix, fuzzy=args.fuzzy,
+                           meta=meta)
         except EOFError:
             pass
     if created:
@@ -552,8 +564,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="boolean query language: AND/OR/NOT, parens, "
                         '"exact phrases" (phrases need --positional '
                         "indexes), a NEAR/3 b proximity, tab* prefix "
-                        "and term~1 fuzzy atoms; bare term lists still "
-                        "mean AND")
+                        "and term~1 fuzzy atoms, lang:de metadata "
+                        "field filters (need --meta-parquet); bare "
+                        "term lists still mean AND")
+    s.add_argument("--meta-parquet", default=None, metavar="PATH",
+                   help="corpus/metadata parquet (doc_id + metadata "
+                        "columns, one row per doc) that --expr field "
+                        "atoms like lang:de filter against")
     s.add_argument("--prefix", action="store_true",
                    help="treat the query's first token as a term PREFIX "
                         "(Lucene PrefixQuery): print docs containing any "

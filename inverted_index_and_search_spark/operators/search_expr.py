@@ -11,6 +11,7 @@ as a tiny recursive-descent grammar:
     prox   := atom ( NEAR/k atom )?           # proximity, plain terms only
     atom   := '(' expr ')' | '"' word+ '"'
             | term | term'*' | term'~'d       # wildcard / fuzzy atoms
+            | field':'value                   # metadata field filter
 
 ``"quoted words"`` are exact token phrases (positional index required);
 ``a NEAR/3 b`` matches docs where the terms occur within 3 token
@@ -24,7 +25,15 @@ FuzzyQuery) — both resolve through the sorted dictionary side table on
 persisted indexes and are plain dictionary scans otherwise;
 bare terms and operators are case-insensitive except that AND/OR/NOT in
 upper case are keywords (reference-parity: a lowercase ``and`` is a
-search term, so plain term lines behave exactly like the reference).
+search term, so plain term lines behave exactly like the reference);
+``lang:de`` filters on a metadata column of the corpus relation
+(Lucene field-query syntax — the north-star input table carries
+``repo/path/commit/lang`` beside ``content``): the value is matched
+VERBATIM against the stored column (metadata values are not tokenized,
+so unlike terms they stay case-sensitive), a trailing ``*`` makes it a
+prefix match (``source:src1*``), and a bare ``field:*`` matches any doc
+where the field is non-null. Indexed terms are alnum-only runs (the
+tokenizer strips ``:``), so the syntax can never shadow a real term.
 
 Evaluation is set algebra on (doc_id) DataFrames — inner join for AND,
 union-distinct for OR, left-anti for NOT — with each leaf touching only
@@ -51,7 +60,7 @@ from inverted_index_and_search_spark.operators.query import (
 
 __all__ = ["parse", "eval_expr", "search_expr", "ExprError",
            "Term", "Phrase", "And", "Or", "Not", "Near",
-           "PrefixAtom", "FuzzyAtom"]
+           "PrefixAtom", "FuzzyAtom", "FieldAtom", "field_cond"]
 
 
 class ExprError(ValueError):
@@ -109,7 +118,21 @@ class FuzzyAtom:
     dist: int
 
 
+@dataclass(frozen=True)
+class FieldAtom:
+    """``lang:de`` — docs whose metadata column ``field`` equals
+    ``value`` verbatim (``prefix=True`` for a trailing ``*``:
+    starts-with; an empty-prefix ``field:*`` means "field non-null").
+    Purely a filter: contributes no scoring terms in ranked mode."""
+
+    field: str
+    value: str
+    prefix: bool = False
+
+
 _NEAR_RE = re.compile(r"NEAR/(\d+)$")
+
+_FIELD_ATOM_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$")
 
 _FUZZY_ATOM_RE = re.compile(r"^([^~*]+)~([0-2]?)$")
 
@@ -217,6 +240,26 @@ def parse(query: str):
         if t in ("AND", "OR") or _NEAR_RE.match(t):
             raise ExprError(f"operator {t} needs operands")
         take()
+        if ":" in t:
+            # field filter — checked before the wildcard/fuzzy branches
+            # so 'source:src1*' reads as a field prefix value, not a
+            # malformed term wildcard. The value is taken verbatim
+            # (metadata is not tokenized); only the field name folds.
+            m = _FIELD_ATOM_RE.match(t)
+            if not m:
+                raise ExprError(
+                    f"field atom {t!r}: expected field:value with a "
+                    "field of letters/digits/underscore")
+            field, value = m.group(1).lower(), m.group(2)
+            if not value:
+                raise ExprError(f"field atom {t!r} needs a value "
+                                "(use field:* for is-not-null)")
+            if value.endswith("*"):
+                return FieldAtom(field, value[:-1], prefix=True)
+            if "*" in value:
+                raise ExprError(f"field atom {t!r}: * is only valid "
+                                "trailing in the value")
+            return FieldAtom(field, value)
         if t.endswith("*"):
             body = t[:-1]
             if not body or "*" in body or "~" in body:
@@ -281,15 +324,19 @@ def _all_terms_docs(index: Index, terms: list[str]) -> DataFrame:
             .select("doc_id"))
 
 
-def eval_expr(index: Index, node) -> DataFrame:
+def eval_expr(index: Index, node, meta: DataFrame | None = None) -> DataFrame:
     """(doc_id) doc set of an AST node — unsorted and distinct;
-    callers order once."""
+    callers order once. ``meta`` is the corpus/metadata relation
+    (unique per doc_id) that field atoms filter; queries without field
+    atoms never touch it."""
     from inverted_index_and_search_spark.operators.positional import (
         _phrase_starts,
     )
 
     if isinstance(node, Term):
         return _any_term_docs(index, [node.term])
+    if isinstance(node, FieldAtom):
+        return _field_docs(meta, node)
     if isinstance(node, PrefixAtom):
         from inverted_index_and_search_spark.operators.query import (
             _atom_matched_docs,
@@ -317,7 +364,7 @@ def eval_expr(index: Index, node) -> DataFrame:
     if isinstance(node, Or):
         # one pruned scan for all plain-term children; recurse the rest
         terms = [p.term for p in node.parts if isinstance(p, Term)]
-        parts = [eval_expr(index, p) for p in node.parts
+        parts = [eval_expr(index, p, meta) for p in node.parts
                  if not isinstance(p, Term)]
         if terms:
             parts.append(_any_term_docs(index, terms))
@@ -327,9 +374,9 @@ def eval_expr(index: Index, node) -> DataFrame:
         return out.distinct()
     if isinstance(node, And):
         terms = [p.term for p in node.parts if isinstance(p, Term)]
-        pos_parts = [eval_expr(index, p) for p in node.parts
+        pos_parts = [eval_expr(index, p, meta) for p in node.parts
                      if not isinstance(p, (Term, Not))]
-        neg_parts = [eval_expr(index, p.child) for p in node.parts
+        neg_parts = [eval_expr(index, p.child, meta) for p in node.parts
                      if isinstance(p, Not)]
         if terms:
             # k-way semi-join in ONE aggregation (matched-term counting)
@@ -345,17 +392,21 @@ def eval_expr(index: Index, node) -> DataFrame:
     raise ExprError(f"unknown node {node!r}")
 
 
-def search_expr(index: Index, query: str) -> DataFrame:
-    """(doc_id) sorted asc for a boolean query-language string."""
-    return eval_expr(index, parse(query)).orderBy("doc_id")
+def search_expr(index: Index, query: str,
+                meta: DataFrame | None = None) -> DataFrame:
+    """(doc_id) sorted asc for a boolean query-language string.
+    ``meta`` (the corpus/metadata relation) enables field atoms."""
+    return eval_expr(index, parse(query), meta).orderBy("doc_id")
 
 
-def search_expr_ranked(index: Index, query: str, k: int = 10) -> DataFrame:
+def search_expr_ranked(index: Index, query: str, k: int = 10,
+                       meta: DataFrame | None = None) -> DataFrame:
     """(doc_id, score) — BM25 top-k restricted to the expression's
     boolean match set, score desc then doc_id asc.
 
     Scoring terms are the expression's positive leaves (phrase words
-    included, negated branches excluded — they only filter). The plan is
+    included, negated branches and field atoms excluded — they only
+    filter, like Lucene's ConstantScore field queries). The plan is
     the ordinary disjunctive BM25 scorer left-semi-joined to the match
     set before the top-k, so ranking touches only the query's terms'
     postings plus the (already small) match relation.
@@ -370,7 +421,7 @@ def search_expr_ranked(index: Index, query: str, k: int = 10) -> DataFrame:
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    matched = eval_expr(index, node)
+    matched = eval_expr(index, node, meta)
     return (bm25_scores(index, terms)
             .join(matched.select("doc_id"), "doc_id", "left_semi")
             .select("doc_id", "score")
@@ -407,6 +458,40 @@ def atom_cond(node):
     if isinstance(node, FuzzyAtom):
         return _fuzzy_cond(node.term, node.dist)
     raise ExprError(f"not a dictionary atom: {node!r}")
+
+
+def field_cond(meta: DataFrame, node: FieldAtom):
+    """The metadata predicate (a Column) of a field atom over ``meta``.
+
+    String columns compare natively so equality / StringStartsWith push
+    down to the scan; other types compare on their string form (the
+    query language has no typed literals). Unknown fields raise —
+    silently matching nothing would mask typos."""
+    if node.field not in meta.columns:
+        raise ExprError(
+            f"unknown field {node.field!r}; metadata columns: "
+            f"{', '.join(c for c in meta.columns if c != 'doc_id')}")
+    col = F.col(node.field)
+    if dict(meta.dtypes)[node.field] != "string":
+        col = col.cast("string")
+    if node.prefix:
+        # startswith('') is null-rejecting true — field:* ≡ non-null
+        return col.startswith(node.value)
+    return col == node.value
+
+
+def _field_docs(meta: DataFrame | None, node: FieldAtom) -> DataFrame:
+    """(doc_id) doc set of a field atom — one pushed, pruned scan of
+    the metadata relation. ``meta`` must be unique per doc_id (it is
+    the corpus/metadata table itself), so no distinct is needed and the
+    enclosing join algebra stays shuffle-minimal."""
+    if meta is None:
+        raise ExprError(
+            f"field atom {node.field}:... needs a metadata relation "
+            "(pass meta= the corpus table with doc_id + field columns)")
+    if "doc_id" not in meta.columns:
+        raise ExprError("metadata relation has no doc_id column")
+    return meta.filter(field_cond(meta, node)).select("doc_id")
 
 
 def _df_atom_expander(index: Index):

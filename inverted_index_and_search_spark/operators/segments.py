@@ -703,12 +703,16 @@ class QueryServer:
     the server's memory is O(cached terms), independent of corpus size.
     """
 
-    def __init__(self, idx: SegmentIndex, *, max_terms: int = 100_000):
+    def __init__(self, idx: SegmentIndex, *, max_terms: int = 100_000,
+                 meta: DataFrame | None = None):
         self.idx = idx
         self.max_terms = max_terms
+        self.meta = meta
         self._cache: dict[str, bm25.TermPostings | None] = {}
         #: (kind, ...) -> matched dictionary terms for prefix/fuzzy
         self._dict_cache: dict[tuple, list[str]] = {}
+        #: (field, value, prefix) -> sorted doc_id array of the filter
+        self._field_cache: dict[tuple, np.ndarray] = {}
 
     def _ensure(self, norm: list[str]) -> None:
         missing = [t for t in norm if t not in self._cache]
@@ -922,6 +926,8 @@ class QueryServer:
             # in-flight terms mid-evaluation; over-wide atoms (None)
             # evaluate on the cold doc-set path and need no cache slots
             return self._atom_terms(node) or []
+        if isinstance(node, se.FieldAtom):
+            return []  # metadata filter — no postings, no cache slots
         if isinstance(node, se.Not):
             return self._collect_expr_terms(node.child)
         if isinstance(node, (se.And, se.Or)):
@@ -947,6 +953,8 @@ class QueryServer:
             # ensure=False: the caller's single up-front _ensure already
             # covered these terms (_collect_expr_terms resolves atoms)
             return self._union_array(terms, ensure=False)
+        if isinstance(node, se.FieldAtom):
+            return self._field_docs_arr(node)
         if isinstance(node, se.Phrase):
             if "positions_enc" not in self.idx.segments.columns:
                 raise se.ExprError('"phrase" atoms need positional '
@@ -982,6 +990,28 @@ class QueryServer:
                                        assume_unique=True)
             return acc
         raise ValueError(f"unknown node {node!r}")
+
+    def _field_docs_arr(self, node) -> np.ndarray:
+        """Sorted doc_id array of a field atom's metadata filter,
+        memoized per (field, value, prefix) — one pushed scan of the
+        metadata relation on first touch, numpy thereafter. The
+        materialized set is O(matching docs): selective filters are
+        cheap; a filter matching half the corpus costs what any warm
+        stop-word posting does, and repeats are free."""
+        from inverted_index_and_search_spark.operators import search_expr as se
+
+        key = (node.field, node.value, node.prefix)
+        hit = self._field_cache.get(key)
+        if hit is None:
+            if self.meta is None:
+                raise se.ExprError(
+                    f"field atom {node.field}:... needs a metadata "
+                    "relation (QueryServer(..., meta=corpus_table))")
+            ids = se._field_docs(self.meta, node).collect()
+            hit = np.unique(np.asarray([r["doc_id"] for r in ids],
+                                       np.int64))
+            self._field_cache[key] = hit
+        return hit
 
     def search_expr(self, query: str) -> list[int]:
         """Boolean query-language evaluation entirely from the warm

@@ -663,3 +663,44 @@ def test_cli_segments_prefix_and_fuzzy(spark, tmp_path, capsys):
     cli.main(["search", "--index", idx_dir, "--index-format", "segments",
               "--prefix", "--query", "zzzqqq"])
     assert "No matches found." in capsys.readouterr().out
+
+
+def test_cli_expr_field_atoms(spark, tmp_path, capsys):
+    """--expr field atoms (lang:de / source:src1*) filter against the
+    --meta-parquet relation; without it a field query is a clean error."""
+    import duckdb
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clifieldidx")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx_dir, "--expr",
+              "--meta-parquet", docs,
+              "--query", "table AND lang:de"])
+    got = [int(ln) for ln in capsys.readouterr().out.splitlines()
+           if ln.strip().isdigit()]
+    want = [r[0] for r in duckdb.sql(f"""
+        SELECT doc_id FROM '{docs}'
+        WHERE lang = 'de' AND len(list_filter(
+            regexp_extract_all(lower(text), '[0-9a-z]+'),
+            t -> t = 'table')) > 0
+        ORDER BY doc_id
+    """).fetchall()]
+    assert got == want and want, "field-filtered result must match DuckDB"
+
+    # prefix value atom narrows further
+    cli.main(["search", "--index", idx_dir, "--expr",
+              "--meta-parquet", docs,
+              "--query", "table AND lang:de AND source:src1*"])
+    got2 = [int(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.strip().isdigit()]
+    assert set(got2) < set(got)
+
+    # field atom without --meta-parquet: clean one-shot error, exit 2
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["search", "--index", idx_dir, "--expr",
+                  "--query", "table AND lang:de"])
+    assert ei.value.code == 2
+    assert "metadata relation" in capsys.readouterr().err

@@ -303,3 +303,108 @@ def test_double_negation_collapses():
     # triple negation == single NOT
     assert se.parse("def AND NOT NOT NOT trait") == se.And(
         (se.Term("def"), se.Not(se.Term("trait"))))
+
+
+# ------------------------------------------------- metadata field atoms
+
+def _field_oracle(corpus_pdf, atom) -> set[int]:
+    """Pandas twin of field_cond: verbatim string compare on the
+    column's string form; prefix='' means non-null."""
+    col = corpus_pdf[atom.field]
+    notnull = col.notna()
+    s = col.astype(str)
+    m = s.str.startswith(atom.value) if atom.prefix else (s == atom.value)
+    return set(corpus_pdf.loc[m & notnull, "doc_id"].astype(int))
+
+
+def test_field_atom_parses():
+    assert se.parse("lang:scala") == se.FieldAtom("lang", "scala")
+    assert se.parse("path:src/dir1*") == se.FieldAtom(
+        "path", "src/dir1", prefix=True)
+    assert se.parse("lang:*") == se.FieldAtom("lang", "", prefix=True)
+    # field name folds, value stays verbatim (metadata is not tokenized)
+    assert se.parse("Lang:Scala") == se.FieldAtom("lang", "Scala")
+    assert se.parse("def AND lang:python") == se.And(
+        (se.Term("def"), se.FieldAtom("lang", "python")))
+    # '/' in the value is fine (repo:org0/repo0 is one atom)
+    assert se.parse("repo:org0/repo0") == se.FieldAtom("repo", "org0/repo0")
+
+
+@pytest.mark.parametrize("expr", [
+    "lang:",          # value required (use lang:* for non-null)
+    "lang:d*e",       # * only valid trailing
+    "9lang:x",        # field must be an identifier
+    ":x",             # empty field
+])
+def test_bad_field_atoms_rejected(expr):
+    with pytest.raises(se.ExprError):
+        se.parse(expr)
+
+
+@pytest.mark.parametrize("expr", [
+    "lang:scala",
+    "def AND lang:scala",
+    "lang:python OR lang:c",
+    "def AND NOT lang:markdown",
+    "path:src/dir1* AND return",
+    "lang:* AND def",
+    '"def trait" AND lang:scala',
+])
+def test_field_exprs_match_oracle(pidx, docs_df, corpus_pdf, expr):
+    toks = _oracle_docsets(corpus_pdf)
+
+    def field_aware_eval(node):
+        if isinstance(node, se.FieldAtom):
+            return _field_oracle(corpus_pdf, node)
+        if isinstance(node, se.Or):
+            out = set()
+            for p in node.parts:
+                out |= field_aware_eval(p)
+            return out
+        if isinstance(node, se.And):
+            pos_sets = [field_aware_eval(p) for p in node.parts
+                        if not isinstance(p, se.Not)]
+            out = set.intersection(*pos_sets)
+            for p in node.parts:
+                if isinstance(p, se.Not):
+                    out -= field_aware_eval(p.child)
+            return out
+        return oracle_eval(toks, node)
+
+    want = sorted(field_aware_eval(se.parse(expr)))
+    assert want, f"fixture must match something: {expr}"
+    got = [int(r["doc_id"])
+           for r in se.search_expr(pidx, expr, meta=docs_df).collect()]
+    assert got == want, expr
+
+
+def test_field_atom_is_filter_only_in_ranked(pidx, docs_df, corpus_pdf,
+                                             oracle_idx):
+    """Scores are the plain-term scores; the field atom only restricts."""
+    from inverted_index_and_search_spark import oracle as orc
+
+    expr = "def AND lang:scala"
+    node = se.parse(expr)
+    assert se.expr_terms(node) == ["def"]  # field atom contributes none
+    toks = _oracle_docsets(corpus_pdf)
+    matched = (oracle_eval(toks, se.Term("def"))
+               & _field_oracle(corpus_pdf, se.FieldAtom("lang", "scala")))
+    assert matched, "fixture must match"
+    want = sorted(((d, orc.bm25_score(oracle_idx, d, ["def"]))
+                   for d in matched), key=lambda x: (-x[1], x[0]))[:10]
+    got = [(int(r["doc_id"]), r["score"])
+           for r in se.search_expr_ranked(pidx, expr, k=10,
+                                          meta=docs_df).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-6
+
+
+def test_field_atom_without_meta_raises(pidx):
+    with pytest.raises(se.ExprError, match="metadata relation"):
+        se.search_expr(pidx, "def AND lang:scala").collect()
+
+
+def test_unknown_field_raises(pidx, docs_df):
+    with pytest.raises(se.ExprError, match="unknown field"):
+        se.search_expr(pidx, "nosuchfield:x", meta=docs_df).collect()

@@ -356,3 +356,55 @@ def test_query_server_prefix_fuzzy_warm(seg_index, oracle_idx):
     fz = srv.fuzzy_docs("retrn", 1)
     assert fz == seg.fuzzy_docs(seg_index, "retrn", 1)
     assert srv.fuzzy_docs("retrn", 1) == fz
+
+
+def test_query_server_field_atoms_warm(seg_index, docs_df, corpus_pdf):
+    """lang:/path: atoms on the warm server match the DataFrame path
+    and memoize per (field, value, prefix)."""
+    from inverted_index_and_search_spark.operators import search_expr as se
+
+    srv = seg.QueryServer(seg_index, meta=docs_df)
+    for expr in ("def AND lang:scala",
+                 "lang:python OR lang:c",
+                 "def AND NOT lang:markdown",
+                 "path:src/dir1* AND return"):
+        got = srv.search_expr(expr)
+        want = [int(r["doc_id"])
+                for r in se.search_expr(
+                    _pidx_for(seg_index, docs_df), expr,
+                    meta=docs_df).collect()]
+        assert got == want, expr
+    assert ("lang", "scala", False) in srv._field_cache
+    # repeats hit the memo (same object back)
+    a1 = srv._field_docs_arr(se.FieldAtom("lang", "scala"))
+    a2 = srv._field_docs_arr(se.FieldAtom("lang", "scala"))
+    assert a1 is a2
+
+    # ranked mode: field atoms filter the match set but contribute no
+    # scoring terms (ConstantScore) — warm twin equals the DataFrame path
+    got_r = srv.search_expr_ranked("def AND lang:scala", k=10)
+    want_r = [(int(r["doc_id"]), r["score"])
+              for r in se.search_expr_ranked(
+                  _pidx_for(seg_index, docs_df), "def AND lang:scala",
+                  k=10, meta=docs_df).collect()]
+    assert [d for d, _ in got_r] == [d for d, _ in want_r]
+    for (_, a), (_, b) in zip(got_r, want_r):
+        assert abs(a - b) < 1e-6
+
+    no_meta = seg.QueryServer(seg_index)
+    with pytest.raises(se.ExprError, match="metadata"):
+        no_meta.search_expr("def AND lang:scala")
+
+
+_PIDX_CACHE: dict = {}
+
+
+def _pidx_for(seg_index, docs_df):
+    """DataFrame-layout positional index over the same corpus, built
+    once — the comparison oracle for warm-server expressions."""
+    key = id(seg_index)
+    if key not in _PIDX_CACHE:
+        from inverted_index_and_search_spark.operators import positional as pos
+        _PIDX_CACHE[key] = pos.build_positional_index(
+            docs_df, use_pandas_udf=False)
+    return _PIDX_CACHE[key]
