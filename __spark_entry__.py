@@ -60,6 +60,7 @@ Q_NEAR = ("merge", "group", 3)  # (term_a, term_b, window)
 Q_EXPR = '("table hash" OR merge) AND NOT stream'
 Q_EXPR_NEAR = "(merge NEAR/3 group) AND NOT stream"
 Q_EXPR_WILD = "(tab* OR tble~1) AND NOT stream"
+Q_EXPR_FIELD = '(merge OR "table hash") AND lang:de AND NOT source:src1*'
 
 K1, B = 1.2, 0.75
 
@@ -404,9 +405,21 @@ def _q_phrase_match_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, doc_id, score) — phrase BM25 through BOTH layouts against
+    one oracle: the DataFrame positional index (shifted-offset
+    array_intersect plan) and the compressed positional segments
+    (delta+varint postings AND positions, numpy phrase kernel) — the
+    whole positional codec path is driver-verified, not just pytest'd."""
     res = pos.phrase_bm25_topk(_pindex(spark, sf_dir), Q_PHRASE, k=10)
-    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      F.round(F.col("score"), 6).alias("score"))
+    df_part = res.select(
+        F.lit("df").alias("path"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"))
+    hits = seg.phrase_topk(_pos_segment_index(spark, sf_dir), Q_PHRASE, k=10)
+    seg_part = spark.createDataFrame(
+        [("segments", int(d), round(float(s), 6)) for d, s in hits],
+        "path string, doc_id long, score double")
+    return df_part.unionByName(seg_part)
 
 
 def _pos_segment_index(spark: SparkSession, sf_dir: str) -> seg.SegmentIndex:
@@ -423,15 +436,30 @@ def _pos_segment_index(spark: SparkSession, sf_dir: str) -> seg.SegmentIndex:
         tdp, n_docs, avgdl, hot=ib.hot_terms_from_docs(docs, content_col="text"))
 
 
-def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase BM25 through the compressed positional segments (delta+
-    varint postings AND positions): hash-equal to the same SQL oracle
-    as phrase_bm25_top10, so the whole positional codec + numpy phrase
-    kernel is driver-verified, not just pytest'd."""
-    hits = seg.phrase_topk(_pos_segment_index(spark, sf_dir), Q_PHRASE, k=10)
-    out = spark.createDataFrame(
-        [(int(d), float(s)) for d, s in hits], "doc_id long, score double")
-    return out.select("doc_id", F.round("score", 6).alias("score"))
+MLT_DOC = 7
+
+
+def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-MoreLikeThis: the source doc's top-10 TF-IDF terms as a
+    disjunctive BM25 query, source excluded — term profile AND scoring
+    both mirrored in the DuckDB oracle."""
+    res = q.more_like_this(_index(spark, sf_dir), MLT_DOC,
+                           k_terms=10, k=10)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round(F.col("score"), 6).alias("score"))
+
+
+def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: (field, value, n_docs) terms-aggregation of the
+    Q_AND boolean match set over lang + source — one stack unpivot +
+    one (field, value) hash agg for both fields."""
+    from inverted_index_and_search_spark.operators import facets as fc
+
+    matched = q.boolean_and(_index(spark, sf_dir), Q_AND)
+    res = fc.facet_counts(matched, _docs(spark, sf_dir),
+                          ["lang", "source"])
+    return res.select("field", "value",
+                      F.col("n_docs").cast("long").alias("n_docs"))
 
 
 def _q_near_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,14 +523,20 @@ def _q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score"), 6).alias("score"))
 
 
-def _q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return q.boolean_or(_index(spark, sf_dir), Q_OR).select(
-        F.col("doc_id").cast("long").alias("doc_id"))
-
-
-def _q_boolean_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return q.boolean_and_not(_index(spark, sf_dir), Q_NOT_INC, Q_NOT_EXC).select(
-        F.col("doc_id").cast("long").alias("doc_id"))
+def _q_boolean_or_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, doc_id) — OR (union-distinct) and AND-NOT (left-anti,
+    never corpus complement) doc sets, path-tagged against one oracle
+    row (folded from the r3 boolean_or / boolean_and_not rows to stay
+    inside the driver's 50-query cap)."""
+    idx = _index(spark, sf_dir)
+    return (
+        q.boolean_or(idx, Q_OR)
+        .select(F.lit("or").alias("path"),
+                F.col("doc_id").cast("long").alias("doc_id"))
+        .unionByName(
+            q.boolean_and_not(idx, Q_NOT_INC, Q_NOT_EXC)
+            .select(F.lit("and_not").alias("path"),
+                    F.col("doc_id").cast("long").alias("doc_id"))))
 
 
 def _q_query_expr_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,18 +544,23 @@ def _q_query_expr_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame evaluator AND entirely warm (parse + numpy set algebra
     over the QueryServer's per-term decoded-segment cache), for TWO
     expressions: Q_EXPR (phrase atom + OR + AND NOT) and Q_EXPR_WILD
-    (wildcard + fuzzy atoms, round-4 language additions). Every path
+    (wildcard + fuzzy atoms, round-4 language additions) and
+    Q_EXPR_FIELD (lang:/source: metadata field atoms filtered against
+    the documents relation — Lucene field-query semantics). Every path
     hash-equal to its set-algebra oracle."""
     from inverted_index_and_search_spark.operators import search_expr as se
 
+    docs = _docs(spark, sf_dir)
     pidx = _pindex(spark, sf_dir)
-    server = seg.QueryServer(_pos_segment_index(spark, sf_dir))
+    server = seg.QueryServer(_pos_segment_index(spark, sf_dir), meta=docs)
     parts = []
-    for base_tag, expr in (("df", Q_EXPR), ("df_wild", Q_EXPR_WILD)):
-        parts.append(se.search_expr(pidx, expr).select(
+    for base_tag, expr in (("df", Q_EXPR), ("df_wild", Q_EXPR_WILD),
+                           ("df_field", Q_EXPR_FIELD)):
+        parts.append(se.search_expr(pidx, expr, meta=docs).select(
             F.lit(base_tag).alias("path"),
             F.col("doc_id").cast("long").alias("doc_id")))
-    for srv_tag, expr in (("server", Q_EXPR), ("server_wild", Q_EXPR_WILD)):
+    for srv_tag, expr in (("server", Q_EXPR), ("server_wild", Q_EXPR_WILD),
+                          ("server_field", Q_EXPR_FIELD)):
         ids = server.search_expr(expr)
         parts.append(spark.createDataFrame(
             [(srv_tag, int(d)) for d in ids], "path string, doc_id long"))
@@ -726,17 +765,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- boolean / phrase / proximity / expression queries
         "boolean_and": _q_boolean_and,
         "boolean_and_missing": _q_boolean_and_missing,
-        "boolean_or": _q_boolean_or,
-        "boolean_and_not": _q_boolean_and_not,
+        "boolean_or_not": _q_boolean_or_not,
         "phrase_match": _q_phrase_match_paths,
         "phrase_bm25_top10": _q_phrase_bm25,
-        "phrase_segments_top10": _q_phrase_segments,
         "near_terms": _q_near_paths,
         "batch_bm25_topk": _q_batch_bm25,
         "batch_phrase_topk": _q_batch_phrase,
         "query_expr": _q_query_expr_paths,
         "query_expr_near": _q_query_expr_near,
         "query_expr_ranked": _q_query_expr_ranked,
+        "mlt_top10": _q_mlt,
+        "facet_counts": _q_facets,
         "top_terms": _q_top_terms,
         "prefix_docs": _q_prefix,
         "fuzzy_docs": _q_fuzzy,
@@ -1086,12 +1125,11 @@ FROM tf GROUP BY term
 """,
         "boolean_and": _boolean_sql(Q_AND),
         "boolean_and_missing": _boolean_sql(Q_AND_MISSING),
-        "boolean_or": f"""
+        "boolean_or_not": _tagged_sql(["or"], f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
 WHERE term IN ({_sql_in(Q_OR)}) ORDER BY doc_id
-""",
-        "boolean_and_not": f"""
+""") + "\nUNION ALL\n" + _tagged_sql(["and_not"], f"""
 WITH {_TOK_CTE},
 inc AS (
   SELECT doc_id FROM tf WHERE term IN ({_sql_in(Q_NOT_INC)})
@@ -1100,11 +1138,11 @@ inc AS (
 exc AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_sql_in(Q_NOT_EXC)}))
 SELECT doc_id::BIGINT AS doc_id FROM inc
 WHERE doc_id NOT IN (SELECT doc_id FROM exc) ORDER BY doc_id
-""",
+"""),
         "phrase_match": _tagged_sql(["plain", "sharded"],
                                     _phrase_match_sql(Q_PHRASE)),
-        "phrase_bm25_top10": _phrase_bm25_sql(Q_PHRASE),
-        "phrase_segments_top10": _phrase_bm25_sql(Q_PHRASE),
+        "phrase_bm25_top10": _tagged_sql(["df", "segments"],
+                                         _phrase_bm25_sql(Q_PHRASE)),
         "near_terms": _tagged_sql(["df", "segments"],
                                   _near_terms_sql(*Q_NEAR)),
         "batch_bm25_topk": _batch_bm25_sql(BATCH_QUERIES),
@@ -1135,6 +1173,25 @@ st AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'stream')
 SELECT doc_id::BIGINT AS doc_id FROM (
   SELECT doc_id FROM pw UNION SELECT doc_id FROM fz
   EXCEPT SELECT doc_id FROM st
+) ORDER BY doc_id
+""") + "\nUNION ALL\n" + _tagged_sql(["df_field", "server_field"], f"""
+WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+ph AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, {_phrase_tf_frag(["table", "hash"])} AS ptf FROM t)
+  WHERE ptf > 0
+),
+mg AS (SELECT doc_id FROM t WHERE list_contains(tk, 'merge')),
+lg AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+s1 AS (SELECT doc_id FROM documents WHERE source LIKE 'src1%')
+SELECT doc_id::BIGINT AS doc_id FROM (
+  SELECT doc_id FROM (
+    (SELECT doc_id FROM mg UNION SELECT doc_id FROM ph)
+    INTERSECT
+    SELECT doc_id FROM lg
+  )
+  EXCEPT
+  SELECT doc_id FROM s1
 ) ORDER BY doc_id
 """),
         # (merge NEAR/3 group) AND NOT stream — the proximity set from
@@ -1188,6 +1245,50 @@ scored AS (
 SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
 FROM scored WHERE doc_id IN (SELECT doc_id FROM m)
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # MoreLikeThis: MLT_DOC's top-10 tfidf terms (top_terms's exact
+        # ranking) -> disjunctive BM25, source excluded before the top-k
+        "mlt_top10": f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+alldf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+src AS (
+  SELECT tf.term
+  FROM tf JOIN alldf USING (term) CROSS JOIN stats s
+  WHERE tf.doc_id = {MLT_DOC}
+  ORDER BY tf.tf * ln((s.n + 1.0) / (alldf.df + 1.0)) DESC, tf.term ASC
+  LIMIT 10
+),
+qt AS (SELECT term, df FROM alldf WHERE term IN (SELECT term FROM src)),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - qt.df + 0.5) / (qt.df + 0.5))
+              * (tf.tf * {K1 + 1.0})
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM scored WHERE doc_id <> {MLT_DOC}
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # terms-aggregation facets of the Q_AND match set on lang+source
+        "facet_counts": f"""
+WITH {_TOK_CTE},
+hits AS (
+  SELECT doc_id FROM tf WHERE term IN ({_sql_in(Q_AND)})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(Q_AND))}
+),
+m AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM hits))
+SELECT 'lang' AS field, lang AS value, count(*)::BIGINT AS n_docs
+FROM m WHERE lang IS NOT NULL GROUP BY lang
+UNION ALL
+SELECT 'source' AS field, source AS value, count(*)::BIGINT AS n_docs
+FROM m WHERE source IS NOT NULL GROUP BY source
 """,
         "top_terms": f"""
 WITH {_TOK_CTE},

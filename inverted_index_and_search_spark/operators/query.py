@@ -237,6 +237,48 @@ def top_terms_per_doc(index: Index, k: int = 3) -> DataFrame:
     )
 
 
+def more_like_this(index: Index, doc_id: int, *, k_terms: int = 10,
+                   k: int = 10) -> DataFrame:
+    """(doc_id, score) — Lucene-MoreLikeThis similar-document search:
+    the source doc's top ``k_terms`` TF-IDF terms (exactly
+    :func:`top_terms_per_doc`'s ranking: tf * ln((N+1)/(df+1)), ties
+    broken term asc) become a disjunctive BM25 query; the source doc is
+    excluded from the result, score desc then doc_id asc.
+
+    Two bounded stages: (1) the source doc's term profile — postings
+    explode filtered to one doc_id, top-k_terms, collected driver-side
+    (<= k_terms rows, bounded); (2) the ordinary pruned BM25 scorer
+    over those terms with a source-doc anti-filter BEFORE the top-k.
+    Stage 1 scans the postings relation (the inverted layout has no
+    doc->terms access path); at warehouse scale a doc-keyed forward
+    index (term_doc_tf persisted bucketed by doc_id) turns it into a
+    single partition-pruned lookup — the scorer stage is unchanged
+    either way."""
+    n_docs, _ = index.collection_stats()
+    profile = (
+        index.postings.select(
+            "term", "df", F.explode("postings").alias("p"))
+        .where(F.col("p.doc_id") == int(doc_id))
+        .select(
+            "term",
+            (F.col("p.tf")
+             * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+             ).alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(int(k_terms))
+        .collect())
+    terms = [r["term"] for r in profile]
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return (
+        bm25_scores(index, terms)
+        .where(F.col("doc_id") != int(doc_id))
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k)))
+
+
 def bm25_topk(
     index: Index,
     terms: list[str],

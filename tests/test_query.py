@@ -167,3 +167,75 @@ def test_dictionary_files_cover_disjoint_term_ranges(
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # disjoint, ordered ranges
+
+
+# ----------------------------------------------- more-like-this + facets
+
+def _oracle_mlt(oracle_idx, src: int, k_terms: int = 10, k: int = 10):
+    import math
+
+    n = oracle_idx.n_docs
+    prof = sorted(
+        ((t, posts[src] * math.log((n + 1.0) / (len(posts) + 1.0)))
+         for t, posts in oracle_idx.postings.items() if src in posts),
+        key=lambda x: (-x[1], x[0]))[:k_terms]
+    terms = [t for t, _ in prof]
+    cand = {d for t in terms for d in oracle_idx.postings[t]} - {src}
+    scored = sorted(((d, oracle.bm25_score(oracle_idx, d, terms))
+                     for d in cand), key=lambda x: (-x[1], x[0]))[:k]
+    return terms, scored
+
+
+@pytest.mark.parametrize("src", [0, 3, 17])
+def test_more_like_this_matches_oracle(index, oracle_idx, src):
+    terms, want = _oracle_mlt(oracle_idx, src)
+    got = [(r["doc_id"], r["score"])
+           for r in q.more_like_this(index, src, k_terms=10, k=10).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6, (gd, gs, ws)
+    assert src not in [g[0] for g in got]
+
+
+def test_more_like_this_empty_doc(index, spark):
+    # a doc_id with no postings (out of range) -> empty result, stable schema
+    res = q.more_like_this(index, 10_000_000)
+    assert res.columns == ["doc_id", "score"] and res.count() == 0
+
+
+def test_facet_counts_matches_pandas(index, docs_df, corpus_pdf, oracle_idx):
+    from inverted_index_and_search_spark.operators import facets as fc
+
+    matched = q.boolean_and(index, ["def"])
+    match_ids = set(oracle.boolean_and(oracle_idx, ["def"]))
+    assert match_ids, "fixture must match"
+    sub = corpus_pdf[corpus_pdf["doc_id"].isin(match_ids)]
+    want = []
+    for f in ("lang", "repo"):
+        vc = sub[f].value_counts()
+        want += sorted(((f, v, int(c)) for v, c in vc.items()),
+                       key=lambda r: (-r[2], r[1]))
+    got = [(r["field"], r["value"], r["n_docs"])
+           for r in fc.facet_counts(matched, docs_df, ["lang", "repo"])
+           .collect()]
+    assert got == want
+
+
+def test_facet_counts_rejects_unknown_field(index, docs_df):
+    from inverted_index_and_search_spark.operators import facets as fc
+
+    with pytest.raises(ValueError, match="unknown facet"):
+        fc.facet_counts(q.boolean_and(index, ["def"]), docs_df, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        fc.facet_counts(q.boolean_and(index, ["def"]), docs_df, [])
+
+
+def test_search_facets_composes_with_field_atoms(index, docs_df, corpus_pdf):
+    """Facets over a field-filtered expression: the lang facet of
+    'def AND NOT lang:markdown' must contain no markdown bucket."""
+    from inverted_index_and_search_spark.operators import facets as fc
+
+    rows = fc.search_facets(index, "def AND NOT lang:markdown",
+                            docs_df, ["lang"]).collect()
+    langs = {r["value"] for r in rows}
+    assert langs and "markdown" not in langs
