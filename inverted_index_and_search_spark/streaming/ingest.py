@@ -16,7 +16,14 @@ LSM shape used by search engines):
   amortizes write cost;
 - queries before compaction see the merged view via :func:`live_index`
   (union of canonical tf + deltas re-aggregated) — correctness never
-  waits for compaction.
+  waits for compaction;
+- **deletes are tombstones** (:meth:`StreamingIndexWriter.delete_docs`):
+  an append-only (doc_id) delta whose batch id orders it against
+  ingests — it kills strictly-earlier ingests of that doc, later
+  (or same-batch) re-ingests resurrect, the live view applies
+  tombstones at read time (AQE-broadcast left join against the tiny
+  dead set) and compaction physically purges them, exactly Lucene's
+  liveDocs-then-merge lifecycle.
 
 ``ingest_stream`` wires this into Structured Streaming via
 ``foreachBatch`` with ``availableNow``; the batch-vs-streaming
@@ -71,12 +78,73 @@ class StreamingIndexWriter:
         (ds.write.mode("overwrite")
          .parquet(f"{self.out_dir}/delta_ds/batch_id={batch_id}"))
 
+    # ---------------------------------------------------------- deletes
+    def delete_docs(self, spark: SparkSession, doc_ids,
+                    batch_id: int | None = None) -> int:
+        """Tombstone-delete documents (Lucene-style): appends a tiny
+        (doc_id) delta under ``delta_del/batch_id=B`` — append-only
+        like ingests, no read-modify-write anywhere. Semantics are
+        sequence-number based: a tombstone at batch B kills postings /
+        doc stats ingested in STRICTLY EARLIER batches; a later
+        re-ingest of the same doc_id resurrects it as a new version.
+        The live view applies tombstones at read time; compaction
+        physically purges them. ``doc_ids`` is a (doc_id) DataFrame or
+        an iterable of ints; ``batch_id`` defaults to one past the
+        highest batch seen (ingest or delete). Returns the batch id
+        used."""
+        if batch_id is None:
+            batch_id = self._next_batch_id(spark)
+        if isinstance(doc_ids, DataFrame):
+            df = doc_ids.select(F.col("doc_id").cast("long"))
+        else:
+            df = spark.createDataFrame([(int(d),) for d in doc_ids],
+                                       "doc_id long")
+        (df.coalesce(1).write.mode("overwrite")
+         .parquet(f"{self.out_dir}/delta_del/batch_id={batch_id}"))
+        return int(batch_id)
+
+    def _next_batch_id(self, spark: SparkSession) -> int:
+        ids = [-1]
+        for sub in ("delta_tf", "delta_del"):
+            try:
+                ids += [int(r["batch_id"]) for r in
+                        spark.read.parquet(f"{self.out_dir}/{sub}")
+                        .select("batch_id").distinct().collect()]
+            except Exception:  # noqa: BLE001 — dir not written yet
+                pass
+        return max(ids) + 1
+
+    def _delta_deletes(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(f"{self.out_dir}/delta_del")
+        except Exception:  # noqa: BLE001 — no deletes ever issued
+            return None
+
+    def _apply_tombstones(self, df: DataFrame,
+                          dels: DataFrame | None) -> DataFrame:
+        """Drop rows of docs whose latest tombstone postdates their
+        ingest batch. The dead set (one row per ever-deleted doc) is
+        usually tiny — AQE turns the left join into a broadcast at
+        runtime, so the delta relations are not reshuffled on doc_id;
+        with no tombstones on disk this is a plain column drop."""
+        if dels is None:
+            return df.drop("batch_id")
+        dead = dels.groupBy("doc_id").agg(F.max("batch_id").alias("_del_b"))
+        return (df.join(dead, "doc_id", "left")
+                .where(F.col("_del_b").isNull()
+                       | (F.col("batch_id") >= F.col("_del_b")))
+                .drop("_del_b", "batch_id"))
+
     # ------------------------------------------------------------- read
     def _delta_tf(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(f"{self.out_dir}/delta_tf").drop("batch_id")
+        return self._apply_tombstones(
+            spark.read.parquet(f"{self.out_dir}/delta_tf"),
+            self._delta_deletes(spark))
 
     def _delta_doc_stats(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(f"{self.out_dir}/delta_ds").drop("batch_id")
+        return self._apply_tombstones(
+            spark.read.parquet(f"{self.out_dir}/delta_ds"),
+            self._delta_deletes(spark))
 
     def live_index(self, spark: SparkSession) -> ib.Index:
         """Queryable view over everything ingested so far (pre-compaction):

@@ -294,3 +294,31 @@ def test_route_cache_keyed_by_application_id(spark):
     ib._ROUTE_CACHE[("app-stale-id", 8)] = {0: 10 ** 9}
     ib.bucket_route_col(spark, F.col("term_bucket"), 8)
     assert ib._ROUTE_CACHE[key] == rep
+
+
+def test_facet_counts_partial_agg_and_narrow_unpivot(spark):
+    """The facet shuffle must carry only (field, value, partial count)
+    — partial aggregation before the exchange — and the unpivot input
+    must be pruned to the requested fields (no full-width meta rows)."""
+    from inverted_index_and_search_spark.operators import facets as fc
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = ib.build_index(docs, content_col="text", id_col="doc_id")
+    res = fc.facet_counts(q.boolean_and(idx, ["table", "query"]),
+                          docs, ["lang", "source"])
+    plan = explain(res)
+    assert "partial_count" in plan, plan
+    # the stack Generate consumes exactly the facet columns, nothing else
+    m = re.search(r"Generate\nInput \[(\d+)\]", plan)
+    assert m and int(m.group(1)) == 2, plan
+
+
+def test_more_like_this_compiles_to_takeordered(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = ib.build_index(docs, content_col="text", id_col="doc_id")
+    idx.doc_stats.cache().count()
+    res = q.more_like_this(idx, 7, k_terms=5, k=10)
+    plan = explain(res)
+    assert "TakeOrderedAndProject" in plan, plan
+    # doc-stats side of the scorer joins broadcast
+    assert "BroadcastHashJoin" in plan, plan

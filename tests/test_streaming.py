@@ -184,3 +184,49 @@ def test_compact_segments_equals_batch_segment_build(spark, docs_df,
             sg.topk(batch, terms, k=10))
     assert sg.phrase_docs(streamed, ["def", "return"]) == \
         sg.phrase_docs(batch, ["def", "return"])
+
+
+def test_delete_docs_tombstones(spark, docs_df, tmp_path):
+    """LSM deletes: tombstone -> live view and compaction equal a batch
+    build over the surviving docs; a later re-ingest resurrects."""
+    docs = docs_df.select("doc_id", "content")
+    out = str(tmp_path / "ingest_del")
+    writer = ingest.StreamingIndexWriter(out)
+    for i in range(3):
+        writer.process_batch(docs.filter((ib.F.col("doc_id") % 3) == i), i)
+
+    dead = [int(r["doc_id"]) for r in
+            docs.filter(ib.F.col("doc_id") < 10).collect()]
+    b = writer.delete_docs(spark, dead)
+    assert b == 3  # one past the highest ingest batch
+
+    cols = ["term", "term_bucket", "df", "cf", "postings"]
+    survivors = docs.filter(~ib.F.col("doc_id").isin(dead))
+    want = sorted(tuple(r) for r in
+                  ib.build_index(survivors).postings.select(cols).collect())
+    got = sorted(tuple(r) for r in
+                 writer.live_index(spark).postings.select(cols).collect())
+    assert got == want
+
+    # compaction physically purges tombstoned docs
+    idx_dir = str(tmp_path / "compacted_del")
+    writer.compact(spark, idx_dir)
+    compacted = ib.read_index(spark, idx_dir)
+    assert sorted(tuple(r) for r in
+                  compacted.postings.select(cols).collect()) == want
+    assert compacted.doc_stats.count() == survivors.count()
+
+    # re-ingest one deleted doc in a LATER batch -> resurrected
+    readd = docs.filter(ib.F.col("doc_id") == dead[0])
+    writer.process_batch(readd, 4)
+    expect2 = docs.filter(~ib.F.col("doc_id").isin(dead[1:]))
+    want2 = sorted(tuple(r) for r in
+                   ib.build_index(expect2).postings.select(cols).collect())
+    got2 = sorted(tuple(r) for r in
+                  writer.live_index(spark).postings.select(cols).collect())
+    assert got2 == want2
+
+    # a second tombstone kills the resurrected version again
+    writer.delete_docs(spark, [dead[0]])
+    got3 = writer.live_index(spark).doc_stats.count()
+    assert got3 == survivors.count()
