@@ -155,15 +155,19 @@ def _q_postings_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return q.boolean_and(_index(spark, sf_dir), Q_AND).select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
-
-
-def _q_boolean_and_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return q.boolean_and(_index(spark, sf_dir), Q_AND_MISSING).select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
+    """(part, doc_id) — conjunctive AND for a present-terms query and
+    for one containing an absent term (the reference's missing-term
+    short-circuit, search-query.py:61-62, must yield zero rows) —
+    folded into one part-tagged row (driver 50-row cap)."""
+    idx = _index(spark, sf_dir)
+    return (
+        q.boolean_and(idx, Q_AND)
+        .select(F.lit("and").alias("part"),
+                F.col("doc_id").cast("long").alias("doc_id"))
+        .unionByName(
+            q.boolean_and(idx, Q_AND_MISSING)
+            .select(F.lit("and_missing").alias("part"),
+                    F.col("doc_id").cast("long").alias("doc_id"))))
 
 
 def _bm25_rounded(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
@@ -172,6 +176,18 @@ def _bm25_rounded(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFra
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(F.col("score"), 6).alias("score"),
     )
+
+
+def _q_bm25_multi_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, doc_id, score) — the flagship multi-term BM25 AND the
+    rare-single-term query in one part-tagged row (round-4 cap
+    consolidation; both inner results identical to the r3 rows)."""
+    return (
+        _bm25_rounded(spark, sf_dir, Q_BM25)
+        .select(F.lit("multi").alias("part"), "doc_id", "score")
+        .unionByName(
+            _bm25_rounded(spark, sf_dir, Q_BM25_RARE)
+            .select(F.lit("rare").alias("part"), "doc_id", "score")))
 
 
 def _coll_stats(docs: DataFrame, tf: DataFrame) -> tuple[int, float]:
@@ -559,24 +575,21 @@ def _q_query_expr_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(se.search_expr(pidx, expr, meta=docs).select(
             F.lit(base_tag).alias("path"),
             F.col("doc_id").cast("long").alias("doc_id")))
+    # NEAR/k proximity inside the language (independent DuckDB
+    # list-lambda oracle) — folded in as a fourth expression pair
+    # (round-4 50-row-cap consolidation)
+    parts.append(se.search_expr(pidx, Q_EXPR_NEAR).select(
+        F.lit("df_near").alias("path"),
+        F.col("doc_id").cast("long").alias("doc_id")))
     for srv_tag, expr in (("server", Q_EXPR), ("server_wild", Q_EXPR_WILD),
-                          ("server_field", Q_EXPR_FIELD)):
+                          ("server_field", Q_EXPR_FIELD),
+                          ("server_near", Q_EXPR_NEAR)):
         ids = server.search_expr(expr)
         parts.append(spark.createDataFrame(
             [(srv_tag, int(d)) for d in ids], "path string, doc_id long"))
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), parts)
-
-
-def _q_query_expr_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEAR/k inside the boolean query language: proximity doc set
-    composed with AND NOT — driver-verified against an independent
-    DuckDB list-lambda oracle."""
-    from inverted_index_and_search_spark.operators import search_expr as se
-
-    return se.search_expr(_pindex(spark, sf_dir), Q_EXPR_NEAR).select(
-        F.col("doc_id").cast("long").alias("doc_id"))
 
 
 def _q_query_expr_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +682,85 @@ def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.QueryServer(sidx).fuzzy_docs(t, d))
 
 
+Q_SUGGEST = ("tble", 2, 5)  # (typo, max_dist, k)
+Q_SNIPPET_W = 8
+BM25F_FIELDS = {"text": 1.0, "source": 3.0}
+Q_BM25F = ["spark", "src1"]
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, term, dist, cf) — "did you mean" spell correction through
+    all four surfaces (in-memory scan; dictionary-backed persisted
+    index; segment layout; warm QueryServer), each hash-equal to the
+    DuckDB levenshtein oracle."""
+    t, d, k = Q_SUGGEST
+    idx_mem, idx_disk, sidx = _dict_query_surfaces(spark, sf_dir)
+    parts = [
+        q.suggest_terms(idx_mem, t, max_dist=d, k=k).select(
+            F.lit("df").alias("path"), "term",
+            F.col("dist").cast("int").alias("dist"),
+            F.col("cf").cast("long").alias("cf")),
+        q.suggest_terms(idx_disk, t, max_dist=d, k=k).select(
+            F.lit("df_dict").alias("path"), "term",
+            F.col("dist").cast("int").alias("dist"),
+            F.col("cf").cast("long").alias("cf")),
+    ]
+    for tag, sugs in (("segments", seg.suggest_terms(sidx, t, max_dist=d,
+                                                     k=k)),
+                      ("server", seg.QueryServer(sidx).suggest(
+                          t, max_dist=d, k=k))):
+        parts.append(spark.createDataFrame(
+            [(tag, w, int(dd), int(c)) for w, dd, c in sugs],
+            "path string, term string, dist int, cf long"))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, doc_id, score, hits, snippet) — best-window snippets for
+    the flagship BM25 query through the DataFrame path and the warm
+    QueryServer ranking (shared stored-fields fetch), both hash-equal
+    to a DuckDB list-lambda oracle."""
+    from inverted_index_and_search_spark.operators.snippets import (
+        bm25_snippets,
+        snippets_for_ranked,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out_cols = lambda df, tag: df.select(  # noqa: E731
+        F.lit(tag).alias("path"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("hits").cast("int").alias("hits"), "snippet")
+    df_part = out_cols(
+        bm25_snippets(_index(spark, sf_dir), docs, Q_BM25, k=10,
+                      width=Q_SNIPPET_W, content_col="text",
+                      id_col="doc_id"), "df")
+    _, _, sidx = _dict_query_surfaces(spark, sf_dir)
+    ranked = seg.QueryServer(sidx).bm25_topk(Q_BM25, k=10)
+    srv_part = out_cols(
+        snippets_for_ranked(docs, ranked, Q_BM25, width=Q_SNIPPET_W,
+                            content_col="text", id_col="doc_id"),
+        "server")
+    return df_part.unionByName(srv_part)
+
+
+def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) — BM25F fielded ranking (text x1 + source x3
+    weighted tf, shared length norm) through the standard bucketed
+    layout + unmodified BM25 scorer."""
+    from inverted_index_and_search_spark.operators.fielded import (
+        build_fielded_index,
+    )
+
+    idx = build_fielded_index(_docs(spark, sf_dir), BM25F_FIELDS,
+                              id_col="doc_id")
+    res = q.bm25_topk(idx, Q_BM25F, k=10)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round(F.col("score"), 6).alias("score"))
+
+
 def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search: BM25 top-10 restricted to docs with
     lang = Q_FILTER_LANG (metadata doc_filter semi-join; corpus-wide
@@ -746,12 +838,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dropped the flagship rows past the cap — VERDICT r03 next #1)."""
     return {
         # ---- flagship BM25 family (the product's headline claim)
-        "bm25_top10": lambda s, d: _bm25_rounded(s, d, Q_BM25),
+        "bm25_top10": _q_bm25_multi_rare,
         "bm25_wand_top10": _q_bm25_wand,
-        "bm25_top10_rare": lambda s, d: _bm25_rounded(s, d, Q_BM25_RARE),
         "bm25_segment_variants": _q_bm25_segment_variants,
         "bm25_interchange_roundtrip": _q_bm25_interchange,
         "bm25_filtered_top10": _q_bm25_filtered,
+        "bm25f_top10": _q_bm25f,
+        "bm25_snippets": _q_snippets,
         # ---- index-build surface
         "term_tf": _q_term_tf,
         "term_tf_rawfiles": _q_term_tf_rawfiles,
@@ -764,7 +857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_fmt": _q_postings_fmt,
         # ---- boolean / phrase / proximity / expression queries
         "boolean_and": _q_boolean_and,
-        "boolean_and_missing": _q_boolean_and_missing,
         "boolean_or_not": _q_boolean_or_not,
         "phrase_match": _q_phrase_match_paths,
         "phrase_bm25_top10": _q_phrase_bm25,
@@ -772,13 +864,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": _q_batch_bm25,
         "batch_phrase_topk": _q_batch_phrase,
         "query_expr": _q_query_expr_paths,
-        "query_expr_near": _q_query_expr_near,
         "query_expr_ranked": _q_query_expr_ranked,
         "mlt_top10": _q_mlt,
         "facet_counts": _q_facets,
         "top_terms": _q_top_terms,
         "prefix_docs": _q_prefix,
         "fuzzy_docs": _q_fuzzy,
+        "spell_suggest": _q_suggest,
         # ---- input budgeting (reference --limit-mb semantics)
         "input_budget": lambda s, d: ib.budget_input(
             _docs(s, d).select("doc_id", "text"), 0.1, content_col="text"
@@ -840,6 +932,92 @@ def _tagged_sql(tags: list[str], inner: str) -> str:
     union verifies every path against the identical expected rows."""
     return "\nUNION ALL\n".join(
         f"SELECT '{t}' AS path, q.* FROM ({inner}) q" for t in tags)
+
+
+def _part_sql(parts: list[tuple[str, str]]) -> str:
+    """Part-tagged union of DIFFERENT inner oracles — the shape of a
+    row folding several distinct queries (round-4 cap consolidation);
+    each part's rows verify against its own inner SQL."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS part, q.* FROM ({inner}) q" for t, inner in parts)
+
+
+def _suggest_sql(term: str, max_dist: int, k: int) -> str:
+    """"Did you mean" oracle: every corpus term within levenshtein
+    ``max_dist``, ranked dist asc / collection-frequency desc / term
+    asc, top-``k`` — DuckDB's levenshtein is the same unit-cost edit
+    distance as Spark's."""
+    return f"""
+WITH {_TOK_CTE},
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
+SELECT term, levenshtein(term, '{term}')::INT AS dist, cf
+FROM cf WHERE levenshtein(term, '{term}') <= {max_dist}
+ORDER BY dist ASC, cf DESC, term ASC LIMIT {k}
+"""
+
+
+def _snippet_sql(terms: list[str], width: int, k: int = 10) -> str:
+    """Best-window snippet oracle over the flagship BM25 top-k: hit
+    positions via list_filter, best start = lexicographic min of
+    [-hits_in_window, start] pairs (ties -> earliest, exactly the
+    engine's strict-> fold), snippet = the joined token slice."""
+    lits = ", ".join(f"'{t}'" for t in sorted({x.lower() for x in terms}))
+    return f"""
+WITH ranked AS ({_bm25_sql(terms)}),
+t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+d AS (SELECT r.doc_id, r.score, t.tk FROM ranked r JOIN t USING (doc_id)),
+p AS (SELECT doc_id, score, tk,
+             list_filter(range(0, len(tk)),
+                         x -> list_contains([{lits}], tk[x + 1])) AS ps
+      FROM d),
+b AS (SELECT doc_id, score, tk,
+             list_sort(list_transform(ps,
+                 x -> [-len(list_filter(ps, y -> y >= x AND y < x + {width})),
+                       x]))[1] AS best
+      FROM p)
+SELECT doc_id::BIGINT AS doc_id, score,
+       (-best[1])::INT AS hits,
+       array_to_string(tk[best[2] + 1 : best[2] + {width}], ' ') AS snippet
+FROM b
+"""
+
+
+def _bm25f_sql(fields: dict[str, float], terms: list[str],
+               k: int = 10) -> str:
+    """BM25F oracle: weighted per-field tf union -> one virtual-corpus
+    BM25 (shared length norm; avgdl over ALL docs incl. token-less)."""
+    from inverted_index_and_search_spark.tokenizer import tokens_sql_duckdb
+
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, unnest({tokens_sql_duckdb(col)}) AS term, "
+        f"{float(w)} AS w FROM documents"
+        for col, w in sorted(fields.items()))
+    return f"""
+WITH ftok AS ({unions}),
+tf AS (SELECT term, doc_id, sum(w)::DOUBLE AS tf FROM ftok
+       GROUP BY term, doc_id),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qt AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ({_sql_in(sorted({t.lower() for t in terms}))})
+  GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n - qt.df + 0.5) / (qt.df + 0.5))
+              * (tf.tf * {K1 + 1.0})
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
 
 
 _TERM_STATS_SQL_BODY = """
@@ -1123,8 +1301,9 @@ SELECT term,
        string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, chr(9) ORDER BY doc_id) AS postings_line
 FROM tf GROUP BY term
 """,
-        "boolean_and": _boolean_sql(Q_AND),
-        "boolean_and_missing": _boolean_sql(Q_AND_MISSING),
+        "boolean_and": _part_sql([("and", _boolean_sql(Q_AND)),
+                                  ("and_missing",
+                                   _boolean_sql(Q_AND_MISSING))]),
         "boolean_or_not": _tagged_sql(["or"], f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
@@ -1193,10 +1372,7 @@ SELECT doc_id::BIGINT AS doc_id FROM (
   EXCEPT
   SELECT doc_id FROM s1
 ) ORDER BY doc_id
-"""),
-        # (merge NEAR/3 group) AND NOT stream — the proximity set from
-        # the independent list-lambda oracle minus the stream set
-        "query_expr_near": f"""
+""") + "\nUNION ALL\n" + _tagged_sql(["df_near", "server_near"], f"""
 WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
 nr AS (
   SELECT doc_id FROM t
@@ -1208,7 +1384,7 @@ st AS (SELECT doc_id FROM t WHERE list_contains(tk, 'stream'))
 SELECT doc_id::BIGINT AS doc_id FROM (
   SELECT doc_id FROM nr EXCEPT SELECT doc_id FROM st
 ) ORDER BY doc_id
-""",
+"""),
         # BM25 over the expression's positive terms (table, hash, merge)
         # restricted to the boolean match set of Q_EXPR
         "query_expr_ranked": f"""
@@ -1320,7 +1496,9 @@ SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
 WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
 """),
         "bm25_filtered_top10": _bm25_filtered_sql(Q_BM25, Q_FILTER_LANG),
-        "bm25_top10": _bm25_sql(Q_BM25),
+        # flagship multi-term + rare-term in one part-tagged row
+        "bm25_top10": _part_sql([("multi", _bm25_sql(Q_BM25)),
+                                 ("rare", _bm25_sql(Q_BM25_RARE))]),
         # every interchange / segment-construction path must reproduce
         # the flagship ranking exactly
         "bm25_interchange_roundtrip": _tagged_sql(
@@ -1330,8 +1508,13 @@ WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
             ["compacted", "merged", "sharded"], _bm25_sql(Q_BM25)),
         "term_tf_rawfiles":
             f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
-        "bm25_top10_rare": _bm25_sql(Q_BM25_RARE),
         "bm25_wand_top10": _bm25_sql(Q_BM25),
+        "spell_suggest": _tagged_sql(
+            ["df", "df_dict", "segments", "server"],
+            _suggest_sql(*Q_SUGGEST)),
+        "bm25_snippets": _tagged_sql(["df", "server"],
+                                     _snippet_sql(Q_BM25, Q_SNIPPET_W)),
+        "bm25f_top10": _bm25f_sql(BM25F_FIELDS, Q_BM25F),
     }
     # the streaming-ingest stats share the exact (untagged) stats oracle
     out["term_stats_streamed"] = f"WITH {_TOK_CTE} {_TERM_STATS_SQL_BODY}"

@@ -310,6 +310,30 @@ def main() -> None:
         extra["phrase_server_p95_ms"] = round(
             sorted(lat_ph)[int(0.95 * (len(lat_ph) - 1))] * 1e3, 3)
 
+        # --- round-4 surfaces: suggestion / autocomplete / snippets
+        # (extras only — the graded headline stays comparable r/r)
+        TYPOS = ["tble", "qery", "joni", "strem"]
+        for t in TYPOS:
+            server.suggest(t, max_dist=2, k=5)  # cold dictionary scan
+        lat_sug = []
+        for _ in range(5):
+            for t in TYPOS:
+                t0 = time.perf_counter()
+                server.suggest(t, max_dist=2, k=5)
+                lat_sug.append(time.perf_counter() - t0)
+        extra["suggest_server_p50_ms"] = round(
+            statistics.median(lat_sug) * 1e3, 3)
+        t0 = time.perf_counter()
+        seg.complete_terms(sdocs, "ta", k=10)
+        extra["complete_cold_sec"] = round(time.perf_counter() - t0, 3)
+        from inverted_index_and_search_spark.operators.snippets import (
+            bm25_snippets,
+        )
+        t0 = time.perf_counter()
+        bm25_snippets(pidx, docs, ["spark", "join", "fast"], k=10,
+                      width=10, content_col="text", id_col="doc_id").count()
+        extra["snippets_e2e_sec"] = round(time.perf_counter() - t0, 3)
+
         total = sum(queries.values())
         print(json.dumps({
             "metric": "index-build + BM25 query wall time",

@@ -83,6 +83,51 @@ def _build(args: argparse.Namespace) -> None:
     import time
 
     t0 = time.perf_counter()
+    if args.field:
+        from inverted_index_and_search_spark.operators.fielded import (
+            build_fielded_index,
+        )
+
+        if args.format != "parquet" or args.positional:
+            print("error: --field builds are parquet-layout only "
+                  "(weighted tf is fractional — the text/json/segment "
+                  "wire formats carry integer tf)", file=sys.stderr)
+            if created:
+                spark.stop()
+            raise SystemExit(2)
+        fields: dict[str, float] = {}
+        for spec in args.field:
+            col, sep, w = spec.rpartition(":")
+            try:
+                if not sep:
+                    raise ValueError
+                fields[col] = float(w)
+            except ValueError:
+                print(f"error: bad --field {spec!r} (want COL:WEIGHT)",
+                      file=sys.stderr)
+                if created:
+                    spark.stop()
+                raise SystemExit(2) from None
+            if col not in docs.columns:
+                print(f"error: --field column {col!r} not in input "
+                      f"columns {docs.columns}", file=sys.stderr)
+                if created:
+                    spark.stop()
+                raise SystemExit(2)
+        idx = build_fielded_index(docs, fields, id_col=args.id_col,
+                                  n_buckets=args.num_output_partitions,
+                                  salt_hot_terms=True)
+        ib.write_index(idx, args.output)
+        from inverted_index_and_search_spark.metrics import write_run_metrics
+        write_run_metrics(spark, args.output,
+                          wall_seconds=time.perf_counter() - t0,
+                          extra={"input": args.input, "format": "parquet",
+                                 "fields": fields})
+        print(f"index written to {args.output} (parquet, BM25F fields "
+              f"{fields})")
+        if created:
+            spark.stop()
+        return
     if args.format == "segments":
         # north-star layout: delta+varint compressed postings with
         # block-max metadata (positional iff --positional), queryable
@@ -186,11 +231,44 @@ def _resolve_keys(index: ib.Index,
 def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
                phrase: bool = False, expr: bool = False,
                prefix: bool = False, fuzzy: int | None = None,
-               meta=None) -> bool:
+               meta=None, suggest: int | None = None,
+               snip: tuple | None = None,
+               complete: bool = False) -> bool:
     """Evaluate one query line and print results; returns False only on
     a malformed --expr query (one-shot callers exit nonzero on that)."""
     terms = line.split()
     if not terms:
+        return True
+    if complete:
+        # popularity-ranked autocomplete of the first token as a prefix
+        rows = q.complete_terms(index, terms[0], k=topk).collect()
+        if not rows:
+            print("No completions.")
+        for r in rows:
+            print(f"{r['term']}\t{r['cf']}")
+        return True
+    if suggest is not None:
+        # "did you mean": ranked dictionary terms near the first token
+        rows = q.suggest_terms(index, terms[0], max_dist=suggest,
+                               k=topk).collect()
+        if not rows:
+            print("No suggestions.")
+        for r in rows:
+            print(f"{r['term']}\t{r['dist']}\t{r['cf']}")
+        return True
+    if snip is not None:
+        from inverted_index_and_search_spark.operators.snippets import (
+            bm25_snippets,
+        )
+
+        docs, width, ccol, icol = snip
+        rows = bm25_snippets(index, docs, terms, k=topk, width=width,
+                             mark=("[", "]"), content_col=ccol,
+                             id_col=icol).collect()
+        if not rows:
+            print("No matches found.")
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['score']:.6f}\t{r['snippet']}")
         return True
     if prefix or fuzzy is not None:
         if prefix:
@@ -276,13 +354,48 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
 
 def _run_query_server(server, line: str, bm25: bool, topk: int,
                       phrase: bool, expr: bool = False,
-                      prefix: bool = False, fuzzy: int | None = None) -> bool:
+                      prefix: bool = False, fuzzy: int | None = None,
+                      suggest: int | None = None,
+                      snip: tuple | None = None,
+                      complete: bool = False) -> bool:
     """One query against a warm QueryServer (compressed segments):
     repeat terms answer from the per-term cache in microseconds —
     the scale-valid interactive path (no full-index residency).
     Returns False only on a malformed --expr query."""
     terms = line.split()
     if not terms:
+        return True
+    if complete:
+        from inverted_index_and_search_spark.operators import segments as seg
+
+        comps = seg.complete_terms(server.idx, terms[0], k=topk)
+        if not comps:
+            print("No completions.")
+        for t, c in comps:
+            print(f"{t}\t{c}")
+        return True
+    if suggest is not None:
+        # warm "did you mean": memoized dictionary match per typo
+        sugs = server.suggest(terms[0], max_dist=suggest, k=topk)
+        if not sugs:
+            print("No suggestions.")
+        for t, d, c in sugs:
+            print(f"{t}\t{d}\t{c}")
+        return True
+    if snip is not None:
+        from inverted_index_and_search_spark.operators.snippets import (
+            snippets_for_ranked,
+        )
+
+        docs, width, ccol, icol = snip
+        ranked = server.bm25_topk(terms, k=topk)
+        rows = snippets_for_ranked(docs, ranked, terms, width=width,
+                                   mark=("[", "]"), content_col=ccol,
+                                   id_col=icol).collect()
+        if not rows:
+            print("No matches found.")
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['score']:.6f}\t{r['snippet']}")
         return True
     if prefix or fuzzy is not None:
         # segment dictionary scan (memoized per server) + per-term cache
@@ -399,10 +512,13 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
         if created:
             spark.stop()
         raise SystemExit(2)
+    snip = _snip_ctx(spark, created, args)
     if args.query is not None:
         ok = _run_query_server(server, args.query, args.bm25, args.topk,
                                args.phrase, expr=args.expr,
-                               prefix=args.prefix, fuzzy=args.fuzzy)
+                               prefix=args.prefix, fuzzy=args.fuzzy,
+                               suggest=args.suggest, snip=snip,
+                               complete=args.complete)
         if not ok:
             if created:
                 spark.stop()
@@ -413,7 +529,9 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
                 line = input("> ")
                 _run_query_server(server, line, args.bm25, args.topk,
                                   args.phrase, expr=args.expr,
-                                  prefix=args.prefix, fuzzy=args.fuzzy)
+                                  prefix=args.prefix, fuzzy=args.fuzzy,
+                                  suggest=args.suggest, snip=snip,
+                                  complete=args.complete)
         except EOFError:
             pass
     if created:
@@ -425,6 +543,56 @@ def _load_meta(spark, args: argparse.Namespace):
     if getattr(args, "meta_parquet", None) is None:
         return None
     return spark.read.parquet(args.meta_parquet)
+
+
+def _snip_ctx(spark, created: bool,
+              args: argparse.Namespace) -> tuple | None:
+    """(docs, width, content_col, id_col) for --snippets, or None.
+    Snippets need the stored-fields side (the index holds no text), so
+    --docs-parquet is required with --snippets."""
+    if getattr(args, "snippets", None) is None:
+        return None
+    if args.docs_parquet is None:
+        print("error: --snippets needs --docs-parquet (the documents "
+              "table holding the original text)", file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
+    docs = spark.read.parquet(args.docs_parquet)
+    return (docs, args.snippets, args.docs_content_col, args.docs_id_col)
+
+
+def _print_stats(stats: dict) -> None:
+    for key in ("n_docs", "avgdl", "n_terms", "n_postings", "n_tokens"):
+        v = stats[key]
+        print(f"{key}\t{v:.6f}" if isinstance(v, float) else f"{key}\t{v}")
+    for term, cf in stats["top_terms"]:
+        print(f"top\t{term}\t{cf}")
+
+
+def _stats(args: argparse.Namespace) -> None:
+    """`stats` subcommand: corpus/index summary for any layout —
+    n_docs, avgdl, term/posting/token counts and the top terms by
+    collection frequency. Narrow scans only (no postings payloads)."""
+    spark, created = _session("iis-stats")
+    if args.index_format == "segments":
+        from inverted_index_and_search_spark.operators import segments as seg
+
+        stats = seg.segment_stats(seg.read_segment_index(spark, args.index),
+                                  top=args.top)
+    else:
+        if args.index_format == "text":
+            index = ib.read_index_text(spark, args.index)
+        elif args.index_format == "json":
+            index = ib.read_index_json(spark, args.index)
+        elif args.index_format == "ref-parquet":
+            index = ib.read_index_parquet_ref(spark, args.index)
+        else:
+            index = ib.read_index(spark, args.index)
+        stats = q.index_stats(index, top=args.top)
+    _print_stats(stats)
+    if created:
+        spark.stop()
 
 
 def _search(args: argparse.Namespace) -> None:
@@ -466,10 +634,13 @@ def _search(args: argparse.Namespace) -> None:
                 spark.stop()
             raise SystemExit(2)
     meta = _load_meta(spark, args)
+    snip = _snip_ctx(spark, created, args)
     if args.query is not None:
         ok = _run_query(index, args.query, args.bm25, args.topk,
                         phrase=args.phrase, expr=args.expr,
-                        prefix=args.prefix, fuzzy=args.fuzzy, meta=meta)
+                        prefix=args.prefix, fuzzy=args.fuzzy, meta=meta,
+                        suggest=args.suggest, snip=snip,
+                        complete=args.complete)
         if not ok:
             # scripts must see malformed one-shot expressions fail
             if created:
@@ -484,7 +655,8 @@ def _search(args: argparse.Namespace) -> None:
                 _run_query(index, line, args.bm25, args.topk,
                            phrase=args.phrase, expr=args.expr,
                            prefix=args.prefix, fuzzy=args.fuzzy,
-                           meta=meta)
+                           meta=meta, suggest=args.suggest, snip=snip,
+                           complete=args.complete)
         except EOFError:
             pass
     if created:
@@ -530,6 +702,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="store per-(term,doc) token positions — enables "
                         "`search --phrase`; all other queries work "
                         "unchanged on the positional layout")
+    b.add_argument("--field", action="append", default=None,
+                   metavar="COL:WEIGHT",
+                   help="BM25F fielded build (repeatable): index the "
+                        "weighted union of several document columns, "
+                        "e.g. --field path:3 --field content:1 — "
+                        "queries on the result score BM25F; parquet "
+                        "layout only (weighted tf is fractional)")
     b.set_defaults(fn=_build)
 
     s = sub.add_parser("search", help="query a built index")
@@ -579,8 +758,38 @@ def main(argv: list[str] | None = None) -> None:
                    help="treat the query's first token as a FUZZY term: "
                         "print docs containing any dictionary term "
                         "within Levenshtein distance D")
+    s.add_argument("--complete", action="store_true",
+                   help="autocomplete: print up to --topk dictionary "
+                        "terms extending the query's first token as a "
+                        "prefix, ranked by collection frequency "
+                        "(term\\tcf lines)")
+    s.add_argument("--suggest", type=int, default=None, metavar="D",
+                   help='"did you mean" spell correction: print up to '
+                        "--topk dictionary terms within Levenshtein "
+                        "distance D of the query's first token, ranked "
+                        "dist asc then collection frequency desc "
+                        "(term\\tdist\\tcf lines)")
+    s.add_argument("--snippets", type=int, default=None, metavar="W",
+                   help="BM25-ranked results with a best-window snippet "
+                        "of W tokens (matched terms bracketed); "
+                        "requires --docs-parquet for the stored text")
+    s.add_argument("--docs-parquet", default=None, metavar="PATH",
+                   help="documents table with the original text "
+                        "(--snippets fetches only the ranked ids from "
+                        "it — pushed IN filter, no full scan)")
+    s.add_argument("--docs-content-col", default="content")
+    s.add_argument("--docs-id-col", default="doc_id")
     s.add_argument("--topk", type=int, default=10)
     s.set_defaults(fn=_search)
+
+    st = sub.add_parser("stats", help="print index summary statistics")
+    st.add_argument("--index", required=True)
+    st.add_argument("--index-format",
+                    choices=["parquet", "text", "json", "segments",
+                             "ref-parquet"], default="parquet")
+    st.add_argument("--top", type=int, default=10,
+                    help="how many top-cf terms to print")
+    st.set_defaults(fn=_stats)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -206,6 +206,116 @@ def fuzzy_docs(index: Index, term: str, max_dist: int = 1) -> DataFrame:
         .orderBy("doc_id")
 
 
+def suggest_terms(index: Index, term: str, *, max_dist: int = 2,
+                  k: int = 5) -> DataFrame:
+    """(term, dist, cf) — "did you mean" spell correction: the ``k``
+    dictionary terms closest to ``term`` by Levenshtein distance,
+    ranked dist asc, then collection frequency desc (the standard
+    noisy-channel ordering — among equally-close candidates the one
+    users type most often wins), then term asc for determinism.
+
+    The reference has no suggestion surface (its missing-term path just
+    returns an empty doc set, search-query.py:61-62); this is the
+    Lucene ``DirectSpellChecker`` shape re-expressed declaratively.
+    A distance-0 row means the term exists — callers typically suggest
+    only when it is absent or rare (see cli.py ``--suggest``).
+
+    Scale shape: candidate generation is a DICTIONARY scan, never a
+    postings scan — the sorted side table prunes via the pushed length
+    band (edit distance can never beat the length difference), the
+    fallback reads only the narrow term/cf columns of the postings
+    layout. Ranking is TakeOrderedAndProject (k tiny); sharded layouts
+    re-merge per-term cf first. No join touches posting payloads."""
+    t = term.lower()
+    spark = index.postings.sparkSession
+    empty = "term string, dist int, cf long"
+    if not t:
+        return spark.createDataFrame([], empty)
+    cond = _fuzzy_cond(t, max_dist)
+    terms = _atom_matched_terms(index, cond)
+    if terms is not None:
+        if not terms:
+            return spark.createDataFrame([], empty)
+        cand = _query_postings(index, terms).select("term", "cf")
+    else:
+        cand = index.postings.filter(cond).select("term", "cf")
+    if index.sharded:
+        # shard rows replicate TERM-LEVEL cf (totals joined back at
+        # build time, positional.py) — collapse, don't sum
+        cand = cand.groupBy("term").agg(F.max("cf").alias("cf"))
+    return (
+        cand.select(
+            "term",
+            F.levenshtein(F.col("term"), F.lit(t)).cast("int").alias("dist"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("cf").desc(),
+                 F.col("term").asc())
+        .limit(k)
+    )
+
+
+def complete_terms(index: Index, prefix: str, *, k: int = 10) -> DataFrame:
+    """(term, cf) — query autocomplete: the ``k`` most frequent
+    dictionary terms extending ``prefix`` (Lucene suggester shape,
+    popularity-ranked), cf desc then term asc.
+
+    Same dictionary-first candidate generation as :func:`prefix_docs`
+    (pushed StartsWith, sorted-side-table file pruning on persisted
+    layouts; postings payloads never read) + TakeOrderedAndProject."""
+    p = prefix.lower()
+    spark = index.postings.sparkSession
+    if not p:
+        return spark.createDataFrame([], "term string, cf long")
+    cond = F.col("term").startswith(p)
+    terms = _atom_matched_terms(index, cond)
+    if terms is not None:
+        if not terms:
+            return spark.createDataFrame([], "term string, cf long")
+        cand = _query_postings(index, terms).select("term", "cf")
+    else:
+        cand = index.postings.filter(cond).select("term", "cf")
+    if index.sharded:
+        # shard rows replicate term-level cf — collapse, don't sum
+        cand = cand.groupBy("term").agg(F.max("cf").alias("cf"))
+    return (cand.select("term", F.col("cf").cast("long").alias("cf"))
+            .orderBy(F.col("cf").desc(), F.col("term").asc())
+            .limit(k))
+
+
+def index_stats(index: Index, *, top: int = 10) -> dict:
+    """Summary statistics of an index — the `stats` CLI surface:
+    ``{n_docs, avgdl, n_terms, n_postings, n_tokens, top_terms}`` where
+    n_postings = sum(df) (posting-list entries), n_tokens = sum(cf)
+    (token occurrences) and top_terms = [(term, cf)] cf desc.
+
+    One narrow aggregation job over (term, df, cf) — postings payloads
+    stay unread — plus the memoized doc-stats aggregate; the top-k is
+    TakeOrderedAndProject. Sharded layouts (a term split across rows)
+    re-merge term stats first."""
+    n_docs, avgdl = index.collection_stats()
+    stats = index.postings.select("term", "df", "cf")
+    if index.sharded:
+        # shard rows replicate term-level df/cf — collapse, don't sum
+        stats = stats.groupBy("term").agg(F.max("df").alias("df"),
+                                          F.max("cf").alias("cf"))
+    agg = stats.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum("cf").alias("n_tokens"),
+    ).collect()[0]
+    top_rows = (stats.orderBy(F.col("cf").desc(), F.col("term").asc())
+                .limit(top).collect())
+    return {
+        "n_docs": int(n_docs),
+        "avgdl": float(avgdl),
+        "n_terms": int(agg["n_terms"] or 0),
+        "n_postings": int(agg["n_postings"] or 0),
+        "n_tokens": int(agg["n_tokens"] or 0),
+        "top_terms": [(r["term"], int(r["cf"])) for r in top_rows],
+    }
+
+
 def top_terms_per_doc(index: Index, k: int = 3) -> DataFrame:
     """(doc_id, term, tfidf, rank) — each doc's top-k terms by TF-IDF
     (tf * ln((N+1)/(df+1)), smoothed non-negative), rank 1..k ordered

@@ -861,6 +861,23 @@ class QueryServer:
             return _dict_match_docs(self.idx, cond)
         return self._union_docs(terms)
 
+    def suggest(self, term: str, max_dist: int = 2,
+                k: int = 5) -> list[tuple[str, int, int]]:
+        """Warm "did you mean": the dictionary match memoizes like
+        prefix/fuzzy (repeat typos are a dict hit); cf fetch touches
+        term/cf columns of only the matched terms' rows. Same ranked
+        [(term, dist, cf)] contract as module-level suggest_terms."""
+        t = term.lower()
+        if not t:
+            return []
+        key = ("suggest", t, max_dist)
+        if key not in self._dict_cache:
+            # memoize the top-16 — deeper suggestion lists than that
+            # are not a spell-checker shape
+            self._dict_cache[key] = suggest_terms(
+                self.idx, t, max_dist=max_dist, k=16)
+        return self._dict_cache[key][:k]
+
     def _union_array(self, terms: list[str], *,
                      ensure: bool = True) -> np.ndarray:
         """Sorted unique doc_ids of ANY of ``terms`` via the per-term
@@ -1329,6 +1346,95 @@ def fuzzy_docs(idx: SegmentIndex, term: str, max_dist: int = 1) -> list[int]:
             & (F.length("term") <= len(t) + max_dist))
     return _dict_match_docs(
         idx, band & (F.levenshtein(F.col("term"), F.lit(t)) <= max_dist))
+
+
+def segment_stats(idx: SegmentIndex, *, top: int = 10) -> dict:
+    """Summary statistics of a segment index (the `stats` CLI surface;
+    same dict contract as query.index_stats). One narrow (term, df, cf)
+    aggregation — encoded payload columns stay unread; shard rows
+    (which replicate term-level df/cf) collapse via max."""
+    stats = (idx.segments.select("term", "df", "cf")
+             .groupBy("term").agg(F.max("df").alias("df"),
+                                  F.max("cf").alias("cf")))
+    agg = stats.agg(F.count("*").alias("n_terms"),
+                    F.sum("df").alias("n_postings"),
+                    F.sum("cf").alias("n_tokens")).collect()[0]
+    top_rows = (stats.orderBy(F.col("cf").desc(), F.col("term").asc())
+                .limit(top).collect())
+    return {
+        "n_docs": int(idx.n_docs),
+        "avgdl": float(idx.avgdl),
+        "n_terms": int(agg["n_terms"] or 0),
+        "n_postings": int(agg["n_postings"] or 0),
+        "n_tokens": int(agg["n_tokens"] or 0),
+        "top_terms": [(r["term"], int(r["cf"])) for r in top_rows],
+    }
+
+
+def suggest_terms(idx: SegmentIndex, term: str, *, max_dist: int = 2,
+                  k: int = 5) -> list[tuple[str, int, int]]:
+    """[(term, dist, cf)] — "did you mean" spell correction over the
+    compressed segment layout, ranked dist asc / cf desc / term asc
+    (same contract as query.suggest_terms; one oracle covers both).
+
+    Candidate generation scans the TERM/CF columns only (dictionary
+    side table when present, else the pushed length-band segment scan);
+    shard rows carry term-level cf by construction, so duplicates
+    collapse driver-side without an agg job."""
+    t = term.lower()
+    if not t:
+        return []
+    band = ((F.length("term") >= len(t) - max_dist)
+            & (F.length("term") <= len(t) + max_dist))
+    cond = band & (F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
+    matched = _dict_matched_terms(idx, cond)
+    if matched is not None and not matched:
+        return []
+    src = idx.segments.filter(
+        F.col("term").isin(matched) if matched is not None else cond)
+    rows = src.select("term", "cf").collect()
+    best: dict[str, int] = {}
+    for r in rows:  # shard rows replicate term-level cf — collapse
+        best[r["term"]] = int(r["cf"])
+    cand = [(w, _levenshtein(w, t), c) for w, c in best.items()]
+    cand.sort(key=lambda x: (x[1], -x[2], x[0]))
+    return cand[:k]
+
+
+def complete_terms(idx: SegmentIndex, prefix: str, *,
+                   k: int = 10) -> list[tuple[str, int]]:
+    """[(term, cf)] — popularity-ranked autocomplete over the segment
+    layout (cf desc, term asc; same contract as query.complete_terms).
+    Dictionary-first candidate match, term/cf columns only."""
+    p = prefix.lower()
+    if not p:
+        return []
+    cond = F.col("term").startswith(p)
+    matched = _dict_matched_terms(idx, cond)
+    if matched is not None and not matched:
+        return []
+    src = idx.segments.filter(
+        F.col("term").isin(matched) if matched is not None else cond)
+    # rank Spark-side (TakeOrderedAndProject) — an over-wide prefix
+    # must never collect the whole matching vocabulary to the driver
+    rows = (src.select("term", "cf")
+            .groupBy("term").agg(F.max("cf").alias("cf"))  # shard collapse
+            .orderBy(F.col("cf").desc(), F.col("term").asc())
+            .limit(k).collect())
+    return [(r["term"], int(r["cf"])) for r in rows]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Driver-side edit distance for the final (tiny) candidate rank —
+    semantics-identical to Spark's levenshtein()."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 def boolean_and_docs(idx: SegmentIndex, terms: list[str]) -> list[int]:

@@ -1,0 +1,148 @@
+"""Result snippets: best-window passage extraction + term highlighting.
+
+The reference's search surface prints matching document NAMES only
+(``search-query.py:95-118``) — users then open the file to see why it
+matched. Every production engine instead returns a contextual snippet
+(Lucene's Highlighter/UnifiedHighlighter; "keyword-in-context", IIR
+§8.7), so the snippet surface is first-class here:
+
+    bm25_snippets(index, docs, terms) ->
+        (doc_id, score, hits, snippet)
+
+Semantics (deterministic, oracle-checked): rank docs with the standard
+disjunctive BM25 top-k, then for each result choose the ``width``-token
+window that contains the MOST query-term occurrences — candidate
+window starts are exactly the hit positions, ties break to the
+earliest window — and render it as the space-joined token slice,
+optionally wrapping matched tokens in marker strings.
+
+Scale shape (the part that matters at 100 TB):
+- ranking touches only the query terms' bucket-pruned postings — the
+  same scan every BM25 query does;
+- the text fetch is a POINT LOOKUP, not a scan: the top-k doc ids
+  (k ≤ ~100 by contract) are collected driver-side and pushed as a
+  ``doc_id IN (...)`` literal into the documents scan, so parquet
+  row-group min/max stats skip everything else (plan-gated in
+  tests/test_plans.py). This is the "doc store by primary key" access
+  path of a search engine, expressed as predicate pushdown.
+- window selection is pure Catalyst higher-order-function algebra over
+  the k fetched rows (filter/transform/aggregate on the token array) —
+  no UDF, no extra shuffle; the only exchange in the tail is the
+  broadcast of the k-row ranked side into the fetch join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inverted_index_and_search_spark.operators.index_build import Index
+from inverted_index_and_search_spark.operators.query import bm25_topk
+from inverted_index_and_search_spark.tokenizer import tokens_col
+
+__all__ = ["bm25_snippets", "snippets_for_ranked", "snippet_cols"]
+
+
+def _hit_positions(tk: Column, terms: list[str]) -> Column:
+    """0-based offsets of query-term occurrences in the token array
+    ``tk`` (empty array for an empty doc — guarded because
+    ``sequence(0, -1)`` would produce a DESCENDING range)."""
+    qset = F.array(*[F.lit(t) for t in terms])
+    return F.when(F.size(tk) > 0, F.filter(
+        F.sequence(F.lit(0), F.size(tk) - F.lit(1)),
+        lambda i: F.array_contains(qset, F.element_at(tk, i + F.lit(1))),
+    )).otherwise(F.array().cast("array<int>"))
+
+
+def snippet_cols(tk: Column, terms: list[str], *, width: int = 10,
+                 mark: tuple[str, str] | None = None) -> tuple[Column, Column]:
+    """(hits, snippet) columns for a token-array column: the best
+    ``width``-token window by query-term occurrence count (ties →
+    earliest), rendered space-joined. Pure higher-order-function
+    algebra — reusable against any tokenized text column."""
+    ps = _hit_positions(tk, terms)
+    # fold over candidate starts (the hit positions): keep the start
+    # whose [s, s+width) window covers the most hits; strict > keeps
+    # the EARLIEST among ties because candidates arrive sorted asc.
+    best = F.aggregate(
+        ps,
+        F.struct(F.lit(-1).alias("cnt"), F.lit(0).alias("start")),
+        lambda acc, p: F.when(
+            F.size(F.filter(ps, lambda q: (q >= p) & (q < p + F.lit(width))))
+            > acc["cnt"],
+            F.struct(
+                F.size(F.filter(
+                    ps, lambda q: (q >= p) & (q < p + F.lit(width)))
+                ).alias("cnt"),
+                p.alias("start"),
+            ),
+        ).otherwise(acc),
+    )
+    sliced = F.slice(tk, best["start"] + F.lit(1), width)
+    if mark is not None:
+        pre, post = mark
+        qset = F.array(*[F.lit(t) for t in terms])
+        sliced = F.transform(
+            sliced,
+            lambda t: F.when(F.array_contains(qset, t),
+                             F.concat(F.lit(pre), t, F.lit(post)))
+            .otherwise(t),
+        )
+    hits = F.greatest(best["cnt"], F.lit(0)).cast("int")
+    return hits, F.concat_ws(" ", sliced)
+
+
+def bm25_snippets(index: Index, docs: DataFrame, terms: list[str], *,
+                  k: int = 10, width: int = 10,
+                  mark: tuple[str, str] | None = None,
+                  content_col: str = "content",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, score, hits, snippet) — BM25 top-``k`` with a
+    best-window snippet per result, score desc then doc_id asc.
+
+    ``docs`` is the original documents relation (the "stored fields" /
+    doc-store side); only the k ranked ids are fetched from it, via a
+    driver-collected ``IN`` literal so the scan prunes row groups.
+    ``mark=("[", "]")`` wraps matched tokens for terminal display.
+    """
+    norm = sorted({t.lower() for t in terms if t})
+    spark = index.postings.sparkSession
+    if not norm:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, hits int, snippet string")
+    ranked = bm25_topk(index, norm, k=k)
+    top = [(int(r["doc_id"]), float(r["score"]))
+           for r in ranked.collect()]  # ≤ k rows by contract — bounded
+    return snippets_for_ranked(docs, top, norm, width=width, mark=mark,
+                               content_col=content_col, id_col=id_col)
+
+
+def snippets_for_ranked(docs: DataFrame, ranked: list[tuple[int, float]],
+                        terms: list[str], *, width: int = 10,
+                        mark: tuple[str, str] | None = None,
+                        content_col: str = "content",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Snippet fetch for an ALREADY-RANKED [(doc_id, score)] list —
+    shared by the DataFrame path and the warm QueryServer path (whose
+    ranking lives driver-side). The id list pushes into the documents
+    scan as an IN literal; scores re-attach via a broadcast join."""
+    spark = docs.sparkSession
+    norm = sorted({t.lower() for t in terms if t})
+    if not ranked or not norm:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, hits int, snippet string")
+    ids = [d for d, _ in ranked]
+    fetched = (
+        docs.filter(F.col(id_col).isin(ids))
+        .select(F.col(id_col).cast("long").alias("doc_id"),
+                tokens_col(F.col(content_col)).alias("tk"))
+    )
+    scores = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in ranked], "doc_id long, score double")
+    hits, snip = snippet_cols(F.col("tk"), norm, width=width, mark=mark)
+    return (
+        fetched.join(F.broadcast(scores), "doc_id")
+        .select("doc_id", "score", hits.alias("hits"),
+                snip.alias("snippet"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )

@@ -704,3 +704,148 @@ def test_cli_expr_field_atoms(spark, tmp_path, capsys):
                   "--query", "table AND lang:de"])
     assert ei.value.code == 2
     assert "metadata relation" in capsys.readouterr().err
+
+
+def test_cli_suggest_search(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clisg")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx_dir, "--suggest", "1",
+              "--query", "tble"])
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()]
+    assert lines and lines[0][0] == "table" and lines[0][1] == "1"
+
+    cli.main(["search", "--index", idx_dir, "--suggest", "1",
+              "--query", "zzzzzzzzz"])
+    assert "No suggestions." in capsys.readouterr().out
+
+
+def test_cli_snippets_search(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clisn")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx_dir, "--snippets", "6",
+              "--docs-parquet", docs, "--docs-content-col", "text",
+              "--topk", "3", "--query", "table query"])
+    out = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert len(out) == 3
+    for ln in out:
+        doc_id, score, snippet = ln.split("\t")
+        assert doc_id.isdigit() and float(score) > 0
+        assert "[table]" in snippet or "[query]" in snippet
+        assert len(snippet.split()) <= 6
+
+    # --snippets without --docs-parquet: clean error, exit 2
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as ei:
+        cli.main(["search", "--index", idx_dir, "--snippets", "6",
+                  "--query", "table"])
+    assert ei.value.code == 2
+    assert "--docs-parquet" in capsys.readouterr().err
+
+
+def test_cli_segments_suggest_and_snippets(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clisgseg")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir, "--format", "segments"])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx_dir, "--index-format", "segments",
+              "--suggest", "1", "--query", "tble"])
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()]
+    assert lines and lines[0][0] == "table" and lines[0][1] == "1"
+
+    cli.main(["search", "--index", idx_dir, "--index-format", "segments",
+              "--snippets", "6", "--docs-parquet", docs,
+              "--docs-content-col", "text", "--topk", "3",
+              "--query", "table query"])
+    out = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert len(out) == 3 and all("[" in ln for ln in out)
+
+
+def test_cli_fielded_build_and_search(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clibm25f")
+    cli.main(["build", "--input", docs, "--id-col", "doc_id",
+              "--output", idx_dir, "--field", "text:1",
+              "--field", "source:3"])
+    capsys.readouterr()
+
+    # source tokens are searchable and boosted
+    cli.main(["search", "--index", idx_dir, "--bm25", "--topk", "3",
+              "--query", "src1"])
+    bm = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert len(bm) == 3 and all(float(ln.split("\t")[1]) > 1.0 for ln in bm)
+
+    # bad field spec and non-parquet format are clean errors
+    import pytest as _pytest
+    for argv in (
+        ["build", "--input", docs, "--output", str(tmp_path / "x1"),
+         "--field", "textonly"],
+        ["build", "--input", docs, "--output", str(tmp_path / "x2"),
+         "--field", "text:1", "--format", "json"],
+        ["build", "--input", docs, "--output", str(tmp_path / "x3"),
+         "--field", "nosuchcol:1"],
+    ):
+        with _pytest.raises(SystemExit) as ei:
+            cli.main(argv)
+        assert ei.value.code == 2
+        capsys.readouterr()
+
+
+def test_cli_complete_and_stats(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clicomp")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx_dir, "--complete", "--topk", "5",
+              "--query", "ta"])
+    comp = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()]
+    assert comp and all(t.startswith("ta") for t, _ in comp)
+    cfs = [int(c) for _, c in comp]
+    assert cfs == sorted(cfs, reverse=True)
+
+    cli.main(["search", "--index", idx_dir, "--complete",
+              "--query", "zzzqq"])
+    assert "No completions." in capsys.readouterr().out
+
+    cli.main(["stats", "--index", idx_dir, "--top", "3"])
+    out = dict(ln.split("\t", 1) for ln in
+               capsys.readouterr().out.splitlines())
+    assert int(out["n_docs"]) == 500 and float(out["avgdl"]) > 0
+    assert int(out["n_terms"]) > 0
+    assert int(out["n_tokens"]) >= int(out["n_postings"]) > 0
+    assert "top" in out  # top lines present ("top\tterm\tcf")
+
+
+def test_cli_segments_complete_and_stats(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "clicompseg")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir, "--format", "segments"])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx_dir, "--index-format", "segments",
+              "--complete", "--topk", "5", "--query", "ta"])
+    comp = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()]
+    assert comp and all(t.startswith("ta") for t, _ in comp)
+
+    cli.main(["stats", "--index", idx_dir, "--index-format", "segments",
+              "--top", "3"])
+    out_seg = capsys.readouterr().out
+    # parquet layout over the same corpus must agree on every stat
+    idx2 = str(tmp_path / "clicomppq")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx2])
+    capsys.readouterr()
+    cli.main(["stats", "--index", idx2, "--top", "3"])
+    assert capsys.readouterr().out == out_seg

@@ -322,3 +322,49 @@ def test_more_like_this_compiles_to_takeordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # doc-stats side of the scorer joins broadcast
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_snippet_fetch_is_point_lookup(spark):
+    """--snippets' stored-fields fetch must push the ranked ids into
+    the documents scan (IN literal -> row-group pruning) and broadcast
+    the tiny score side — never a full-corpus scan-join."""
+    from inverted_index_and_search_spark.operators.snippets import (
+        snippets_for_ranked,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    res = snippets_for_ranked(docs, [(3, 1.5), (7, 1.2)], ["table"],
+                              width=6, content_col="text", id_col="doc_id")
+    plan = explain(res)
+    assert re.search(r"PushedFilters: \[.*In\(doc_id", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # window selection is pure expression work — no Python evaluation
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_suggest_compiles_to_takeordered_narrow_scan(spark, tmp_path):
+    """suggest_terms on a persisted index: candidate generation reads
+    the narrow dictionary columns (never postings payloads) and the
+    ranked top-k is TakeOrderedAndProject."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "sugidx")
+    ib.write_index(ib.build_index(docs, content_col="text",
+                                  id_col="doc_id"), out)
+    idx = ib.read_index(spark, out)
+    plan = explain(q.suggest_terms(idx, "tble", max_dist=1, k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the postings payload column never enters the suggestion plan:
+    # every scan reads narrow term/cf (+ pruning) columns only
+    scans = re.findall(r"ReadSchema: [^\n]+", plan)
+    assert scans and all("postings" not in s for s in scans), scans
+
+
+def test_fielded_build_single_tf_exchange(spark):
+    """BM25F: fields widen the map stage (union before the partial
+    agg) — the weighted-tf aggregation still shuffles exactly once."""
+    from inverted_index_and_search_spark.operators.fielded import fielded_tf
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain(fielded_tf(docs, {"text": 1.0, "source": 2.0}))
+    assert n_nodes(plan, "Exchange") == 1, plan
+    assert "partial_sum" in plan, plan  # map-side combine of weights
