@@ -28,6 +28,7 @@ from inverted_index_and_search_spark.operators import index_build as ib  # noqa:
 from inverted_index_and_search_spark.operators import multimodal as mm  # noqa: E402
 from inverted_index_and_search_spark.operators import positional as pos  # noqa: E402
 from inverted_index_and_search_spark.operators import query as q  # noqa: E402
+from inverted_index_and_search_spark.operators import ranking as rk  # noqa: E402
 from inverted_index_and_search_spark.operators import relational as rel  # noqa: E402
 from inverted_index_and_search_spark.operators import segments as seg  # noqa: E402
 from inverted_index_and_search_spark.operators import similarity as sim  # noqa: E402
@@ -655,31 +656,44 @@ def _dict_query_paths(spark: SparkSession, df_res: DataFrame,
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix query through all four surfaces (in-memory fallback scan
-    with pushed StartsWith; dictionary-backed persisted index with
-    bucket-pruned postings fetch; persisted segment dictionary; warm
-    QueryServer) — each path hash-equal to the same oracle."""
+def _q_prefix_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, path, doc_id) — prefix AND fuzzy dictionary queries, each
+    through all four surfaces (in-memory fallback scan with pushed
+    StartsWith / length-band levenshtein; dictionary-backed persisted
+    index with bucket-pruned postings fetch; persisted segment
+    dictionary; warm QueryServer). One folded row (cap discipline):
+    the surfaces are built ONCE and reused across both parts."""
+    t, d = Q_FUZZY
     idx_mem, idx_disk, sidx = _dict_query_surfaces(spark, sf_dir)
-    return _dict_query_paths(
+    prefix = _dict_query_paths(
         spark,
         q.prefix_docs(idx_mem, Q_PREFIX),
         q.prefix_docs(idx_disk, Q_PREFIX),
         seg.prefix_docs(sidx, Q_PREFIX),
         seg.QueryServer(sidx).prefix_docs(Q_PREFIX))
-
-
-def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy (Levenshtein <= d, length-band pre-pruned) query through
-    the same four surfaces as _q_prefix."""
-    t, d = Q_FUZZY
-    idx_mem, idx_disk, sidx = _dict_query_surfaces(spark, sf_dir)
-    return _dict_query_paths(
+    fuzzy = _dict_query_paths(
         spark,
         q.fuzzy_docs(idx_mem, t, d),
         q.fuzzy_docs(idx_disk, t, d),
         seg.fuzzy_docs(sidx, t, d),
         seg.QueryServer(sidx).fuzzy_docs(t, d))
+    return (prefix.select(F.lit("prefix").alias("part"), "*")
+            .unionByName(fuzzy.select(F.lit("fuzzy").alias("part"), "*")))
+
+
+def _q_ranking_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(model, doc_id, score) — the pluggable-Similarity surface: BM25,
+    Dirichlet query-likelihood, and Lucene-classic TF-IDF top-10 for
+    the flagship query as one tagged union, each model hash-equal to
+    its own closed-form oracle."""
+    return rk.ranking_models(_index(spark, sf_dir), Q_BM25, k=10)
+
+
+def _q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) — RM3-shape pseudo-relevance feedback over the
+    flagship query (feedback top-10, five expansion terms, beta=0.5);
+    the full three-stage pipeline replayed by the oracle in SQL."""
+    return rk.bm25_prf_topk(_index(spark, sf_dir), Q_BM25)
 
 
 Q_SUGGEST = ("tble", 2, 5)  # (typo, max_dist, k)
@@ -845,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_top10": _q_bm25_filtered,
         "bm25f_top10": _q_bm25f,
         "bm25_snippets": _q_snippets,
+        "ranking_models": _q_ranking_models,
+        "bm25_prf_top10": _q_bm25_prf,
         # ---- index-build surface
         "term_tf": _q_term_tf,
         "term_tf_rawfiles": _q_term_tf_rawfiles,
@@ -868,8 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_top10": _q_mlt,
         "facet_counts": _q_facets,
         "top_terms": _q_top_terms,
-        "prefix_docs": _q_prefix,
-        "fuzzy_docs": _q_fuzzy,
+        "prefix_fuzzy_docs": _q_prefix_fuzzy,
         "spell_suggest": _q_suggest,
         # ---- input budgeting (reference --limit-mb semantics)
         "input_budget": lambda s, d: ib.budget_input(
@@ -882,8 +897,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ts.fingerprint_exprs]),
         # ---- deduplication (over the deterministically augmented corpus)
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_aug_docs(s, d)),
-        "dedup_ngram_jaccard": lambda s, d: dd.ngram_jaccard_pairs(_aug_docs(s, d)),
-        "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_aug_docs(s, d)),
+        # exact n-gram Jaccard baseline + the LSH scale path folded
+        # into one part-tagged row (each part vs its own oracle)
+        "dedup_jaccard_pairs": lambda s, d: (
+            dd.ngram_jaccard_pairs(_aug_docs(s, d))
+            .select(F.lit("ngram").alias("part"), "*")
+            .unionByName(dd.minhash_lsh_pairs(_aug_docs(s, d))
+                         .select(F.lit("minhash_lsh").alias("part"), "*"))),
         "simhash_fingerprint": lambda s, d: dd.simhash_fingerprints(_aug_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(_aug_docs(s, d)),
         "dedup_embedding_cosine": lambda s, d: dd.embedding_neardup_pairs(_aug_emb(s, d)),
@@ -1048,6 +1068,102 @@ scored AS (
 )
 SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _qld_sql(terms: list[str], mu: float = rk.DEFAULT_MU) -> str:
+    """Dirichlet query-likelihood oracle (ranking.qld_topk semantics):
+    candidate-docs decomposition, C = sum(dl) exactly, |q| = count of
+    index-present query terms."""
+    return f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+c AS (SELECT sum(dl)::DOUBLE AS C FROM dl),
+qt AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+       WHERE term IN ({_sql_in(terms)}) GROUP BY term),
+qn AS (SELECT count(*)::DOUBLE AS q_n FROM qt),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + tf.tf * c.C / ({mu} * qt.cf))) AS match_ll,
+         any_value(dl.dl) AS dl
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+  GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id,
+       round(match_ll + qn.q_n * ln({mu} / (dl + {mu})), 6) AS score
+FROM scored CROSS JOIN qn
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _tfidf_sql(terms: list[str]) -> str:
+    """Lucene-ClassicSimilarity oracle (ranking.classic_tfidf_topk):
+    coord * sum sqrt(tf) * idf^2 / sqrt(dl), idf = 1 + ln(N/(df+1))."""
+    nq = len({t.lower() for t in terms})
+    return f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+qt AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+       WHERE term IN ({_sql_in(terms)}) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(sqrt(tf.tf) * pow(1.0 + ln(n.n / (qt.df + 1.0)), 2)
+             / sqrt(dl.dl)) AS raw,
+         count(DISTINCT tf.term)::DOUBLE AS nm
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+  GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(raw * nm / {float(nq)}, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _prf_sql(terms: list[str], fb_k: int = 10, fb_m: int = 5,
+             beta: float = 0.5, k: int = 10) -> str:
+    """RM3-shape PRF oracle replaying ranking.bm25_prf_topk's three
+    stages in SQL: rounded(6)-score BM25 feedback top-fb_k, rounded(9)
+    sum(tf/dl) expansion top-fb_m (query terms excluded), interpolated
+    weighted-BM25 rescore. Rounding before each ORDER matches the
+    engine exactly (see ranking.py tie-determinism note)."""
+    ins = _sql_in(terms)
+    return f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+qt0 AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN ({ins}) GROUP BY term),
+fb_scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1.0 + (s.n - qt0.df + 0.5) / (qt0.df + 0.5))
+              * (tf.tf * {K1 + 1.0})
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ),
+               6) AS score
+  FROM tf JOIN qt0 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+fb AS (SELECT doc_id FROM fb_scored ORDER BY score DESC, doc_id ASC
+       LIMIT {fb_k}),
+exp AS (
+  SELECT tf.term, round(sum(tf.tf::DOUBLE / dl.dl), 9) AS w
+  FROM tf JOIN fb USING (doc_id) JOIN dl USING (doc_id)
+  WHERE tf.term NOT IN ({ins})
+  GROUP BY tf.term ORDER BY w DESC, term ASC LIMIT {fb_m}),
+wts AS (
+  SELECT term, 1.0 AS wt FROM (SELECT unnest([{ins}]) AS term)
+  UNION ALL
+  SELECT term, {beta} * w / (SELECT sum(w) FROM exp) AS wt FROM exp),
+qt AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+       WHERE term IN (SELECT term FROM wts) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( wts.wt * ln(1.0 + (s.n - qt.df + 0.5) / (qt.df + 0.5))
+              * (tf.tf * {K1 + 1.0})
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) )
+         AS score
+  FROM tf JOIN qt USING (term) JOIN wts USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -1222,8 +1338,9 @@ def oracle_sql() -> dict[str, str]:
             [ts.token_count_exprs, ts.quality_exprs, ts.lang_id_expr,
              ts.fingerprint_exprs]),
         "dedup_exact": dd.exact_dup_groups_sql(_aug),
-        "dedup_ngram_jaccard": dd.ngram_jaccard_sql(_aug),
-        "dedup_minhash_lsh": dd.minhash_lsh_sql(_aug),
+        "dedup_jaccard_pairs": _part_sql([
+            ("ngram", dd.ngram_jaccard_sql(_aug)),
+            ("minhash_lsh", dd.minhash_lsh_sql(_aug))]),
         "simhash_fingerprint": dd.simhash_sql(_aug),
         "dedup_simhash_pairs": dd.simhash_pairs_sql(_aug),
         "dedup_embedding_cosine": dd.embedding_neardup_sql(_eaug),
@@ -1485,16 +1602,17 @@ SELECT doc_id::BIGINT AS doc_id, term, round(tfidf, 6) AS tfidf,
        rank::INT AS rank
 FROM ranked WHERE rank <= 3
 """,
-        "prefix_docs": _tagged_sql(["df", "df_dict", "segments", "server"], f"""
+        "prefix_fuzzy_docs": _part_sql([
+            ("prefix", _tagged_sql(["df", "df_dict", "segments", "server"], f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
 WHERE term LIKE '{Q_PREFIX}%' ORDER BY doc_id
-"""),
-        "fuzzy_docs": _tagged_sql(["df", "df_dict", "segments", "server"], f"""
+""")),
+            ("fuzzy", _tagged_sql(["df", "df_dict", "segments", "server"], f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id::BIGINT AS doc_id FROM tf
 WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
-"""),
+"""))]),
         "bm25_filtered_top10": _bm25_filtered_sql(Q_BM25, Q_FILTER_LANG),
         # flagship multi-term + rare-term in one part-tagged row
         "bm25_top10": _part_sql([("multi", _bm25_sql(Q_BM25)),
@@ -1515,6 +1633,13 @@ WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
         "bm25_snippets": _tagged_sql(["df", "server"],
                                      _snippet_sql(Q_BM25, Q_SNIPPET_W)),
         "bm25f_top10": _bm25f_sql(BM25F_FIELDS, Q_BM25F),
+        # pluggable-Similarity surface: each model vs its own formula
+        "ranking_models": "\nUNION ALL\n".join(
+            f"SELECT '{m}' AS model, q.* FROM ({inner}) q"
+            for m, inner in (("bm25", _bm25_sql(Q_BM25)),
+                             ("qld", _qld_sql(Q_BM25)),
+                             ("tfidf", _tfidf_sql(Q_BM25)))),
+        "bm25_prf_top10": _prf_sql(Q_BM25),
     }
     # the streaming-ingest stats share the exact (untagged) stats oracle
     out["term_stats_streamed"] = f"WITH {_TOK_CTE} {_TERM_STATS_SQL_BODY}"

@@ -233,7 +233,8 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
                prefix: bool = False, fuzzy: int | None = None,
                meta=None, suggest: int | None = None,
                snip: tuple | None = None,
-               complete: bool = False) -> bool:
+               complete: bool = False, rank: str | None = None,
+               prf: bool = False) -> bool:
     """Evaluate one query line and print results; returns False only on
     a malformed --expr query (one-shot callers exit nonzero on that)."""
     terms = line.split()
@@ -334,8 +335,18 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
             for r in rows:
                 print(f"{show(r['doc_id'])}\t{r['phrase_tf']}")
         return True
-    if bm25:
-        rows = q.bm25_topk(index, terms, k=topk).collect()
+    if bm25 or rank is not None or prf:
+        from inverted_index_and_search_spark.operators import ranking as rk
+
+        if prf:
+            # RM3-shape pseudo-relevance feedback (BM25 base ranker)
+            rows = rk.bm25_prf_topk(index, terms, k=topk).collect()
+        elif rank == "qld":
+            rows = rk.qld_topk(index, terms, k=topk).collect()
+        elif rank == "tfidf":
+            rows = rk.classic_tfidf_topk(index, terms, k=topk).collect()
+        else:
+            rows = q.bm25_topk(index, terms, k=topk).collect()
         key_map = keyed(rows)
         if not rows:
             print("No matches found.")
@@ -506,6 +517,12 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
 
     server = seg.QueryServer(seg.read_segment_index(spark, args.index),
                              meta=_load_meta(spark, args))
+    if args.rank not in (None, "bm25") or args.prf:
+        print("error: --rank/--prf need a DataFrame index format "
+              "(parquet/text/json/ref-parquet) for now", file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
     if args.phrase and "positions_enc" not in server.idx.segments.columns:
         print("error: --phrase needs positional segments "
               "(build with --positional)", file=sys.stderr)
@@ -640,7 +657,8 @@ def _search(args: argparse.Namespace) -> None:
                         phrase=args.phrase, expr=args.expr,
                         prefix=args.prefix, fuzzy=args.fuzzy, meta=meta,
                         suggest=args.suggest, snip=snip,
-                        complete=args.complete)
+                        complete=args.complete, rank=args.rank,
+                        prf=args.prf)
         if not ok:
             # scripts must see malformed one-shot expressions fail
             if created:
@@ -656,7 +674,8 @@ def _search(args: argparse.Namespace) -> None:
                            phrase=args.phrase, expr=args.expr,
                            prefix=args.prefix, fuzzy=args.fuzzy,
                            meta=meta, suggest=args.suggest, snip=snip,
-                           complete=args.complete)
+                           complete=args.complete, rank=args.rank,
+                           prf=args.prf)
         except EOFError:
             pass
     if created:
@@ -733,6 +752,15 @@ def main(argv: list[str] | None = None) -> None:
                         "0-based line-number ids; conjunctive ranked "
                         "by default, disjunctive BM25 with --bm25, "
                         "exact phrases with --phrase")
+    s.add_argument("--rank", choices=["bm25", "qld", "tfidf"],
+                   default=None,
+                   help="ranking model for ranked search: BM25 "
+                        "(default), Dirichlet query likelihood, or "
+                        "Lucene-classic TF-IDF")
+    s.add_argument("--prf", action="store_true",
+                   help="pseudo-relevance feedback (RM3 shape): expand "
+                        "the query with the top terms of the BM25 "
+                        "feedback docs, then rescore")
     s.add_argument("--bm25", action="store_true",
                    help="ranked BM25 instead of boolean AND")
     s.add_argument("--phrase", action="store_true",

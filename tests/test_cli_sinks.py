@@ -10,6 +10,7 @@ import pytest
 
 from inverted_index_and_search_spark import cli
 from inverted_index_and_search_spark.operators import index_build as ib
+from inverted_index_and_search_spark.operators import query as q
 
 
 @pytest.fixture(scope="module")
@@ -849,3 +850,51 @@ def test_cli_segments_complete_and_stats(spark, tmp_path, capsys):
     capsys.readouterr()
     cli.main(["stats", "--index", idx2, "--top", "3"])
     assert capsys.readouterr().out == out_seg
+
+
+def test_cli_rank_models_and_prf(spark, tmp_path, capsys):
+    """--rank qld / --rank tfidf / --prf rank against the library
+    operators byte-for-byte (same index, same query)."""
+    from inverted_index_and_search_spark.operators import ranking as rk
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "rankidx")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+    idx = ib.read_index(spark, idx_dir)
+
+    def cli_rows(*flags):
+        cli.main(["search", "--index", idx_dir, "--topk", "5",
+                  "--query", "spark join fast", *flags])
+        return [ln for ln in capsys.readouterr().out.splitlines()
+                if "\t" in ln]
+
+    for flags, op in (
+        (("--rank", "qld"), rk.qld_topk),
+        (("--rank", "tfidf"), rk.classic_tfidf_topk),
+        (("--prf",), rk.bm25_prf_topk),
+    ):
+        got = cli_rows(*flags)
+        want = op(idx, ["spark", "join", "fast"], k=5).collect()
+        assert len(got) == len(want)
+        for ln, r in zip(got, want):
+            d, s = ln.split("\t")[:2]
+            assert float(s) == pytest.approx(r["score"], abs=1e-6)
+
+    # --rank bm25 is the plain BM25 path
+    got = cli_rows("--rank", "bm25")
+    want = q.bm25_topk(idx, ["spark", "join", "fast"], k=5).collect()
+    assert [ln.split("\t")[0] for ln in got] == \
+        [str(r["doc_id"]) for r in want]
+
+
+def test_cli_rank_segments_unsupported(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "rankseg")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--format", "segments", "--output", idx_dir])
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        cli.main(["search", "--index", idx_dir, "--index-format",
+                  "segments", "--rank", "qld", "--query", "spark"])

@@ -368,3 +368,32 @@ def test_fielded_build_single_tf_exchange(spark):
     plan = explain(fielded_tf(docs, {"text": 1.0, "source": 2.0}))
     assert n_nodes(plan, "Exchange") == 1, plan
     assert "partial_sum" in plan, plan  # map-side combine of weights
+
+
+def test_ranking_models_share_bm25_plan_shape(spark, persisted_index):
+    """QLD and classic TF-IDF compile to the same plan skeleton as BM25:
+    term_bucket partition pruning on the postings scan, broadcast
+    doc-stats join, TakeOrderedAndProject top-k — alternative models
+    must not cost a different (worse) physical strategy."""
+    from inverted_index_and_search_spark.operators import ranking as rk
+
+    for op in (rk.qld_topk, rk.classic_tfidf_topk):
+        plan = explain(op(persisted_index, ["table", "query"], k=10))
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "term_bucket" in pf[0], (op.__name__, plan)
+        assert "BroadcastHashJoin" in plan, (op.__name__, plan)
+        assert "TakeOrderedAndProject" in plan, (op.__name__, plan)
+
+
+def test_weighted_bm25_stays_pruned(spark, persisted_index):
+    """The PRF rescore (weighted BM25 over original+expansion terms) is
+    an ordinary pruned scoring job — the literal weight map must not
+    defeat partition pruning or the broadcast."""
+    from inverted_index_and_search_spark.operators import ranking as rk
+
+    scored = rk.weighted_bm25_scores(
+        persisted_index, {"table": 1.0, "query": 0.5})
+    plan = explain(scored)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "term_bucket" in pf[0], plan
+    assert "BroadcastHashJoin" in plan, plan

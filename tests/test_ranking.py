@@ -1,0 +1,179 @@
+"""Ranking-model correctness vs pure-Python twins: Dirichlet QLD,
+Lucene-classic TF-IDF, weighted BM25, and the full RM3-shape PRF
+pipeline (feedback -> expansion -> interpolated rescore)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from inverted_index_and_search_spark.operators import index_build as ib
+from inverted_index_and_search_spark.operators import query as q
+from inverted_index_and_search_spark.operators import ranking as rk
+from tests.conftest import QUERY_SET
+
+MU = rk.DEFAULT_MU
+
+
+@pytest.fixture(scope="module")
+def index(docs_df):
+    idx = ib.build_index(docs_df)
+    idx.postings.cache().count()
+    idx.doc_stats.cache().count()
+    return idx
+
+
+def _norm(terms):
+    return sorted({t.lower() for t in terms})
+
+
+def _py_qld(oracle_idx, terms, k=10):
+    norm = [t for t in _norm(terms) if oracle_idx.cf(t) > 0]
+    if not norm:
+        return []
+    c_total = float(oracle_idx.n_docs) * oracle_idx.avgdl
+    cand = sorted({d for t in norm for d in oracle_idx.postings[t]})
+    out = []
+    for d in cand:
+        s = sum(
+            math.log(1.0 + oracle_idx.postings[t].get(d, 0) * c_total
+                     / (MU * oracle_idx.cf(t)))
+            for t in norm if d in oracle_idx.postings[t])
+        s += len(norm) * math.log(MU / (oracle_idx.dl[d] + MU))
+        out.append((d, round(s, 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def _py_tfidf(oracle_idx, terms, k=10):
+    norm = _norm(terms)
+    present = [t for t in norm if oracle_idx.df(t) > 0]
+    if not present:
+        return []
+    n = float(oracle_idx.n_docs)
+    cand = sorted({d for t in present for d in oracle_idx.postings[t]})
+    out = []
+    for d in cand:
+        raw, nm = 0.0, 0
+        for t in present:
+            tf = oracle_idx.postings[t].get(d, 0)
+            if tf:
+                idf = 1.0 + math.log(n / (oracle_idx.df(t) + 1.0))
+                raw += math.sqrt(tf) * idf * idf / math.sqrt(oracle_idx.dl[d])
+                nm += 1
+        out.append((d, round(raw * nm / len(norm), 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def _py_weighted_bm25(oracle_idx, weights):
+    scored = {}
+    for t, w in weights.items():
+        for d, tf in oracle_idx.postings.get(t, {}).items():
+            dl = oracle_idx.dl[d]
+            s = (w * oracle_idx.idf(t) * tf * (rk.K1 + 1.0)
+                 / (tf + rk.K1 * (1.0 - rk.B + rk.B * dl / oracle_idx.avgdl)))
+            scored[d] = scored.get(d, 0.0) + s
+    return scored
+
+
+def _py_prf(oracle_idx, terms, k=10, fb_k=10, fb_m=5, beta=0.5):
+    norm = _norm(terms)
+    base = _py_weighted_bm25(oracle_idx, {t: 1.0 for t in norm})
+    fb = sorted(((d, round(s, 6)) for d, s in base.items()),
+                key=lambda x: (-x[1], x[0]))[:fb_k]
+    fb_ids = [d for d, _ in fb]
+    if not fb_ids:
+        return []
+    wsum: dict[str, float] = {}
+    for t, post in oracle_idx.postings.items():
+        if t in norm:
+            continue
+        w = sum(post[d] / oracle_idx.dl[d] for d in fb_ids if d in post)
+        if w > 0:
+            wsum[t] = round(w, 9)
+    exp = sorted(wsum.items(), key=lambda x: (-x[1], x[0]))[:fb_m]
+    total = sum(w for _, w in exp) or 1.0
+    weights = {t: 1.0 for t in norm}
+    for t, w in exp:
+        weights[t] = weights.get(t, 0.0) + beta * w / total
+    final = _py_weighted_bm25(oracle_idx, weights)
+    out = sorted(((d, round(s, 6)) for d, s in final.items()),
+                 key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("terms", QUERY_SET,
+                         ids=["-".join(t) for t in QUERY_SET])
+def test_qld_matches_python_twin(index, oracle_idx, terms):
+    got = [(r["doc_id"], r["score"])
+           for r in rk.qld_topk(index, terms).collect()]
+    want = _py_qld(oracle_idx, terms)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-6)
+
+
+@pytest.mark.parametrize("terms", QUERY_SET,
+                         ids=["-".join(t) for t in QUERY_SET])
+def test_tfidf_matches_python_twin(index, oracle_idx, terms):
+    got = [(r["doc_id"], r["score"])
+           for r in rk.classic_tfidf_topk(index, terms).collect()]
+    want = _py_tfidf(oracle_idx, terms)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-6)
+
+
+@pytest.mark.parametrize("terms", QUERY_SET[:4],
+                         ids=["-".join(t) for t in QUERY_SET[:4]])
+def test_prf_matches_python_twin(index, oracle_idx, terms):
+    got = [(r["doc_id"], r["score"])
+           for r in rk.bm25_prf_topk(index, terms).collect()]
+    want = _py_prf(oracle_idx, terms)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_weighted_bm25_unit_weights_is_plain_bm25(index):
+    terms = ["def", "return"]
+    plain = {r["doc_id"]: r["score"]
+             for r in q.bm25_scores(index, terms).collect()}
+    weighted = {r["doc_id"]: r["score"]
+                for r in rk.weighted_bm25_scores(
+                    index, {t: 1.0 for t in terms}).collect()}
+    assert set(plain) == set(weighted)
+    for d in plain:
+        assert weighted[d] == pytest.approx(plain[d], abs=1e-9)
+
+
+def test_expansion_excludes_query_terms(index, oracle_idx):
+    fb = [r["doc_id"]
+          for r in q.bm25_topk(index, ["def", "return"], k=5).collect()]
+    exp = rk.expansion_terms(index, fb, ["def", "return"], 5)
+    assert len(exp) == 5
+    assert all(t not in ("def", "return") for t, _ in exp)
+    # L1-normalized weights
+    assert sum(w for _, w in exp) == pytest.approx(1.0, abs=1e-9)
+    # deterministic: weight desc, term asc
+    ws = [w for _, w in exp]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_empty_and_absent_queries(index):
+    assert rk.qld_topk(index, []).count() == 0
+    assert rk.classic_tfidf_topk(index, []).count() == 0
+    assert rk.bm25_prf_topk(index, []).count() == 0
+    assert rk.qld_topk(index, ["zzzqqqxx"]).count() == 0
+    assert rk.bm25_prf_topk(index, ["zzzqqqxx"]).count() == 0
+
+
+def test_ranking_models_union_shape(index):
+    out = rk.ranking_models(index, ["def", "return"], k=5).collect()
+    assert [r["model"] for r in out] == (
+        ["bm25"] * 5 + ["qld"] * 5 + ["tfidf"] * 5)
+    for model in ("bm25", "qld", "tfidf"):
+        scores = [r["score"] for r in out if r["model"] == model]
+        assert scores == sorted(scores, reverse=True)
