@@ -682,11 +682,25 @@ def _q_prefix_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ranking_models(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(model, doc_id, score) — the pluggable-Similarity surface: BM25,
-    Dirichlet query-likelihood, and Lucene-classic TF-IDF top-10 for
-    the flagship query as one tagged union, each model hash-equal to
-    its own closed-form oracle."""
-    return rk.ranking_models(_index(spark, sf_dir), Q_BM25, k=10)
+    """(path, model, doc_id, score) — the pluggable-Similarity surface:
+    BM25, Dirichlet query-likelihood, and Lucene-classic TF-IDF top-10
+    for the flagship query, through BOTH evaluation paths (DataFrame
+    operators; compressed-segment numpy kernels via the warm server's
+    cursor cache) — each (path, model) pair hash-equal to the model's
+    closed-form oracle."""
+    df_part = (rk.ranking_models(_index(spark, sf_dir), Q_BM25, k=10)
+               .select(F.lit("df").alias("path"), "*"))
+    server = seg.QueryServer(_tf_segment_index(spark, sf_dir))
+    rows = []
+    for model in ("bm25", "qld", "tfidf"):
+        hits = (server.bm25_topk(Q_BM25, k=10, method="exhaustive")
+                if model == "bm25"
+                else server.model_topk(Q_BM25, k=10, model=model))
+        rows += [("segments", model, int(d), round(float(s), 6))
+                 for d, s in hits]
+    seg_part = spark.createDataFrame(
+        rows, "path string, model string, doc_id long, score double")
+    return df_part.unionByName(seg_part)
 
 
 def _q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1633,9 +1647,11 @@ WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
         "bm25_snippets": _tagged_sql(["df", "server"],
                                      _snippet_sql(Q_BM25, Q_SNIPPET_W)),
         "bm25f_top10": _bm25f_sql(BM25F_FIELDS, Q_BM25F),
-        # pluggable-Similarity surface: each model vs its own formula
+        # pluggable-Similarity surface: each model vs its own formula,
+        # through the DataFrame AND compressed-segment kernel paths
         "ranking_models": "\nUNION ALL\n".join(
-            f"SELECT '{m}' AS model, q.* FROM ({inner}) q"
+            f"SELECT '{p}' AS path, '{m}' AS model, q.* FROM ({inner}) q"
+            for p in ("df", "segments")
             for m, inner in (("bm25", _bm25_sql(Q_BM25)),
                              ("qld", _qld_sql(Q_BM25)),
                              ("tfidf", _tfidf_sql(Q_BM25)))),

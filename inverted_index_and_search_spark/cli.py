@@ -368,7 +368,8 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
                       prefix: bool = False, fuzzy: int | None = None,
                       suggest: int | None = None,
                       snip: tuple | None = None,
-                      complete: bool = False) -> bool:
+                      complete: bool = False,
+                      rank: str | None = None) -> bool:
     """One query against a warm QueryServer (compressed segments):
     repeat terms answer from the per-term cache in microseconds —
     the scale-valid interactive path (no full-index residency).
@@ -454,8 +455,12 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
                 print("No matches found.")
             for d, ptf in rows:
                 print(f"{d}\t{ptf}")
-    elif bm25:
-        hits = server.bm25_topk(terms, k=topk)
+    elif bm25 or rank is not None:
+        if rank in ("qld", "tfidf"):
+            # warm alternate models from the same per-term cursor cache
+            hits = server.model_topk(terms, k=topk, model=rank)
+        else:
+            hits = server.bm25_topk(terms, k=topk)
         if not hits:
             print("No matches found.")
         for d, s in hits:
@@ -517,9 +522,12 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
 
     server = seg.QueryServer(seg.read_segment_index(spark, args.index),
                              meta=_load_meta(spark, args))
-    if args.rank not in (None, "bm25") or args.prf:
-        print("error: --rank/--prf need a DataFrame index format "
-              "(parquet/text/json/ref-parquet) for now", file=sys.stderr)
+    if args.prf:
+        # PRF expansion needs a doc->terms profile scan, which the
+        # segment layout serves only via Spark (more_like_this path) —
+        # the warm server has no forward index. DataFrame formats only.
+        print("error: --prf needs a DataFrame index format "
+              "(parquet/text/json/ref-parquet)", file=sys.stderr)
         if created:
             spark.stop()
         raise SystemExit(2)
@@ -535,7 +543,7 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
                                args.phrase, expr=args.expr,
                                prefix=args.prefix, fuzzy=args.fuzzy,
                                suggest=args.suggest, snip=snip,
-                               complete=args.complete)
+                               complete=args.complete, rank=args.rank)
         if not ok:
             if created:
                 spark.stop()
@@ -548,7 +556,7 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
                                   args.phrase, expr=args.expr,
                                   prefix=args.prefix, fuzzy=args.fuzzy,
                                   suggest=args.suggest, snip=snip,
-                                  complete=args.complete)
+                                  complete=args.complete, rank=args.rank)
         except EOFError:
             pass
     if created:

@@ -73,6 +73,14 @@ class TermPostings:
     positions_flat: np.ndarray | None = None
     pos_bounds: np.ndarray | None = None
     dls: np.ndarray | None = None
+    #: raw per-posting term frequencies + term-level stats (segment
+    #: decode keeps them beside the precomputed BM25 contributions so
+    #: the warm server can evaluate ALTERNATE ranking models — QLD,
+    #: classic TF-IDF — from the same cached cursor; int64 per posting,
+    #: a bounded constant-factor residency increase under max_terms)
+    tfs: np.ndarray | None = None
+    df: int = 0
+    cf: int = 0
     ub: float = field(init=False)
 
     def ensure_positions(self) -> np.ndarray:

@@ -412,6 +412,19 @@ def _decode_row(row, avgdl: float, n_docs: int, block: int) -> bm25.TermPostings
         block_max=np.asarray(row["block_max"], np.float64),
         block_last=np.asarray(row["block_last"], np.int64),
     )
+    # raw tf/dl arrays + term stats stay on the cursor: the warm server
+    # evaluates alternate ranking models (QLD / classic TF-IDF) from
+    # the same cached decode — no second fetch (kernels/ranking_models).
+    # cf is absent from the batch kernels' PROJECTED rows (executors
+    # ship only the columns BM25 needs) — model queries are a
+    # driver/server surface, so tolerate its absence like positions_enc.
+    tp.tfs = np.asarray(tfs, np.int64)
+    tp.dls = np.asarray(dls, np.int64)
+    tp.df = int(row["df"])
+    try:
+        tp.cf = int(row["cf"])
+    except (KeyError, ValueError):
+        tp.cf = 0
     try:
         penc = row["positions_enc"]
     except (KeyError, ValueError):
@@ -445,6 +458,13 @@ def merge_term_postings(tps: list[bm25.TermPostings],
     out = bm25.TermPostings(doc_ids=ids_m, scores=scores_m,
                             block_max=bmx, block_last=blast,
                             block=block)
+    # model arrays merge with the same gather; df/cf are TERM-level on
+    # every shard row (identical across shards), so copy, don't sum
+    if all(t.tfs is not None for t in tps):
+        out.tfs = np.concatenate([t.tfs for t in tps])[order]
+    if all(t.dls is not None for t in tps):
+        out.dls = np.concatenate([t.dls for t in tps])[order]
+    out.df, out.cf = tps[0].df, tps[0].cf
     if all(t.positions_enc is not None or t.positions_flat is not None
            for t in tps):
         for t in tps:
@@ -536,6 +556,30 @@ def topk(
         return []
     return _run_kernel(cursors, k, conjunctive=conjunctive, method=method,
                        stats=stats)
+
+
+def model_topk(idx: SegmentIndex, terms: list[str], k: int = 10, *,
+               model: str = "qld",
+               mu: float = 2000.0) -> list[tuple[int, float]]:
+    """Alternate-model top-k over compressed segments: ``model`` = "qld"
+    (Dirichlet query likelihood) or "tfidf" (Lucene ClassicSimilarity).
+    Same pruned fetch as :func:`topk`; the cursors' raw tf/dl arrays
+    feed the numpy model kernels (kernels/ranking_models) — semantics
+    identical to the DataFrame operators in operators/ranking.py
+    (scores rounded to 6 before the ordering, ties doc_id asc)."""
+    from inverted_index_and_search_spark.kernels import ranking_models as rkm
+
+    norm = sorted({t.lower() for t in terms})
+    fetched = fetch_term_postings(idx, norm)
+    cursors = list(fetched.values())
+    if not cursors:
+        return []
+    if model == "qld":
+        return rkm.qld_topk(cursors, idx.n_docs, idx.avgdl, k, mu=mu)
+    if model == "tfidf":
+        return rkm.tfidf_topk(cursors, idx.n_docs, k,
+                              n_query_terms=len(norm))
+    raise ValueError(f"unknown ranking model {model!r}")
 
 
 def batch_topk(idx: SegmentIndex, queries: list[tuple[int, list[str]]],
@@ -753,6 +797,31 @@ class QueryServer:
         for c in cursors:  # WAND advances pos; cached cursors must rewind
             c.pos = 0
         return _run_kernel(cursors, k, conjunctive=conjunctive, method=method)
+
+    def model_topk(self, terms: list[str], k: int = 10, *,
+                   model: str = "qld",
+                   mu: float = 2000.0) -> list[tuple[int, float]]:
+        """Warm alternate-model top-k (QLD / classic TF-IDF): repeat
+        queries evaluate from the per-term cursor cache — the cached
+        decode carries the raw tf/dl arrays the model kernels need."""
+        from inverted_index_and_search_spark.kernels import (
+            ranking_models as rkm,
+        )
+
+        norm = sorted({t.lower() for t in terms})
+        if not norm:
+            return []
+        self._ensure(norm)
+        cursors = [c for t in norm if (c := self._cache.get(t)) is not None]
+        if not cursors:
+            return []
+        if model == "qld":
+            return rkm.qld_topk(cursors, self.idx.n_docs, self.idx.avgdl,
+                                k, mu=mu)
+        if model == "tfidf":
+            return rkm.tfidf_topk(cursors, self.idx.n_docs, k,
+                                  n_query_terms=len(norm))
+        raise ValueError(f"unknown ranking model {model!r}")
 
     def phrase_topk(self, phrase: list[str],
                     k: int = 10) -> list[tuple[int, float]]:

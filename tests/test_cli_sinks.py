@@ -889,12 +889,34 @@ def test_cli_rank_models_and_prf(spark, tmp_path, capsys):
         [str(r["doc_id"]) for r in want]
 
 
-def test_cli_rank_segments_unsupported(spark, tmp_path, capsys):
+def test_cli_rank_segments_and_prf_guard(spark, tmp_path, capsys):
+    """--rank qld/tfidf work on the segments layout via the warm
+    server's model kernels and match the DataFrame operators; --prf
+    still needs a DataFrame format (no forward index warm)."""
+    from inverted_index_and_search_spark.operators import ranking as rk
+
     docs = "/root/testdata/sf0.001/documents.parquet"
     idx_dir = str(tmp_path / "rankseg")
+    pq_dir = str(tmp_path / "rankpq")
     cli.main(["build", "--input", docs, "--content-col", "text",
               "--format", "segments", "--output", idx_dir])
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", pq_dir])
     capsys.readouterr()
+    idx = ib.read_index(spark, pq_dir)
+    for model, op in (("qld", rk.qld_topk),
+                      ("tfidf", rk.classic_tfidf_topk)):
+        cli.main(["search", "--index", idx_dir, "--index-format",
+                  "segments", "--rank", model, "--topk", "5",
+                  "--query", "spark join fast"])
+        got = [ln for ln in capsys.readouterr().out.splitlines()
+               if "\t" in ln]
+        want = op(idx, ["spark", "join", "fast"], k=5).collect()
+        assert len(got) == len(want)
+        for ln, r in zip(got, want):
+            d, s = ln.split("\t")[:2]
+            assert int(d) == r["doc_id"]
+            assert float(s) == pytest.approx(r["score"], abs=1e-6)
     with pytest.raises(SystemExit):
         cli.main(["search", "--index", idx_dir, "--index-format",
-                  "segments", "--rank", "qld", "--query", "spark"])
+                  "segments", "--prf", "--query", "spark"])

@@ -177,3 +177,75 @@ def test_ranking_models_union_shape(index):
     for model in ("bm25", "qld", "tfidf"):
         scores = [r["score"] for r in out if r["model"] == model]
         assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------- segments
+
+@pytest.fixture(scope="module")
+def seg_index(spark, docs_df, oracle_idx, tmp_path_factory):
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    tok = ib.tokens(docs_df)
+    tf = ib.term_doc_tf(tok)
+    idx = seg.build_segment_index(tf, oracle_idx.n_docs, oracle_idx.avgdl)
+    out = str(tmp_path_factory.mktemp("rk_segidx"))
+    seg.write_segment_index(idx, out)
+    return seg.read_segment_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def sharded_seg_index(spark, docs_df, oracle_idx, tmp_path_factory):
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    tok = ib.tokens(docs_df)
+    tf = ib.term_doc_tf(tok)
+    idx = seg.build_segment_index(tf, oracle_idx.n_docs, oracle_idx.avgdl,
+                                  hot=tf.select("term").distinct())
+    out = str(tmp_path_factory.mktemp("rk_shsegidx"))
+    seg.write_segment_index(idx, out)
+    return seg.read_segment_index(spark, out)
+
+
+@pytest.mark.parametrize("model", ["qld", "tfidf"])
+@pytest.mark.parametrize("terms", QUERY_SET[:5],
+                         ids=["-".join(t) for t in QUERY_SET[:5]])
+def test_segment_models_match_dataframe_path(index, seg_index, terms, model):
+    """model_topk over compressed segments == the DataFrame operator,
+    rank and rounded score (the cursors' raw tf/dl arrays feed the
+    numpy kernels)."""
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    op = rk.qld_topk if model == "qld" else rk.classic_tfidf_topk
+    want = [(r["doc_id"], r["score"]) for r in op(index, terms).collect()]
+    got = seg.model_topk(seg_index, terms, k=10, model=model)
+    assert got == [(d, pytest.approx(s, abs=1e-6)) for d, s in want]
+
+
+@pytest.mark.parametrize("model", ["qld", "tfidf"])
+def test_sharded_segment_models_identical(index, sharded_seg_index, model):
+    """Forced-all-hot sharded rows merge into cursors whose tf/dl
+    arrays give the same model scores as the unsharded layout."""
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    terms = ["def", "return", "if"]
+    op = rk.qld_topk if model == "qld" else rk.classic_tfidf_topk
+    want = [(r["doc_id"], r["score"]) for r in op(index, terms).collect()]
+    got = seg.model_topk(sharded_seg_index, terms, k=10, model=model)
+    assert got == [(d, pytest.approx(s, abs=1e-6)) for d, s in want]
+
+
+@pytest.mark.parametrize("model", ["qld", "tfidf"])
+def test_server_models_warm_path(index, seg_index, model):
+    """QueryServer.model_topk: cold fetch == warm repeat == DataFrame
+    operator; absent-term queries come back empty."""
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    server = seg.QueryServer(seg_index)
+    terms = ["def", "var_3_0"]
+    op = rk.qld_topk if model == "qld" else rk.classic_tfidf_topk
+    want = [(r["doc_id"], r["score"]) for r in op(index, terms).collect()]
+    cold = server.model_topk(terms, k=10, model=model)
+    warm = server.model_topk(terms, k=10, model=model)
+    assert cold == warm
+    assert cold == [(d, pytest.approx(s, abs=1e-6)) for d, s in want]
+    assert server.model_topk(["zzzqqqxx"], k=10, model=model) == []
