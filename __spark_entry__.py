@@ -540,6 +540,48 @@ def _q_batch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score"), 6).alias("score"))
 
 
+def _q_batch_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, query_id, rank, doc_id, score) — the two executor-side
+    batch kernels (WAND BM25 + vectorized phrase) folded part-tagged
+    (cap discipline), each part vs its own batched SQL oracle."""
+    bm = _q_batch_bm25(spark, sf_dir)
+    ph = _q_batch_phrase(spark, sf_dir)
+    return (bm.select(F.lit("bm25").alias("part"), "*")
+            .unionByName(ph.select(F.lit("phrase").alias("part"), "*")))
+
+
+def _q_term_tf_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, term, doc_id, tf) — the tf relation from the parquet
+    corpus AND from raw-file re-ingestion (the reference's primary
+    entry path), folded part-tagged against the same oracle."""
+    a = _q_term_tf(spark, sf_dir)
+    b = _q_term_tf_rawfiles(spark, sf_dir)
+    return (a.select(F.lit("docs").alias("part"), "*")
+            .unionByName(b.select(F.lit("rawfiles").alias("part"), "*")))
+
+
+Q_SYN_TERMS = ["spark", "fast"]
+#: fixture thesaurus: "slow"/"stream" are corpus terms (real expansion),
+#: "quick" is absent (a group member with no postings must be a no-op)
+Q_SYNONYMS = {"fast": ["quick", "slow"], "spark": ["stream"]}
+Q_PMI_SEED, Q_PMI_MIN_CO, Q_PMI_K = "merge", 3, 15
+
+
+def _q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) — query-time synonym-group BM25 (Lucene
+    SynonymQuery semantics: group tf = sum of member tfs, group df =
+    max member df)."""
+    return rk.synonym_bm25_topk(_index(spark, sf_dir), Q_SYN_TERMS,
+                                Q_SYNONYMS)
+
+
+def _q_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, co_df, pmi) — document-level PMI term associations for a
+    seed term (related-searches mining), support-thresholded."""
+    return q.related_terms(_index(spark, sf_dir), Q_PMI_SEED,
+                           k=Q_PMI_K, min_co=Q_PMI_MIN_CO)
+
+
 def _q_boolean_or_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(path, doc_id) — OR (union-distinct) and AND-NOT (left-anti,
     never corpus complement) doc sets, path-tagged against one oracle
@@ -875,9 +917,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_snippets": _q_snippets,
         "ranking_models": _q_ranking_models,
         "bm25_prf_top10": _q_bm25_prf,
+        "bm25_synonyms_top10": _q_bm25_synonyms,
+        "related_terms_pmi": _q_related_terms,
         # ---- index-build surface
-        "term_tf": _q_term_tf,
-        "term_tf_rawfiles": _q_term_tf_rawfiles,
+        "term_tf": _q_term_tf_both,
         "term_stats": _q_term_stats_paths,
         "term_stats_streamed": _q_term_stats_streamed,
         "user_counts_stateful_stream": _q_user_stateful,
@@ -891,8 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match_paths,
         "phrase_bm25_top10": _q_phrase_bm25,
         "near_terms": _q_near_paths,
-        "batch_bm25_topk": _q_batch_bm25,
-        "batch_phrase_topk": _q_batch_phrase,
+        "batch_topk": _q_batch_both,
         "query_expr": _q_query_expr_paths,
         "query_expr_ranked": _q_query_expr_ranked,
         "mlt_top10": _q_mlt,
@@ -1181,6 +1223,66 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+_TERM_TF_SQL = (
+    f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf")
+
+
+def _syn_sql(terms: list[str], synonyms: dict[str, list[str]],
+             k: int = 10) -> str:
+    """Synonym-group BM25 oracle (ranking.synonym_bm25_topk semantics:
+    Lucene SynonymQuery — group tf = sum member tfs, group df = max
+    INDEX-PRESENT member df). The member->group map replays the
+    engine's first-head-wins construction over sorted terms."""
+    groups: dict[str, str] = {}
+    for t in sorted({x.lower() for x in terms}):
+        groups[t] = t
+        for s in synonyms.get(t, []):
+            groups.setdefault(s.lower(), t)
+    vals = ", ".join(f"('{m}', '{g}')" for m, g in sorted(groups.items()))
+    return f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+gm(member, grp) AS (VALUES {vals}),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+qt AS (SELECT gm.grp, tf.term, count(*)::DOUBLE AS df
+       FROM tf JOIN gm ON tf.term = gm.member GROUP BY gm.grp, tf.term),
+gdf AS (SELECT grp, max(df) AS gdf FROM qt GROUP BY grp),
+gtf AS (SELECT gm.grp, tf.doc_id, sum(tf.tf)::DOUBLE AS gtf
+        FROM tf JOIN gm ON tf.term = gm.member GROUP BY gm.grp, tf.doc_id),
+scored AS (
+  SELECT gtf.doc_id,
+         sum( ln(1.0 + (s.n - gdf.gdf + 0.5) / (gdf.gdf + 0.5))
+              * (gtf.gtf * {K1 + 1.0})
+              / (gtf.gtf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) )
+         AS score
+  FROM gtf JOIN gdf USING (grp) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY gtf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _pmi_sql(seed: str, min_co: int, k: int) -> str:
+    """Document-level PMI association oracle (query.related_terms):
+    pmi = ln(N * co_df / (df_seed * df_u)), support >= min_co."""
+    return f"""
+WITH {_TOK_CTE},
+seed AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{seed}'),
+sdf AS (SELECT count(*)::DOUBLE AS seed_df FROM seed),
+dfu AS (SELECT term, count(*)::DOUBLE AS df_u FROM tf GROUP BY term),
+co AS (SELECT tf.term, count(*)::BIGINT AS co_df
+       FROM tf JOIN seed USING (doc_id)
+       WHERE tf.term <> '{seed}' GROUP BY tf.term
+       HAVING count(*) >= {min_co})
+SELECT co.term, co.co_df,
+       round(ln((SELECT count(*) FROM documents)::DOUBLE * co.co_df
+                / (sdf.seed_df * dfu.df_u)), 6) AS pmi
+FROM co JOIN dfu USING (term) CROSS JOIN sdf
+ORDER BY pmi DESC, co_df DESC, term ASC LIMIT {k}
+"""
+
+
 def _boolean_sql(terms: list[str]) -> str:
     n = len(set(terms))
     return f"""
@@ -1397,7 +1499,8 @@ WHERE NOT EXISTS (SELECT 1 FROM sel)
 """,
         "multimodal_features": mm.features_sql(),
         "multimodal_frames": mm.frames_sql(),
-        "term_tf": f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
+        "term_tf": _part_sql([
+            ("docs", _TERM_TF_SQL), ("rawfiles", _TERM_TF_SQL)]),
         # one oracle per evaluation path (plain one-shot agg / forced
         # all-hot salted two-phase): identical expected rows per tag
         "term_stats": _tagged_sql(["plain", "salted"], _TERM_STATS_SQL),
@@ -1455,8 +1558,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM exc) ORDER BY doc_id
                                          _phrase_bm25_sql(Q_PHRASE)),
         "near_terms": _tagged_sql(["df", "segments"],
                                   _near_terms_sql(*Q_NEAR)),
-        "batch_bm25_topk": _batch_bm25_sql(BATCH_QUERIES),
-        "batch_phrase_topk": _batch_phrase_sql(BATCH_PHRASES),
+        "batch_topk": _part_sql([
+            ("bm25", _batch_bm25_sql(BATCH_QUERIES)),
+            ("phrase", _batch_phrase_sql(BATCH_PHRASES))]),
         # ("table hash" OR merge) AND NOT stream — set algebra mirror of
         # the engine's expression evaluator, once per path (DataFrame /
         # warm QueryServer); the _wild tags mirror Q_EXPR_WILD
@@ -1638,8 +1742,7 @@ WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
             _bm25_sql(Q_BM25)),
         "bm25_segment_variants": _tagged_sql(
             ["compacted", "merged", "sharded"], _bm25_sql(Q_BM25)),
-        "term_tf_rawfiles":
-            f"WITH {_TOK_CTE} SELECT term, doc_id::BIGINT AS doc_id, tf FROM tf",
+
         "bm25_wand_top10": _bm25_sql(Q_BM25),
         "spell_suggest": _tagged_sql(
             ["df", "df_dict", "segments", "server"],
@@ -1656,6 +1759,8 @@ WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
                              ("qld", _qld_sql(Q_BM25)),
                              ("tfidf", _tfidf_sql(Q_BM25)))),
         "bm25_prf_top10": _prf_sql(Q_BM25),
+        "bm25_synonyms_top10": _syn_sql(Q_SYN_TERMS, Q_SYNONYMS),
+        "related_terms_pmi": _pmi_sql(Q_PMI_SEED, Q_PMI_MIN_CO, Q_PMI_K),
     }
     # the streaming-ingest stats share the exact (untagged) stats oracle
     out["term_stats_streamed"] = f"WITH {_TOK_CTE} {_TERM_STATS_SQL_BODY}"

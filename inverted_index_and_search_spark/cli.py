@@ -234,11 +234,20 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
                meta=None, suggest: int | None = None,
                snip: tuple | None = None,
                complete: bool = False, rank: str | None = None,
-               prf: bool = False) -> bool:
+               prf: bool = False, synonyms: dict | None = None,
+               related: bool = False) -> bool:
     """Evaluate one query line and print results; returns False only on
     a malformed --expr query (one-shot callers exit nonzero on that)."""
     terms = line.split()
     if not terms:
+        return True
+    if related:
+        # document-level PMI associations of the first token
+        rows = q.related_terms(index, terms[0], k=topk).collect()
+        if not rows:
+            print("No related terms.")
+        for r in rows:
+            print(f"{r['term']}\t{r['co_df']}\t{r['pmi']:.6f}")
         return True
     if complete:
         # popularity-ranked autocomplete of the first token as a prefix
@@ -335,10 +344,13 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
             for r in rows:
                 print(f"{show(r['doc_id'])}\t{r['phrase_tf']}")
         return True
-    if bm25 or rank is not None or prf:
+    if bm25 or rank is not None or prf or synonyms is not None:
         from inverted_index_and_search_spark.operators import ranking as rk
 
-        if prf:
+        if synonyms is not None:
+            rows = rk.synonym_bm25_topk(index, terms, synonyms,
+                                        k=topk).collect()
+        elif prf:
             # RM3-shape pseudo-relevance feedback (BM25 base ranker)
             rows = rk.bm25_prf_topk(index, terms, k=topk).collect()
         elif rank == "qld":
@@ -522,12 +534,15 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
 
     server = seg.QueryServer(seg.read_segment_index(spark, args.index),
                              meta=_load_meta(spark, args))
-    if args.prf:
-        # PRF expansion needs a doc->terms profile scan, which the
-        # segment layout serves only via Spark (more_like_this path) —
-        # the warm server has no forward index. DataFrame formats only.
-        print("error: --prf needs a DataFrame index format "
-              "(parquet/text/json/ref-parquet)", file=sys.stderr)
+    if args.prf or args.related or args.synonyms:
+        # PRF expansion and PMI association both need a doc->terms
+        # profile scan, which the segment layout serves only via Spark
+        # (more_like_this path) — the warm server has no forward index;
+        # synonym-group scoring over segments is DataFrame-path work
+        # for now. DataFrame formats only.
+        print("error: --prf/--related/--synonyms need a DataFrame "
+              "index format (parquet/text/json/ref-parquet)",
+              file=sys.stderr)
         if created:
             spark.stop()
         raise SystemExit(2)
@@ -561,6 +576,26 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
             pass
     if created:
         spark.stop()
+
+
+def _load_synonyms(path: str | None) -> dict[str, list[str]] | None:
+    """Parse a thesaurus file: one ``term: syn1, syn2`` (or ``term =
+    syn1, syn2``) line per term; '#' comments and blank lines skipped."""
+    if path is None:
+        return None
+    out: dict[str, list[str]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            head, sep, rest = line.replace("=", ":", 1).partition(":")
+            if not sep:
+                continue
+            syns = [s.strip().lower() for s in rest.split(",") if s.strip()]
+            if syns:
+                out[head.strip().lower()] = syns
+    return out
 
 
 def _load_meta(spark, args: argparse.Namespace):
@@ -666,7 +701,9 @@ def _search(args: argparse.Namespace) -> None:
                         prefix=args.prefix, fuzzy=args.fuzzy, meta=meta,
                         suggest=args.suggest, snip=snip,
                         complete=args.complete, rank=args.rank,
-                        prf=args.prf)
+                        prf=args.prf,
+                        synonyms=_load_synonyms(args.synonyms),
+                        related=args.related)
         if not ok:
             # scripts must see malformed one-shot expressions fail
             if created:
@@ -675,6 +712,7 @@ def _search(args: argparse.Namespace) -> None:
     else:
         # reference REPL loop, search-query.py:120-131 (parse errors
         # print and the loop continues — interactive semantics)
+        syn_map = _load_synonyms(args.synonyms)
         try:
             while True:
                 line = input("> ")
@@ -683,7 +721,8 @@ def _search(args: argparse.Namespace) -> None:
                            prefix=args.prefix, fuzzy=args.fuzzy,
                            meta=meta, suggest=args.suggest, snip=snip,
                            complete=args.complete, rank=args.rank,
-                           prf=args.prf)
+                           prf=args.prf, synonyms=syn_map,
+                           related=args.related)
         except EOFError:
             pass
     if created:
@@ -760,6 +799,15 @@ def main(argv: list[str] | None = None) -> None:
                         "0-based line-number ids; conjunctive ranked "
                         "by default, disjunctive BM25 with --bm25, "
                         "exact phrases with --phrase")
+    s.add_argument("--synonyms", default=None, metavar="PATH",
+                   help="query-time thesaurus file (one 'term: syn1, "
+                        "syn2' line per term); ranked search scores "
+                        "synonym groups with Lucene SynonymQuery "
+                        "semantics (sum tf, max df)")
+    s.add_argument("--related", action="store_true",
+                   help="print the first query token's top related "
+                        "terms by document-level PMI instead of "
+                        "searching")
     s.add_argument("--rank", choices=["bm25", "qld", "tfidf"],
                    default=None,
                    help="ranking model for ranked search: BM25 "

@@ -389,6 +389,59 @@ def more_like_this(index: Index, doc_id: int, *, k_terms: int = 10,
         .limit(int(k)))
 
 
+def related_terms(index: Index, term: str, k: int = 10, *,
+                  min_co: int = 2) -> DataFrame:
+    """(term, co_df, pmi) — the seed term's top-k associated terms by
+    pointwise mutual information over document co-occurrence:
+
+        pmi(t, u) = ln( N * df(t,u) / (df(t) * df(u)) )
+
+    (Church & Hanks 1990's word-association ratio at the document
+    level — the "related searches" / thesaurus-mining primitive.)
+    ``min_co`` floors the co-document count: PMI famously explodes for
+    rare accidental pairs (a 1-in-N co-occurrence of two singletons
+    maxes the ratio), so production association miners threshold
+    support first.
+
+    One job, no driver collect: the seed's pruned postings expand to a
+    doc-id set, a left-semi join restricts the full postings explode to
+    those docs, a per-term count gives df(t,u), and the seed's df rides
+    in as a 1-row broadcast cross join. Ties: pmi desc, co_df desc,
+    term asc, all on round(6) values. The full-postings pass is the
+    inverted layout's doc->terms limitation (more_like_this note): a
+    doc-bucketed forward index turns it into a partition-pruned scan of
+    df(t) buckets."""
+    norm = _norm_terms([term])
+    spark = index.postings.sparkSession
+    if not norm:
+        return spark.createDataFrame(
+            [], "term string, co_df long, pmi double")
+    seed = norm[0]
+    n_docs, _ = index.collection_stats()
+    sp = _query_postings(index, [seed])
+    seed_docs = (sp.select(F.explode("postings").alias("p"))
+                 .select(F.col("p.doc_id").alias("doc_id")))
+    seed_df = sp.agg(F.max("df").alias("seed_df"))
+    co = (
+        index.postings.select(
+            "term", "df", F.explode("postings").alias("p"))
+        .select("term", "df", F.col("p.doc_id").alias("doc_id"))
+        .join(seed_docs, "doc_id", "left_semi")
+        .where(F.col("term") != seed)
+        .groupBy("term")
+        .agg(F.count("*").alias("co_df"), F.max("df").alias("df_u"))
+        .where(F.col("co_df") >= int(min_co))
+        .crossJoin(F.broadcast(seed_df)))
+    scored = co.select(
+        "term", F.col("co_df").cast("long").alias("co_df"),
+        F.round(F.log(F.lit(float(n_docs)) * F.col("co_df")
+                      / (F.col("seed_df") * F.col("df_u"))), 6)
+        .alias("pmi"))
+    return (scored.orderBy(F.col("pmi").desc(), F.col("co_df").desc(),
+                           F.col("term").asc())
+            .limit(int(k)))
+
+
 def bm25_topk(
     index: Index,
     terms: list[str],

@@ -253,6 +253,67 @@ def bm25_prf_topk(index: Index, terms: list[str], k: int = 10, *,
     return _topk(weighted_bm25_scores(index, weights), k)
 
 
+def synonym_bm25_topk(index: Index, terms: list[str],
+                      synonyms: dict[str, list[str]], k: int = 10,
+                      ) -> DataFrame:
+    """(doc_id, score) — BM25 with query-time synonym expansion, Lucene
+    ``SynonymQuery`` semantics: each query term t becomes the group
+    {t} ∪ synonyms(t); a group scores as ONE pseudo-term with
+    tf = sum of member tfs in the doc and df = max member df (Lucene's
+    blended docFreq — union-df would need a distinct-count the postings
+    stats can't answer, and max is the standard conservative blend).
+
+    One job, the standard plan: the pruned fetch covers ALL group
+    members' buckets, a tiny literal term->group map folds members onto
+    their group, a (group, doc) partial agg sums member tfs and maxes
+    member dfs, then ordinary BM25 per group. Group idf uses the
+    blended df; ties round(6)/doc_id asc as everywhere."""
+    norm = _norm_terms(terms)
+    spark = index.postings.sparkSession
+    if not norm:
+        return _empty_scores(index)
+    groups: dict[str, str] = {}  # member -> group head
+    for t in norm:
+        groups[t] = t
+        for s in synonyms.get(t, []):
+            s = s.lower()
+            # a member already claimed by an earlier group keeps the
+            # FIRST head (sorted-norm order): deterministic
+            groups.setdefault(s, t)
+    members = sorted(groups)
+    n_docs, avgdl = index.collection_stats()
+    qp = _query_postings(index, members)
+    gmap = F.create_map(*[F.lit(x) for m in members
+                          for x in (m, groups[m])])
+    # group-LEVEL blended df (max over all index-present members, not
+    # per-doc — the same idf must apply to every doc the group touches):
+    # a tiny agg of the pruned term-level rows, broadcast back
+    gdf = (qp.select(gmap[F.col("term")].alias("grp"), "df")
+           .groupBy("grp").agg(F.max("df").alias("gdf")))
+    exploded = qp.select(
+        gmap[F.col("term")].alias("grp"),
+        F.explode("postings").alias("p")
+    ).select("grp", F.col("p.doc_id").alias("doc_id"),
+             F.col("p.tf").alias("tf"))
+    grouped = (exploded.groupBy("grp", "doc_id")
+               .agg(F.sum("tf").alias("gtf"))
+               .join(F.broadcast(gdf), "grp"))
+    dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
+    idf_col = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("gdf") + 0.5)
+        / (F.col("gdf") + 0.5))
+    scored = (
+        grouped.join(dl, "doc_id")
+        .withColumn(
+            "term_score",
+            idf_col
+            * (F.col("gtf") * (K1 + 1.0))
+            / (F.col("gtf") + K1 * (1.0 - B + B * F.col("dl") / avgdl)))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score")))
+    return _topk(scored, k)
+
+
 def ranking_models(index: Index, terms: list[str], k: int = 10, *,
                    mu: float = DEFAULT_MU) -> DataFrame:
     """(model, doc_id, score) — the three ranking models' top-k side by

@@ -920,3 +920,37 @@ def test_cli_rank_segments_and_prf_guard(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["search", "--index", idx_dir, "--index-format",
                   "segments", "--prf", "--query", "spark"])
+
+
+def test_cli_synonyms_and_related(spark, tmp_path, capsys):
+    """--synonyms FILE ranks with synonym-group BM25; --related prints
+    PMI associations; both match the library operators."""
+    from inverted_index_and_search_spark.operators import ranking as rk
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "synidx")
+    syn_file = tmp_path / "thesaurus.txt"
+    syn_file.write_text(
+        "# test thesaurus\nfast: slow, quick\nspark = stream\n")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir])
+    capsys.readouterr()
+    idx = ib.read_index(spark, idx_dir)
+
+    cli.main(["search", "--index", idx_dir, "--synonyms", str(syn_file),
+              "--topk", "5", "--query", "spark fast"])
+    got = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    want = rk.synonym_bm25_topk(
+        idx, ["spark", "fast"],
+        {"fast": ["slow", "quick"], "spark": ["stream"]}, k=5).collect()
+    assert len(got) == len(want)
+    for ln, r in zip(got, want):
+        assert float(ln.split("\t")[1]) == pytest.approx(r["score"],
+                                                         abs=1e-6)
+
+    cli.main(["search", "--index", idx_dir, "--related", "--topk", "5",
+              "--query", "merge"])
+    got = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    want = q.related_terms(idx, "merge", k=5).collect()
+    assert [(ln.split("\t")[0], int(ln.split("\t")[1])) for ln in got] == \
+        [(r["term"], r["co_df"]) for r in want]

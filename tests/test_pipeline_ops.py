@@ -17,7 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 #: the new operator families (older query names covered elsewhere)
 PIPELINE_QUERIES = [
     "text_metrics",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_jaccard_pairs",
     "simhash_fingerprint", "dedup_simhash_pairs", "dedup_embedding_cosine",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_neardup",
     "multimodal_features", "multimodal_frames",

@@ -397,3 +397,17 @@ def test_weighted_bm25_stays_pruned(spark, persisted_index):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "term_bucket" in pf[0], plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_synonym_bm25_plan_shape(spark, persisted_index):
+    """Synonym-group scoring keeps the BM25 plan skeleton: bucket
+    pruning across ALL member terms, broadcast joins for group-df and
+    doc-stats, TakeOrderedAndProject."""
+    from inverted_index_and_search_spark.operators import ranking as rk
+
+    plan = explain(rk.synonym_bm25_topk(
+        persisted_index, ["table"], {"table": ["query"]}, k=10))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "term_bucket" in pf[0], plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -249,3 +249,98 @@ def test_server_models_warm_path(index, seg_index, model):
     assert cold == warm
     assert cold == [(d, pytest.approx(s, abs=1e-6)) for d, s in want]
     assert server.model_topk(["zzzqqqxx"], k=10, model=model) == []
+
+
+# ------------------------------------------------- synonyms + associations
+
+def _py_synonym_bm25(oracle_idx, terms, synonyms, k=10):
+    groups = {}
+    for t in sorted({x.lower() for x in terms}):
+        groups[t] = t
+        for s in synonyms.get(t, []):
+            groups.setdefault(s.lower(), t)
+    by_group: dict[str, list[str]] = {}
+    for m, g in groups.items():
+        if oracle_idx.df(m) > 0:
+            by_group.setdefault(g, []).append(m)
+    scored: dict[int, float] = {}
+    n = oracle_idx.n_docs
+    for g, members in by_group.items():
+        gdf = max(oracle_idx.df(m) for m in members)
+        idf = math.log(1.0 + (n - gdf + 0.5) / (gdf + 0.5))
+        gtf: dict[int, int] = {}
+        for m in members:
+            for d, tf in oracle_idx.postings[m].items():
+                gtf[d] = gtf.get(d, 0) + tf
+        for d, tf in gtf.items():
+            dl = oracle_idx.dl[d]
+            s = (idf * tf * (rk.K1 + 1.0)
+                 / (tf + rk.K1 * (1.0 - rk.B + rk.B * dl / oracle_idx.avgdl)))
+            scored[d] = scored.get(d, 0.0) + s
+    out = sorted(((d, round(s, 6)) for d, s in scored.items()),
+                 key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+SYN_MAP = {"def": ["return", "zzzmissing"], "var_3_0": ["var_5_0"]}
+
+
+@pytest.mark.parametrize("terms", [["def"], ["def", "var_3_0"], ["int"]],
+                         ids=["def", "def-var", "nosyn"])
+def test_synonym_bm25_matches_python_twin(index, oracle_idx, terms):
+    got = [(r["doc_id"], r["score"])
+           for r in rk.synonym_bm25_topk(index, terms, SYN_MAP).collect()]
+    want = _py_synonym_bm25(oracle_idx, terms, SYN_MAP)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_synonym_bm25_no_synonyms_is_plain_bm25(index):
+    """An empty thesaurus degenerates to ordinary disjunctive BM25."""
+    terms = ["def", "return"]
+    got = [(r["doc_id"], r["score"])
+           for r in rk.synonym_bm25_topk(index, terms, {}).collect()]
+    want = [(r["doc_id"], round(r["score"], 6))
+            for r in q.bm25_topk(index, terms, k=10).collect()]
+    assert got == [(d, pytest.approx(s, abs=1e-6)) for d, s in want]
+
+
+def test_synonym_member_claimed_once(index, oracle_idx):
+    """A member listed under two heads joins the FIRST (sorted) head
+    only — no double counting."""
+    got = rk.synonym_bm25_topk(
+        index, ["def", "if"],
+        {"def": ["return"], "if": ["return"]}).collect()
+    want = _py_synonym_bm25(oracle_idx, ["def", "if"],
+                            {"def": ["return"], "if": ["return"]})
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(d, pytest.approx(s, abs=1e-6)) for d, s in want]
+
+
+def _py_related(oracle_idx, seed, k=10, min_co=2):
+    seed_docs = set(oracle_idx.postings.get(seed, ()))
+    if not seed_docs:
+        return []
+    n, sdf = oracle_idx.n_docs, len(seed_docs)
+    out = []
+    for t, post in oracle_idx.postings.items():
+        if t == seed:
+            continue
+        co = len(seed_docs & set(post))
+        if co >= min_co:
+            pmi = round(math.log(n * co / (sdf * len(post))), 6)
+            out.append((t, co, pmi))
+    out.sort(key=lambda x: (-x[2], -x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("seed", ["def", "var_3_0"])
+def test_related_terms_matches_python_twin(index, oracle_idx, seed):
+    got = [(r["term"], r["co_df"], r["pmi"])
+           for r in q.related_terms(index, seed, k=8, min_co=2).collect()]
+    assert got == _py_related(oracle_idx, seed, k=8, min_co=2)
+
+
+def test_related_terms_absent_seed_empty(index):
+    assert q.related_terms(index, "zzzqqqxx").count() == 0
