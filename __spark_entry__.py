@@ -110,7 +110,9 @@ def _q_term_stats_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = p.select(F.lit("salted").alias("path"), "term",
                       F.col("df").cast("long").alias("df"),
                       F.col("cf").cast("long").alias("cf"))
-    return plain.unionByName(salted)
+    streamed = _q_term_stats_streamed(spark, sf_dir).select(
+        F.lit("streamed").alias("path"), "term", "df", "cf")
+    return plain.unionByName(salted).unionByName(streamed)
 
 
 def _q_doc_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,7 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- index-build surface
         "term_tf": _q_term_tf_both,
         "term_stats": _q_term_stats_paths,
-        "term_stats_streamed": _q_term_stats_streamed,
+        "term_stats_analyzed": _q_term_stats_analyzed,
         "user_counts_stateful_stream": _q_user_stateful,
         "doc_id_assign": _q_doc_id_assign,
         "doc_stats": _q_doc_stats,
@@ -1100,6 +1102,41 @@ _TERM_STATS_SQL_BODY = """
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
 """
 _TERM_STATS_SQL = f"WITH {_TOK_CTE} {_TERM_STATS_SQL_BODY}"
+
+
+def _analyzer_fixture():
+    from inverted_index_and_search_spark.analysis import Analyzer
+
+    return Analyzer.make(["the", "a"], stem=True)
+
+
+def _analyzed_stats_sql() -> str:
+    """term_stats over the ANALYZED tokenization (stopwords the/a +
+    S-stemming), via Analyzer.tokens_sql_duckdb — the oracle twin runs
+    the exact same filter+stem chain in DuckDB."""
+    ana = _analyzer_fixture()
+    atok = ana.tokens_sql_duckdb("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({atok}) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       GROUP BY term, doc_id)
+{_TERM_STATS_SQL_BODY}
+"""
+
+
+_ANALYZED_STATS_SQL = _analyzed_stats_sql()
+
+
+def _q_term_stats_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, cf) — per-term stats of an index built WITH the
+    analyzer pipeline (stopword removal + S-stemming, analysis.py):
+    the whole analyzed build is driver-verified against a DuckDB twin
+    that applies the identical filter+stem chain in SQL."""
+    idx = ib.build_index(_docs(spark, sf_dir), content_col="text",
+                         id_col="doc_id", analyzer=_analyzer_fixture())
+    return idx.postings.select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"))
 
 
 def _bm25_sql(terms: list[str]) -> str:
@@ -1503,7 +1540,9 @@ WHERE NOT EXISTS (SELECT 1 FROM sel)
             ("docs", _TERM_TF_SQL), ("rawfiles", _TERM_TF_SQL)]),
         # one oracle per evaluation path (plain one-shot agg / forced
         # all-hot salted two-phase): identical expected rows per tag
-        "term_stats": _tagged_sql(["plain", "salted"], _TERM_STATS_SQL),
+        "term_stats": _tagged_sql(["plain", "salted", "streamed"],
+                                  _TERM_STATS_SQL),
+        "term_stats_analyzed": _ANALYZED_STATS_SQL,
         "user_counts_stateful_stream": """
 SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS total_value
@@ -1763,5 +1802,4 @@ WHERE levenshtein(term, '{Q_FUZZY[0]}') <= {Q_FUZZY[1]} ORDER BY doc_id
         "related_terms_pmi": _pmi_sql(Q_PMI_SEED, Q_PMI_MIN_CO, Q_PMI_K),
     }
     # the streaming-ingest stats share the exact (untagged) stats oracle
-    out["term_stats_streamed"] = f"WITH {_TOK_CTE} {_TERM_STATS_SQL_BODY}"
     return out

@@ -82,6 +82,26 @@ def _build(args: argparse.Namespace) -> None:
                                id_col=args.id_col)
     import time
 
+    analyzer = None
+    if args.stopwords or args.stem:
+        from inverted_index_and_search_spark.analysis import Analyzer
+
+        stop = []
+        if args.stopwords:
+            with open(args.stopwords, encoding="utf-8") as f:
+                stop = [ln.strip() for ln in f
+                        if ln.strip() and not ln.startswith("#")]
+        analyzer = Analyzer.make(stop, args.stem)
+        if args.positional or args.field or args.format == "segments":
+            # the analyzer currently rides the tf build paths only; the
+            # positional/fielded/segment pipelines tokenize separately
+            print("error: --stopwords/--stem support parquet/text/json "
+                  "tf layouts (not --positional/--field/segments yet)",
+                  file=sys.stderr)
+            if created:
+                spark.stop()
+            raise SystemExit(2)
+
     t0 = time.perf_counter()
     if args.field:
         from inverted_index_and_search_spark.operators.fielded import (
@@ -180,7 +200,8 @@ def _build(args: argparse.Namespace) -> None:
     else:
         idx = ib.build_index(docs, content_col=args.content_col,
                              id_col=args.id_col, salt_hot_terms=True,
-                             n_buckets=args.num_output_partitions)
+                             n_buckets=args.num_output_partitions,
+                             analyzer=analyzer)
     if args.format == "parquet":
         ib.write_index(idx, args.output)
     elif args.format == "text":
@@ -344,6 +365,14 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
             for r in rows:
                 print(f"{show(r['doc_id'])}\t{r['phrase_tf']}")
         return True
+    if index.analyzer is not None and not index.analyzer.is_identity:
+        # the index was built with an analyzer (meta.json): query terms
+        # must pass the same stopword/stem transform to hit its
+        # vocabulary (Lucene convention: one analyzer, both sides)
+        terms = index.analyzer.analyze_terms(terms)
+        if not terms:
+            print("No matches found.")
+            return True
     if bm25 or rank is not None or prf or synonyms is not None:
         from inverted_index_and_search_spark.operators import ranking as rk
 
@@ -764,6 +793,14 @@ def main(argv: list[str] | None = None) -> None:
                         "'ref-parquet[-nested]' writes the reference's "
                         "own Parquet layouts ({word, docs} / "
                         "{word, postings:[{doc,count}]})")
+    b.add_argument("--stopwords", default=None, metavar="PATH",
+                   help="index-time stopword list (one term per line); "
+                        "persisted in meta.json and auto-applied to "
+                        "query terms at search time")
+    b.add_argument("--stem", action="store_true",
+                   help="index-time S-stemming (Harman 1991 plural "
+                        "stemmer); persisted and auto-applied to "
+                        "query terms")
     b.add_argument("--positional", action="store_true",
                    help="store per-(term,doc) token positions — enables "
                         "`search --phrase`; all other queries work "

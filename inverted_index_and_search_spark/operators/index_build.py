@@ -86,14 +86,19 @@ _ROUTE_CACHE: dict = {}
 
 
 def tokens(docs: DataFrame, *, use_pandas_udf: bool = True,
-           content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+           content_col: str = "content", id_col: str = "doc_id",
+           analyzer=None) -> DataFrame:
     """(doc_id, term) — one row per token occurrence.
 
     ``use_pandas_udf=True`` is the north-star path (Arrow-vectorized);
     ``False`` uses the pure-JVM expression tokenizer (whole-stage
     codegen, fastest). Both are cross-tested for identical output.
+    ``analyzer`` (analysis.Analyzer) applies stopword/stem token
+    filters as pure Catalyst array expressions — identity by default.
     """
     tok = tokenize_pandas_udf(F.col(content_col)) if use_pandas_udf else tokens_col(F.col(content_col))
+    if analyzer is not None and not analyzer.is_identity:
+        tok = analyzer.analyze_tokens_col(tok)
     return docs.select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("term"))
 
 
@@ -104,7 +109,7 @@ def term_doc_tf(tok: DataFrame) -> DataFrame:
 
 
 def term_doc_tf_arrow(docs: DataFrame, *, content_col: str = "content",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id", analyzer=None) -> DataFrame:
     """(term, doc_id, tf) computed *inside* the Arrow UDF — in-mapper
     combining (the reference's ``TokenizerMapperStateful.java:29-66``)
     done batch-vectorized.
@@ -120,13 +125,16 @@ def term_doc_tf_arrow(docs: DataFrame, *, content_col: str = "content",
 
     from inverted_index_and_search_spark.tokenizer import _PY_TOKEN
 
+    analyze = (None if analyzer is None or analyzer.is_identity
+               else analyzer.analyze_py)
+
     def count_tf(batches):
         from collections import Counter
         for pdf in batches:
             toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
             ids, terms, tfs = [], [], []
             for doc_id, words in zip(pdf[id_col], toks):
-                c = Counter(words)
+                c = Counter(words if analyze is None else analyze(words))
                 ids.extend([doc_id] * len(c))
                 terms.extend(c.keys())
                 tfs.extend(c.values())
@@ -300,6 +308,10 @@ class Index:
     #: only): term-range file pruning for prefix/fuzzy dictionary scans,
     #: which the hash-bucketed postings layout cannot provide
     dictionary: DataFrame | None = None
+    #: analyzer config the index was BUILT with (analysis.Analyzer or
+    #: None = identity): persisted in meta.json so query surfaces can
+    #: apply the same stopword/stem transform to incoming terms
+    analyzer: object | None = None
     _n_docs: int | None = None
     _avgdl: float | None = None
 
@@ -316,7 +328,8 @@ class Index:
 def build_index(docs: DataFrame, *, content_col: str = "content",
                 id_col: str = "doc_id", use_pandas_udf: bool = True,
                 n_buckets: int = DEFAULT_BUCKETS,
-                salt_hot_terms: bool = False) -> Index:
+                salt_hot_terms: bool = False,
+                analyzer=None) -> Index:
     """End-to-end logical plan for the index build (lazy).
 
     ``use_pandas_udf=True`` (north-star path) counts tf inside the
@@ -325,10 +338,12 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
     (explode + two-level HashAggregate).
     """
     if use_pandas_udf:
-        tf = term_doc_tf_arrow(docs, content_col=content_col, id_col=id_col)
+        tf = term_doc_tf_arrow(docs, content_col=content_col, id_col=id_col,
+                               analyzer=analyzer)
     else:
         tok = tokens(docs, use_pandas_udf=False,
-                     content_col=content_col, id_col=id_col)
+                     content_col=content_col, id_col=id_col,
+                     analyzer=analyzer)
         tf = term_doc_tf(tok)
     hot = None
     if salt_hot_terms:
@@ -340,6 +355,7 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
         doc_stats=doc_stats(docs, tf, content_col=content_col, id_col=id_col),
         tf=tf,
         n_buckets=n_buckets,
+        analyzer=analyzer,
     )
 
 
@@ -380,9 +396,13 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
         # value or matching postings are silently filtered out;
         # shardedness rides along so read-back sinks merge correctly
         os.makedirs(out_dir, exist_ok=True)
+        meta = {"n_buckets": index.n_buckets, "sharded": index.sharded}
+        if index.analyzer is not None and not index.analyzer.is_identity:
+            meta["analyzer"] = {
+                "stopwords": sorted(index.analyzer.stopwords),
+                "stem": index.analyzer.stem}
         with open(f"{out_dir}/meta.json", "w") as f:
-            json.dump({"n_buckets": index.n_buckets,
-                       "sharded": index.sharded}, f)
+            json.dump(meta, f)
     finally:
         if index.tf is not None:
             index.tf.unpersist()
@@ -748,6 +768,13 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         # default to the SAFE side: the wire sinks' shard merge is
         # always correct, merely skippable when sharded is known False
         sharded = bool(meta.get("sharded", True))
+    analyzer = None
+    if os.path.exists(meta_path):
+        acfg = meta.get("analyzer")
+        if acfg:
+            from inverted_index_and_search_spark.analysis import Analyzer
+            analyzer = Analyzer.make(acfg.get("stopwords"),
+                                     bool(acfg.get("stem")))
     dictionary = None
     if os.path.exists(f"{out_dir}/dictionary"):
         dictionary = spark.read.parquet(f"{out_dir}/dictionary")
@@ -757,4 +784,5 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         n_buckets=n_buckets,
         sharded=sharded,
         dictionary=dictionary,
+        analyzer=analyzer,
     )

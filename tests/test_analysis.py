@@ -1,0 +1,176 @@
+"""Analyzer pipeline: S-stemmer cross-implementation byte parity
+(python / JVM expression / DuckDB SQL), stopword filtering, analyzed
+index builds (both tf paths), meta.json persistence, and the CLI
+query-side twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from inverted_index_and_search_spark import cli
+from inverted_index_and_search_spark.analysis import (
+    Analyzer,
+    s_stem_py,
+    s_stem_sql_duckdb,
+)
+from inverted_index_and_search_spark.operators import index_build as ib
+from inverted_index_and_search_spark.operators import query as q
+
+STEM_CASES = {
+    # rule 1: ies -> y, with the eies/aies exceptions
+    "queries": "query", "stories": "story", "flies": "fly",
+    "eies": "eies", "aies": "aies", "monaies": "monaies",
+    # rule 2: es -> e, with aes/ees/oes exceptions
+    "tables": "table", "caches": "cache", "classes": "classe",
+    "trees": "trees", "goes": "goes", "aes": "aes",
+    # rule 3: s -> '', with us/ss exceptions
+    "joins": "join", "columns": "column",
+    "bus": "bus", "miss": "miss", "class": "class",
+    # never stem <= 2 chars; no-ops
+    "is": "is", "as": "as", "a": "a", "merge": "merge", "": "",
+    "var_3_0": "var_3_0",
+}
+
+
+def test_s_stem_python_cases():
+    for w, want in STEM_CASES.items():
+        assert s_stem_py(w) == want, w
+
+
+def test_s_stem_jvm_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from inverted_index_and_search_spark.analysis import s_stem_col
+
+    words = sorted(STEM_CASES)
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["s"]
+           for r in df.select("w", s_stem_col(F.col("w")).alias("s")).collect()}
+    assert got == {w: s_stem_py(w) for w in words}
+
+
+def test_s_stem_duckdb_matches_python():
+    con = duckdb.connect()
+    for w in STEM_CASES:
+        got = con.execute(
+            f"SELECT {s_stem_sql_duckdb('t')} FROM (SELECT ? AS t)",
+            [w]).fetchone()[0]
+        assert got == s_stem_py(w), w
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcdefgiosuy_", min_size=0, max_size=8))
+def test_s_stem_duckdb_property(word):
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {s_stem_sql_duckdb('t')} FROM (SELECT ? AS t)",
+        [word]).fetchone()[0]
+    assert (got or "") == s_stem_py(word)
+
+
+def test_analyzer_identity_and_order():
+    a = Analyzer.make(["the", "a"], stem=True)
+    assert not a.is_identity and Analyzer().is_identity
+    # stopwords filter BEFORE stemming (Lucene chain order): "as" stays
+    # (not in list), "a" dropped before the stemmer could touch it
+    assert a.analyze_py(["the", "queries", "a", "joins"]) == \
+        ["query", "join"]
+    assert a.analyze_terms(["THE", "Queries"]) == ["query"]
+
+
+@pytest.mark.parametrize("use_pandas_udf", [True, False],
+                         ids=["arrow", "jvm"])
+def test_analyzed_build_matches_python_oracle(spark, docs_df, corpus_pdf,
+                                              use_pandas_udf):
+    """Both tf paths under an analyzer == pure-python tokenize ->
+    analyze -> count, exactly (terms, tfs, and doc lengths)."""
+    from collections import Counter
+
+    from inverted_index_and_search_spark.tokenizer import tokenize_py
+
+    ana = Analyzer.make(["def", "return"], stem=True)
+    idx = ib.build_index(docs_df, use_pandas_udf=use_pandas_udf,
+                         analyzer=ana)
+    got = {(r["term"], r["doc_id"], r["tf"]) for r in idx.tf.collect()}
+    want = set()
+    for doc_id, content in zip(corpus_pdf["doc_id"], corpus_pdf["content"]):
+        for t, c in Counter(ana.analyze_py(tokenize_py(content))).items():
+            want.add((t, int(doc_id), c))
+    assert got == want
+    # doc length counts post-analysis tokens
+    dls = {r["doc_id"]: r["dl"] for r in idx.doc_stats.collect()}
+    for doc_id, content in zip(corpus_pdf["doc_id"], corpus_pdf["content"]):
+        assert dls[int(doc_id)] == len(ana.analyze_py(tokenize_py(content)))
+
+
+def test_analyzer_roundtrips_through_meta(spark, docs_df, tmp_path):
+    ana = Analyzer.make(["def"], stem=True)
+    idx = ib.build_index(docs_df, analyzer=ana)
+    out = str(tmp_path / "anaidx")
+    ib.write_index(idx, out)
+    rt = ib.read_index(spark, out)
+    assert rt.analyzer == ana
+    # plain index -> no analyzer key
+    out2 = str(tmp_path / "plainidx")
+    ib.write_index(ib.build_index(docs_df), out2)
+    assert ib.read_index(spark, out2).analyzer is None
+
+
+def test_duckdb_analyzed_tokens_match_engine(spark, docs_df, corpus_pdf):
+    """Analyzer.tokens_sql_duckdb is the oracle twin of the analyzed
+    engine tokenization (same shape the driver compare would use)."""
+    ana = Analyzer.make(["def", "if"], stem=True)
+    con = duckdb.connect()
+    con.register("docs", corpus_pdf[["doc_id", "content"]])
+    rows = con.execute(
+        f"SELECT doc_id, {ana.tokens_sql_duckdb('content')} AS toks "
+        "FROM docs").fetchall()
+    from inverted_index_and_search_spark.tokenizer import tokenize_py
+
+    for doc_id, toks in rows:
+        assert toks == ana.analyze_py(tokenize_py(
+            corpus_pdf.set_index("doc_id")["content"][doc_id]))
+
+
+def test_cli_analyzed_build_and_search(spark, tmp_path, capsys):
+    """build --stopwords --stem persists the analyzer; search auto-stems
+    query terms ('tables' hits docs containing 'table'), stopword
+    queries come back empty."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "anacli")
+    stop = tmp_path / "stop.txt"
+    stop.write_text("the\na\n")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir, "--stopwords", str(stop), "--stem"])
+    capsys.readouterr()
+    idx = ib.read_index(spark, idx_dir)
+    assert idx.analyzer is not None and idx.analyzer.stem
+
+    # plural query term stems onto the indexed vocabulary
+    cli.main(["search", "--index", idx_dir, "--bm25", "--topk", "3",
+              "--query", "tables queries"])
+    got = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    want = q.bm25_topk(idx, ["table", "query"], k=3).collect()
+    assert [int(ln.split("\t")[0]) for ln in got] == \
+        [r["doc_id"] for r in want]
+
+    # a pure-stopword query is analyzed to nothing
+    cli.main(["search", "--index", idx_dir, "--query", "the a"])
+    assert "No matches found." in capsys.readouterr().out
+
+    # the indexed vocabulary contains no stopwords
+    terms = {r["term"] for r in idx.postings.select("term").collect()}
+    assert "the" not in terms and "a" not in terms
+
+
+def test_cli_analyzer_segment_guard(tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    stop = tmp_path / "stop.txt"
+    stop.write_text("the\n")
+    with pytest.raises(SystemExit):
+        cli.main(["build", "--input", docs, "--content-col", "text",
+                  "--output", str(tmp_path / "x"), "--format", "segments",
+                  "--stopwords", str(stop)])
