@@ -637,14 +637,25 @@ def _q_query_expr_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+Q_EXPR_BOOST = '("table hash" OR merge^2.5) AND NOT stream'
+
+
 def _q_query_expr_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranked boolean retrieval: BM25 over the expression's positive
-    terms, restricted to its boolean match set."""
+    """(part, doc_id, score) — ranked boolean retrieval: BM25 over the
+    expression's positive terms restricted to its boolean match set,
+    plain AND with a Lucene-style clause boost (merge^2.5 scales that
+    term's contribution via the weighted scorer)."""
     from inverted_index_and_search_spark.operators import search_expr as se
 
-    res = se.search_expr_ranked(_pindex(spark, sf_dir), Q_EXPR, k=10)
-    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      F.round(F.col("score"), 6).alias("score"))
+    pidx = _pindex(spark, sf_dir)
+    parts = []
+    for tag, expr in (("plain", Q_EXPR), ("boosted", Q_EXPR_BOOST)):
+        parts.append(
+            se.search_expr_ranked(pidx, expr, k=10).select(
+                F.lit(tag).alias("part"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.round(F.col("score"), 6).alias("score")))
+    return parts[0].unionByName(parts[1])
 
 
 Q_PREFIX = "tab"
@@ -1320,6 +1331,50 @@ ORDER BY pmi DESC, co_df DESC, term ASC LIMIT {k}
 """
 
 
+def _expr_ranked_sql(weights: dict[str, float]) -> str:
+    """Ranked Q_EXPR oracle with per-term multiplicative weights (the
+    clause-boost twin: search_expr_ranked scores boosted terms through
+    weighted_bm25_scores)."""
+    wvals = ", ".join(f"('{t}', {w})" for t, w in sorted(weights.items()))
+    return f"""
+WITH {_TOK_CTE},
+t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+ph AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, {_phrase_tf_frag(["table", "hash"])} AS ptf FROM t)
+  WHERE ptf > 0
+),
+mg AS (SELECT doc_id FROM t WHERE list_contains(tk, 'merge')),
+st AS (SELECT doc_id FROM t WHERE list_contains(tk, 'stream')),
+m AS (
+  SELECT doc_id FROM ph UNION SELECT doc_id FROM mg
+  EXCEPT SELECT doc_id FROM st
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+wts(term, wt) AS (VALUES {wvals}),
+qt AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM wts) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( wts.wt * ln(1.0 + (s.n - qt.df + 0.5) / (qt.df + 0.5))
+              * (tf.tf * {K1 + 1.0})
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN qt USING (term) JOIN wts USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM scored WHERE doc_id IN (SELECT doc_id FROM m)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _boolean_sql(terms: list[str]) -> str:
     n = len(set(terms))
     return f"""
@@ -1660,42 +1715,13 @@ SELECT doc_id::BIGINT AS doc_id FROM (
 ) ORDER BY doc_id
 """),
         # BM25 over the expression's positive terms (table, hash, merge)
-        # restricted to the boolean match set of Q_EXPR
-        "query_expr_ranked": f"""
-WITH {_TOK_CTE},
-t AS (SELECT doc_id, {_TOK} AS tk FROM documents),
-ph AS (
-  SELECT doc_id FROM (
-    SELECT doc_id, {_phrase_tf_frag(["table", "hash"])} AS ptf FROM t)
-  WHERE ptf > 0
-),
-mg AS (SELECT doc_id FROM t WHERE list_contains(tk, 'merge')),
-st AS (SELECT doc_id FROM t WHERE list_contains(tk, 'stream')),
-m AS (
-  SELECT doc_id FROM ph UNION SELECT doc_id FROM mg
-  EXCEPT SELECT doc_id FROM st
-),
-dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
-stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT avg(dl) FROM dl) AS avgdl
-),
-qt AS (
-  SELECT term, count(*)::DOUBLE AS df FROM tf
-  WHERE term IN ('hash', 'merge', 'table') GROUP BY term
-),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln(1.0 + (s.n - qt.df + 0.5) / (qt.df + 0.5))
-              * (tf.tf * {K1 + 1.0})
-              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
-  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
-  GROUP BY tf.doc_id
-)
-SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
-FROM scored WHERE doc_id IN (SELECT doc_id FROM m)
-ORDER BY score DESC, doc_id ASC LIMIT 10
-""",
+        # restricted to the boolean match set of Q_EXPR — plain part at
+        # unit weights, boosted part with merge^2.5 (clause boost)
+        "query_expr_ranked": _part_sql([
+            ("plain", _expr_ranked_sql({"hash": 1.0, "merge": 1.0,
+                                        "table": 1.0})),
+            ("boosted", _expr_ranked_sql({"hash": 1.0, "merge": 2.5,
+                                          "table": 1.0}))]),
         # MoreLikeThis: MLT_DOC's top-10 tfidf terms (top_terms's exact
         # ranking) -> disjunctive BM25, source excluded before the top-k
         "mlt_top10": f"""

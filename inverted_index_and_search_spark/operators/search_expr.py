@@ -59,7 +59,7 @@ from inverted_index_and_search_spark.operators.query import (
 )
 
 __all__ = ["parse", "eval_expr", "search_expr", "ExprError",
-           "Term", "Phrase", "And", "Or", "Not", "Near",
+           "Term", "Phrase", "And", "Or", "Not", "Near", "Boosted",
            "PrefixAtom", "FuzzyAtom", "FieldAtom", "field_cond"]
 
 
@@ -103,6 +103,20 @@ class Near:
 
 
 @dataclass(frozen=True)
+class Boosted:
+    """``term^2.5`` / ``"a phrase"^2`` — a Lucene-style clause boost:
+    matching is unchanged (evaluates exactly as the child), but in
+    ranked mode the child's scoring terms carry the multiplicative
+    weight. Plain terms and phrases only; a boost on wildcard/fuzzy/
+    field atoms is a parse error (their term set is dictionary-driven
+    and their semantics are filters). Boolean (unranked) mode ignores
+    boosts, as Lucene does."""
+
+    child: object  # Term | Phrase
+    weight: float
+
+
+@dataclass(frozen=True)
 class PrefixAtom:
     """``tab*`` — any term starting with the prefix (trailing star only)."""
 
@@ -131,6 +145,8 @@ class FieldAtom:
 
 
 _NEAR_RE = re.compile(r"NEAR/(\d+)$")
+
+_BOOST_RE = re.compile(r"^(.*)\^(\d+(?:\.\d+)?)$")
 
 _FIELD_ATOM_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$")
 
@@ -236,10 +252,28 @@ def parse(query: str):
             words = tuple(tokenize_py(t[1:-1]))
             if not words:
                 raise ExprError("empty phrase")
+            nxt = peek()
+            if nxt is not None and nxt.startswith("^"):
+                take()
+                m = re.fullmatch(r"\^(\d+(?:\.\d+)?)", nxt)
+                if not m:
+                    raise ExprError(f"bad boost {nxt!r}: ^N or ^N.N")
+                return Boosted(Phrase(words), float(m.group(1)))
             return Phrase(words)
         if t in ("AND", "OR") or _NEAR_RE.match(t):
             raise ExprError(f"operator {t} needs operands")
         take()
+        boost = None
+        bm = _BOOST_RE.match(t)
+        if bm and bm.group(1):
+            t, boost = bm.group(1), float(bm.group(2))
+            if any(c in t for c in "*~:^"):
+                raise ExprError(
+                    f"boost on {t!r}: ^w applies to plain terms and "
+                    "phrases only (wildcard/fuzzy/field atoms are "
+                    "filters)")
+        if boost is not None:
+            return Boosted(Term(t.lower()), boost)
         if ":" in t:
             # field filter — checked before the wildcard/fuzzy branches
             # so 'source:src1*' reads as a field prefix value, not a
@@ -277,6 +311,10 @@ def parse(query: str):
                                 "0..2 (bare ~ means 1)")
             return FuzzyAtom(m.group(1).lower(),
                              int(m.group(2)) if m.group(2) else 1)
+        if "^" in t:
+            # any ^ not consumed by the boost regex is malformed (the
+            # tokenizer strips ^ from documents, so no term contains it)
+            raise ExprError(f"bad boost in {t!r}: term^N or term^N.N")
         return Term(t.lower())
 
     node = parse_or()
@@ -333,6 +371,8 @@ def eval_expr(index: Index, node, meta: DataFrame | None = None) -> DataFrame:
         _phrase_starts,
     )
 
+    if isinstance(node, Boosted):
+        return eval_expr(index, node.child, meta)
     if isinstance(node, Term):
         return _any_term_docs(index, [node.term])
     if isinstance(node, FieldAtom):
@@ -422,7 +462,17 @@ def search_expr_ranked(index: Index, query: str, k: int = 10,
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     matched = eval_expr(index, node, meta)
-    return (bm25_scores(index, terms)
+    boosts = expr_boosts(node)
+    if boosts:
+        from inverted_index_and_search_spark.operators.ranking import (
+            weighted_bm25_scores,
+        )
+
+        weights = {t: boosts.get(t, 1.0) for t in terms}
+        scored = weighted_bm25_scores(index, weights)
+    else:
+        scored = bm25_scores(index, terms)
+    return (scored
             .join(matched.select("doc_id"), "doc_id", "left_semi")
             .select("doc_id", "score")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -434,6 +484,8 @@ def expr_terms(node) -> list[str]:
     term set a ranked layer scores with. Wildcard/fuzzy atoms are not
     included here (their term set needs a dictionary): ranked callers
     add :func:`expand_atom_terms`."""
+    if isinstance(node, Boosted):
+        return expr_terms(node.child)
     if isinstance(node, Term):
         return [node.term]
     if isinstance(node, Phrase):
@@ -447,6 +499,26 @@ def expr_terms(node) -> list[str]:
                 out.extend(expr_terms(p))
         return _norm_terms(out)
     return []
+
+
+def expr_boosts(node) -> dict[str, float]:
+    """term -> boost weight from the expression's positive Boosted
+    clauses (phrase boosts apply to each phrase word). A term boosted
+    more than once keeps the MAX weight (deterministic; Lucene
+    composes per-clause, but this scorer is term-level disjunctive)."""
+    out: dict[str, float] = {}
+
+    def walk(n) -> None:
+        if isinstance(n, Boosted):
+            for t in expr_terms(n.child):
+                out[t] = max(out.get(t, 0.0), n.weight)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                if not isinstance(p, Not):
+                    walk(p)
+
+    walk(node)
+    return out
 
 
 def atom_cond(node):
@@ -533,7 +605,9 @@ def expand_atom_terms(node, expander) -> list[str]:
     out: list[str] = []
 
     def walk(n) -> None:
-        if isinstance(n, (PrefixAtom, FuzzyAtom)):
+        if isinstance(n, Boosted):
+            walk(n.child)
+        elif isinstance(n, (PrefixAtom, FuzzyAtom)):
             out.extend(expander(n))
         elif isinstance(n, (And, Or)):
             for p in n.parts:

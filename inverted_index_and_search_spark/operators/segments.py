@@ -999,6 +999,8 @@ class QueryServer:
         needs its child's doc set), for one batched cache ensure."""
         from inverted_index_and_search_spark.operators import search_expr as se
 
+        if isinstance(node, se.Boosted):
+            return self._collect_expr_terms(node.child)
         if isinstance(node, se.Term):
             return [node.term]
         if isinstance(node, se.Phrase):
@@ -1028,6 +1030,8 @@ class QueryServer:
         per-term cache (the warm twin of search_expr.eval_expr)."""
         from inverted_index_and_search_spark.operators import search_expr as se
 
+        if isinstance(node, se.Boosted):
+            return self._eval_node(node.child)
         if isinstance(node, se.Term):
             tp = self._cache.get(node.term)
             return tp.doc_ids if tp is not None else np.empty(0, np.int64)
@@ -1143,6 +1147,7 @@ class QueryServer:
         # match-set ranks. Occurrences concatenate in sorted-term order
         # and bincount accumulates in element order, so per-doc float
         # sums use the same deterministic order as every other path.
+        boosts = se.expr_boosts(node)
         ranks_all, sc_all = [], []
         for t in terms:  # expr_terms returns sorted unique
             tp = self._cache.get(t)
@@ -1152,7 +1157,11 @@ class QueryServer:
             j_c = np.minimum(j, matched.size - 1)
             mask = matched[j_c] == tp.doc_ids
             ranks_all.append(j_c[mask])
-            sc_all.append(tp.scores[mask])
+            w = boosts.get(t, 1.0)
+            # clause boost scales the term's BM25 contributions (the
+            # cached cursor is never mutated — the mask copy is scaled)
+            sc_all.append(tp.scores[mask] * w if w != 1.0
+                          else tp.scores[mask])
         if not ranks_all:
             return []
         sums = np.bincount(np.concatenate(ranks_all),

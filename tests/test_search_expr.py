@@ -81,6 +81,8 @@ def _oracle_lev(a: str, b: str) -> int:
 
 
 def oracle_eval(toks: dict[int, list[str]], node) -> set[int]:
+    if isinstance(node, se.Boosted):
+        return oracle_eval(toks, node.child)
     if isinstance(node, se.Term):
         return {d for d, ts in toks.items() if node.term in ts}
     if isinstance(node, se.PrefixAtom):
@@ -408,3 +410,80 @@ def test_field_atom_without_meta_raises(pidx):
 def test_unknown_field_raises(pidx, docs_df):
     with pytest.raises(se.ExprError, match="unknown field"):
         se.search_expr(pidx, "nosuchfield:x", meta=docs_df).collect()
+
+
+# ------------------------------------------------------------ clause boosts
+
+def test_boost_parses_and_matching_unchanged(pidx, corpus_pdf):
+    """term^2 / "phrase"^2 parse to Boosted and match exactly like the
+    unboosted expression (boolean mode ignores boosts, as Lucene)."""
+    node = se.parse('def^2 AND (return OR "def trait"^1.5)')
+    assert isinstance(node, se.And)
+    toks = _oracle_docsets(corpus_pdf)
+    plain = se.parse('def AND (return OR "def trait")')
+    assert oracle_eval(toks, node) == oracle_eval(toks, plain)
+    got = [r["doc_id"] for r in se.search_expr(pidx, 
+           'def^2 AND (return OR "def trait"^1.5)').collect()]
+    want = [r["doc_id"] for r in se.search_expr(pidx,
+            'def AND (return OR "def trait")').collect()]
+    assert got == want
+
+
+def test_boost_weights_ranked_scores(pidx, oracle_idx, corpus_pdf):
+    """Ranked mode: a boosted term's BM25 contribution scales by the
+    weight — verified against the pure-python weighted scorer."""
+    expr = "def^2.5 OR var_3_0"
+    node = se.parse(expr)
+    assert se.expr_boosts(node) == {"def": 2.5}
+    toks = _oracle_docsets(corpus_pdf)
+    matched = oracle_eval(toks, node)
+
+    def wscore(d):
+        out = 0.0
+        for t, w in (("def", 2.5), ("var_3_0", 1.0)):
+            tf = oracle_idx.postings.get(t, {}).get(d, 0)
+            if tf:
+                dl = oracle_idx.dl[d]
+                out += (w * oracle_idx.idf(t) * tf * 2.2
+                        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                                       / oracle_idx.avgdl)))
+        return out
+
+    want = sorted(((d, wscore(d)) for d in matched),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    got = [(r["doc_id"], r["score"])
+           for r in se.search_expr_ranked(pidx, expr, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-6
+    # and the boost actually changes the ranking vs unboosted when the
+    # fixture has docs where the two terms trade off
+    unb = [(r["doc_id"], r["score"])
+           for r in se.search_expr_ranked(pidx, "def OR var_3_0",
+                                          k=10).collect()]
+    assert got != unb
+
+
+def test_boost_server_path_matches_dataframe(pidx, docs_df, oracle_idx):
+    """Warm QueryServer ranked eval applies the same clause boosts."""
+    from inverted_index_and_search_spark.operators import index_build as ib
+    from inverted_index_and_search_spark.operators import segments as seg
+
+    tdp = pos.term_doc_positions_arrow(docs_df)
+    sidx = seg.build_segment_index(tdp, oracle_idx.n_docs,
+                                   oracle_idx.avgdl)
+    server = seg.QueryServer(sidx)
+    for expr in ("def^2.5 OR var_3_0", 'def AND "def trait"^3'):
+        want = [(r["doc_id"], round(r["score"], 6))
+                for r in se.search_expr_ranked(pidx, expr, k=10).collect()]
+        got = [(d, round(s, 6)) for d, s in
+               server.search_expr_ranked(expr, k=10)]
+        assert [d for d, _ in got] == [d for d, _ in want], expr
+        for (_, a), (_, b) in zip(got, want):
+            assert abs(a - b) < 1e-6
+
+
+def test_boost_errors():
+    for bad in ("de*^2", "tble~1^2", "lang:de^2", "a^2^3", "^2", "def^"):
+        with pytest.raises(se.ExprError):
+            se.parse(bad)
