@@ -24,6 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from inverted_index_and_search_spark.functions import text_stats as ts  # noqa: E402
 from inverted_index_and_search_spark.operators import dedup as dd  # noqa: E402
 from inverted_index_and_search_spark.operators import events as ev  # noqa: E402
+from inverted_index_and_search_spark.operators import grep  # noqa: E402
 from inverted_index_and_search_spark.operators import index_build as ib  # noqa: E402
 from inverted_index_and_search_spark.operators import multimodal as mm  # noqa: E402
 from inverted_index_and_search_spark.operators import positional as pos  # noqa: E402
@@ -913,6 +914,30 @@ def _aug_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QV = sim.fixture_query_vec()
 _BUDGET_BYTES = int(0.1 * 1024 * 1024)
 
+#: grep fixtures: a needle and a regex that occur in the testdata text
+GREP_NEEDLE = "merge part"
+GREP_REGEX = "key [a-z]+ sort"
+
+
+def _q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, doc_id, n_hits) — trigram-index search over RAW content
+    (operators/grep.py, the Cox-2012/Zoekt design the word tokenizer
+    cannot serve): part=substr is candidates-then-verify exact substring
+    with non-overlapping occurrence counts; part=regex prefilters on the
+    pattern's required-literal grams then verifies candidates with the
+    real regex, counting leftmost non-overlapping matches."""
+    docs = _docs(spark, sf_dir)
+    tidx = grep.build_trigram_index(docs, content_col="text",
+                                    id_col="doc_id")
+    sub = grep.substring_search(tidx, docs, GREP_NEEDLE,
+                                content_col="text", count_occurrences=True)
+    rx = grep.regex_search(tidx, docs, GREP_REGEX, content_col="text",
+                           count_matches=True)
+    tag = lambda df, t: df.select(  # noqa: E731
+        F.lit(t).alias("part"), "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"))
+    return tag(sub, "substr").unionByName(tag(rx, "regex"))
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries, flagship-first: the driver verifies the first
@@ -955,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "prefix_fuzzy_docs": _q_prefix_fuzzy,
         "spell_suggest": _q_suggest,
+        "grep_search": _q_grep,
         # ---- input budgeting (reference --limit-mb semantics)
         "input_budget": lambda s, d: ib.budget_input(
             _docs(s, d).select("doc_id", "text"), 0.1, content_col="text"
@@ -976,9 +1002,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprint": lambda s, d: dd.simhash_fingerprints(_aug_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dd.simhash_pairs(_aug_docs(s, d)),
         "dedup_embedding_cosine": lambda s, d: dd.embedding_neardup_pairs(_aug_emb(s, d)),
-        # ---- similarity search
-        "ann_cosine_topk": lambda s, d: sim.cosine_topk(_emb(s, d), _QV),
-        "ann_ivf_topk": lambda s, d: sim.ivf_topk(_emb(s, d), _QV),
+        # ---- similarity search (brute exact + IVF ANN folded into one
+        # part-tagged row; each part verifies against its own oracle)
+        "ann_topk": lambda s, d: (
+            sim.cosine_topk(_emb(s, d), _QV)
+            .select(F.lit("brute").alias("part"), "*")
+            .unionByName(sim.ivf_topk(_emb(s, d), _QV)
+                         .select(F.lit("ivf").alias("part"), "*"))),
         "ann_lsh_neardup": lambda s, d: sim.lsh_bucket_neardup(_aug_emb(s, d)),
         # ---- relational join/agg coverage (TPC-H-style; §2.3 joins
         # absent in the reference, native here)
@@ -1122,32 +1152,53 @@ def _analyzer_fixture():
 
 
 def _analyzed_stats_sql() -> str:
-    """term_stats over the ANALYZED tokenization (stopwords the/a +
-    S-stemming), via Analyzer.tokens_sql_duckdb — the oracle twin runs
-    the exact same filter+stem chain in DuckDB."""
+    """(path, term, df, cf) — term_stats over the ANALYZED tokenization
+    (stopwords the/a + S-stemming, via Analyzer.tokens_sql_duckdb)
+    UNION the CODE tokenization (identifier splitting,
+    tokenizer.code_tokens_sql_duckdb) — each oracle twin runs the exact
+    same transform chain in DuckDB."""
+    from inverted_index_and_search_spark.tokenizer import (
+        code_tokens_sql_duckdb,
+    )
     ana = _analyzer_fixture()
     atok = ana.tokens_sql_duckdb("text")
-    return f"""
-WITH tok AS (SELECT doc_id, unnest({atok}) AS term FROM documents),
-tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
-       GROUP BY term, doc_id)
-{_TERM_STATS_SQL_BODY}
+    ctok = code_tokens_sql_duckdb("text")
+
+    def one(tag: str, tok_sql: str) -> str:
+        return f"""
+SELECT '{tag}' AS path, term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM (SELECT term, doc_id, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({tok_sql}) AS term FROM documents)
+      GROUP BY term, doc_id)
+GROUP BY term
 """
+
+    return f"{one('analyzed', atok)} UNION ALL {one('code', ctok)}"
 
 
 _ANALYZED_STATS_SQL = _analyzed_stats_sql()
 
 
 def _q_term_stats_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(term, df, cf) — per-term stats of an index built WITH the
-    analyzer pipeline (stopword removal + S-stemming, analysis.py):
-    the whole analyzed build is driver-verified against a DuckDB twin
-    that applies the identical filter+stem chain in SQL."""
-    idx = ib.build_index(_docs(spark, sf_dir), content_col="text",
-                         id_col="doc_id", analyzer=_analyzer_fixture())
-    return idx.postings.select(
-        "term", F.col("df").cast("long").alias("df"),
-        F.col("cf").cast("long").alias("cf"))
+    """(path, term, df, cf) — per-term stats of an index built WITH the
+    analyzer pipeline (path=analyzed: stopword removal + S-stemming,
+    analysis.py) UNION one built with the CODE tokenizer (path=code:
+    camelCase/snake_case/digit identifier splitting, tokenizer.py) —
+    both whole builds driver-verified against DuckDB twins applying the
+    identical transform chains in SQL."""
+    docs = _docs(spark, sf_dir)
+
+    def stats(idx, tag):
+        return idx.postings.select(
+            F.lit(tag).alias("path"), "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"))
+
+    ana = ib.build_index(docs, content_col="text", id_col="doc_id",
+                         analyzer=_analyzer_fixture())
+    code = ib.build_index(docs, content_col="text", id_col="doc_id",
+                          tokenizer="code")
+    return stats(ana, "analyzed").unionByName(stats(code, "code"))
 
 
 def _bm25_sql(terms: list[str]) -> str:
@@ -1552,8 +1603,21 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprint": dd.simhash_sql(_aug),
         "dedup_simhash_pairs": dd.simhash_pairs_sql(_aug),
         "dedup_embedding_cosine": dd.embedding_neardup_sql(_eaug),
-        "ann_cosine_topk": sim.cosine_topk_sql(_QV),
-        "ann_ivf_topk": sim.ivf_topk_sql(_QV),
+        "ann_topk": _part_sql([
+            ("brute", sim.cosine_topk_sql(_QV)),
+            ("ivf", sim.ivf_topk_sql(_QV))]),
+        # grep: DuckDB twin verifies the WHOLE candidates-then-verify
+        # path against brute-force contains/regexp over raw text
+        "grep_search": _part_sql([
+            ("substr", f"""
+SELECT doc_id::BIGINT AS doc_id,
+       ((length(text) - length(replace(text, '{GREP_NEEDLE}', '')))
+        / {len(GREP_NEEDLE)})::BIGINT AS n_hits
+FROM documents WHERE contains(text, '{GREP_NEEDLE}')"""),
+            ("regex", f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text, '{GREP_REGEX}'))::BIGINT AS n_hits
+FROM documents WHERE regexp_matches(text, '{GREP_REGEX}')""")]),
         "ann_lsh_neardup": sim.lsh_bucket_neardup_sql(_eaug),
         "tpch_pricing_summary": rel.pricing_summary_sql(),
         "tpch_shipping_priority": rel.shipping_priority_sql(),

@@ -334,6 +334,43 @@ def main() -> None:
                       width=10, content_col="text", id_col="doc_id").count()
         extra["snippets_e2e_sec"] = round(time.perf_counter() - t0, 3)
 
+        # --- round-4 surfaces: trigram grep index (substring/regex over
+        # raw content) and the code tokenizer (extras only)
+        from inverted_index_and_search_spark.operators import grep
+
+        def build_trigram():
+            tidx = grep.build_trigram_index(docs, content_col="text",
+                                            id_col="doc_id")
+            grep.write_trigram_index(tidx, f"{tmp}/tri_docs")
+
+        (extra["grep_build_sec"],
+         extra["grep_build_runs"]) = timed_min(build_trigram)
+        extra["grep_index_mb"] = _dir_mb(f"{tmp}/tri_docs")
+        tri = grep.read_trigram_index(spark, f"{tmp}/tri_docs")
+        NEEDLES = ["merge part", "key order sort", "zzznothere",
+                   "batch stream"]
+        lat_sub, lat_rx = [], []
+        for nd in NEEDLES:
+            t0 = time.perf_counter()
+            grep.substring_search(tri, docs, nd, content_col="text").count()
+            lat_sub.append(time.perf_counter() - t0)
+        for pat in ["key [a-z]+ sort", "merge (part|group)"]:
+            t0 = time.perf_counter()
+            grep.regex_search(tri, docs, pat, content_col="text").count()
+            lat_rx.append(time.perf_counter() - t0)
+        extra["grep_substr_p50_sec"] = round(statistics.median(lat_sub), 3)
+        extra["grep_regex_p50_sec"] = round(statistics.median(lat_rx), 3)
+
+        # code-tokenizer build cost vs the standard build (same corpus,
+        # same Arrow IMC pipeline — isolates identifier splitting)
+        def build_code():
+            cidx = ib.build_index(corpus, use_pandas_udf=True,
+                                  tokenizer="code")
+            ib.write_index(cidx, f"{tmp}/idx_code")
+
+        (extra["index_build_code_sec"],
+         extra["index_build_code_runs"]) = timed_min(build_code)
+
         total = sum(queries.values())
         print(json.dumps({
             "metric": "index-build + BM25 query wall time",

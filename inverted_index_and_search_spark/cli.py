@@ -136,7 +136,8 @@ def _build(args: argparse.Namespace) -> None:
                 raise SystemExit(2)
         idx = build_fielded_index(docs, fields, id_col=args.id_col,
                                   n_buckets=args.num_output_partitions,
-                                  salt_hot_terms=True)
+                                  salt_hot_terms=True,
+                                  tokenizer=args.tokenizer)
         ib.write_index(idx, args.output)
         from inverted_index_and_search_spark.metrics import write_run_metrics
         write_run_metrics(spark, args.output,
@@ -161,10 +162,12 @@ def _build(args: argparse.Namespace) -> None:
                 term_doc_positions_arrow,
             )
             tf = term_doc_positions_arrow(docs, content_col=args.content_col,
-                                          id_col=args.id_col)
+                                          id_col=args.id_col,
+                                          tokenizer=args.tokenizer)
         else:
             tf = ib.term_doc_tf_arrow(docs, content_col=args.content_col,
-                                      id_col=args.id_col)
+                                      id_col=args.id_col,
+                                      tokenizer=args.tokenizer)
         # persist BEFORE the stats collect: the avgdl aggregation and
         # the encode job otherwise each run the whole tokenize pipeline
         tf = tf.persist()
@@ -178,7 +181,9 @@ def _build(args: argparse.Namespace) -> None:
             tf, n_docs, avgdl,
             n_buckets=args.num_output_partitions,
             hot=ib.hot_terms_from_docs(docs, content_col=args.content_col,
-                                       id_col=args.id_col))
+                                       id_col=args.id_col,
+                                       tokenizer=args.tokenizer),
+            tokenizer=args.tokenizer)
         seg.write_segment_index(sidx, args.output)
         tf.unpersist()
         from inverted_index_and_search_spark.metrics import write_run_metrics
@@ -196,12 +201,14 @@ def _build(args: argparse.Namespace) -> None:
         idx = build_positional_index(docs, content_col=args.content_col,
                                      id_col=args.id_col,
                                      n_buckets=args.num_output_partitions,
-                                     shard_hot_terms=True)
+                                     shard_hot_terms=True,
+                                     tokenizer=args.tokenizer)
     else:
         idx = ib.build_index(docs, content_col=args.content_col,
                              id_col=args.id_col, salt_hot_terms=True,
                              n_buckets=args.num_output_partitions,
-                             analyzer=analyzer)
+                             analyzer=analyzer,
+                             tokenizer=args.tokenizer)
     if args.format == "parquet":
         ib.write_index(idx, args.output)
     elif args.format == "text":
@@ -262,6 +269,19 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
     terms = line.split()
     if not terms:
         return True
+    if getattr(index, "tokenizer", "standard") == "code" and not expr:
+        # the index vocabulary is identifier-split (meta.json tokenizer
+        # = code): query tokens must split the same way or they miss it.
+        # "getFileName" becomes the term sequence [get, file, name] —
+        # under --phrase that is exactly Lucene WDF semantics: the
+        # phrase matches getFileName AND get_file_name occurrences.
+        from inverted_index_and_search_spark.tokenizer import (
+            code_tokenize_py,
+        )
+        terms = [t for raw in terms for t in code_tokenize_py(raw)]
+        if not terms:
+            print("No matches found.")
+            return True
     if related:
         # document-level PMI associations of the first token
         rows = q.related_terms(index, terms[0], k=topk).collect()
@@ -418,6 +438,16 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
     terms = line.split()
     if not terms:
         return True
+    if server.idx.tokenizer == "code" and not expr:
+        # code-built segment vocabulary: split query identifiers the
+        # same way (see _run_query — same Lucene-WDF phrase semantics)
+        from inverted_index_and_search_spark.tokenizer import (
+            code_tokenize_py,
+        )
+        terms = [t for raw in terms for t in code_tokenize_py(raw)]
+        if not terms:
+            print("No matches found.")
+            return True
     if complete:
         from inverted_index_and_search_spark.operators import segments as seg
 
@@ -758,6 +788,95 @@ def _search(args: argparse.Namespace) -> None:
         spark.stop()
 
 
+def _load_docs_arg(spark, paths: list[str], glob: str):
+    """Shared input loader for corpus-shaped positional inputs: parquet
+    dataset(s) or raw text dirs, auto-detected (same rules as build)."""
+    if all(_looks_like_parquet(p) for p in paths):
+        from functools import reduce
+
+        from inverted_index_and_search_spark.sources.catalog import (
+            load_documents,
+        )
+        dfs = [load_documents(spark, p) for p in paths]
+        docs, content_col = reduce(lambda a, b: a.unionByName(b), dfs), None
+    else:
+        from inverted_index_and_search_spark.sources.files import (
+            docs_from_files,
+        )
+        docs, content_col = docs_from_files(spark, paths, glob=glob), "content"
+    return docs, content_col
+
+
+def _grep_build(args: argparse.Namespace) -> None:
+    """`grep-build`: persist the trigram substring/regex index."""
+    from inverted_index_and_search_spark.operators import grep
+
+    spark, created = _session("iis-grep-build")
+    import time
+
+    docs, auto_content = _load_docs_arg(spark, args.input, args.glob)
+    content_col = auto_content or args.content_col
+    id_col = "doc_id" if auto_content else args.id_col
+    if id_col not in docs.columns:
+        from inverted_index_and_search_spark.corpus import with_doc_id
+        docs = with_doc_id(docs)
+        id_col = "doc_id"
+    t0 = time.perf_counter()
+    tidx = grep.build_trigram_index(
+        docs, content_col=content_col, id_col=id_col,
+        n_buckets=args.num_output_partitions,
+        case_insensitive=args.ignore_case)
+    grep.write_trigram_index(tidx, args.output)
+    print(f"trigram index written to {args.output} "
+          f"({args.num_output_partitions} buckets, "
+          f"case_insensitive={args.ignore_case}) "
+          f"in {time.perf_counter() - t0:.2f}s")
+    if created:
+        spark.stop()
+
+
+def _grep(args: argparse.Namespace) -> None:
+    """`grep`: substring/regex search via the trigram index."""
+    from inverted_index_and_search_spark.operators import grep
+
+    spark, created = _session("iis-grep")
+    tidx = grep.read_trigram_index(spark, args.index)
+    if args.ignore_case and not tidx.case_insensitive:
+        print("error: --ignore-case needs an index built with "
+              "grep-build --ignore-case", file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
+    docs, auto_content = _load_docs_arg(spark, args.docs, args.glob)
+    content_col = auto_content or args.content_col
+    id_col = "doc_id" if auto_content else args.id_col
+    kw = dict(content_col=content_col, id_col=id_col,
+              max_grams=args.max_grams)
+    if args.regex:
+        rows = grep.regex_search(tidx, docs, args.pattern, **kw) \
+            .orderBy("doc_id").collect()
+        for r in rows:
+            print(r["doc_id"])
+    elif args.lines:
+        rows = grep.matching_lines(tidx, docs, args.pattern,
+                                   fold_case=args.ignore_case, **kw) \
+            .orderBy("doc_id", "line_no").collect()
+        for r in rows:
+            print(f"{r['doc_id']}:{r['line_no']}:{r['line']}")
+    else:
+        rows = grep.substring_search(tidx, docs, args.pattern,
+                                     count_occurrences=args.count,
+                                     fold_case=args.ignore_case, **kw) \
+            .orderBy("doc_id").collect()
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['n_hits']}" if args.count
+                  else r["doc_id"])
+    if not rows:
+        print("No matches found.")
+    if created:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="inverted_index_and_search_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -797,6 +916,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="index-time stopword list (one term per line); "
                         "persisted in meta.json and auto-applied to "
                         "query terms at search time")
+    b.add_argument("--tokenizer", choices=["standard", "code"],
+                   default="standard",
+                   help="term semantics: standard (reference parity) or "
+                        "code (split camelCase/snake_case/digit "
+                        "identifiers); works with every layout incl. "
+                        "--positional/--field/segments; persisted in "
+                        "meta/stats.json and applied to query terms "
+                        "automatically")
     b.add_argument("--stem", action="store_true",
                    help="index-time S-stemming (Harman 1991 plural "
                         "stemmer); persisted and auto-applied to "
@@ -902,6 +1029,53 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--docs-id-col", default="doc_id")
     s.add_argument("--topk", type=int, default=10)
     s.set_defaults(fn=_search)
+
+    gb = sub.add_parser(
+        "grep-build",
+        help="build the trigram substring/regex index (Cox/Zoekt design)")
+    gb.add_argument("--input", required=True, nargs="+",
+                    help="documents parquet table(s) or raw text dirs "
+                         "(auto-detected, same rules as build)")
+    gb.add_argument("--output", required=True)
+    gb.add_argument("--glob", default="*.txt")
+    gb.add_argument("--content-col", default="content")
+    gb.add_argument("--id-col", default="doc_id")
+    gb.add_argument("--num-output-partitions", type=int,
+                    default=ib.DEFAULT_BUCKETS,
+                    help="gram-hash bucket count (query-time pruning)")
+    gb.add_argument("--ignore-case", action="store_true",
+                    help="index lower(content) grams: enables "
+                         "`grep --ignore-case` (persisted in meta.json)")
+    gb.set_defaults(fn=_grep_build)
+
+    g = sub.add_parser(
+        "grep", help="exact-substring / regex search over raw content "
+                     "via a grep-build index")
+    g.add_argument("pattern", help="substring needle (default) or, with "
+                                   "--regex, a Java regex")
+    g.add_argument("--index", required=True, help="grep-build output dir")
+    g.add_argument("--docs", required=True, nargs="+",
+                   help="the raw documents (parquet or text dirs) — "
+                        "candidate verification reads only matching "
+                        "docs' content from here")
+    g.add_argument("--glob", default="*.txt")
+    g.add_argument("--content-col", default="content")
+    g.add_argument("--id-col", default="doc_id")
+    g.add_argument("--regex", action="store_true",
+                   help="treat PATTERN as a regex: required literal "
+                        "runs prefilter via the gram index, candidates "
+                        "verify with rlike")
+    g.add_argument("--count", action="store_true",
+                   help="print doc_id\\tn_occurrences instead of doc_id")
+    g.add_argument("--lines", action="store_true",
+                   help="print doc_id:line_no:line for matching lines "
+                        "(grep output shape)")
+    g.add_argument("--ignore-case", action="store_true",
+                   help="case-insensitive substring match (needs a "
+                        "grep-build --ignore-case index)")
+    g.add_argument("--max-grams", type=int, default=8,
+                   help="rarest-gram prefilter width (default 8)")
+    g.set_defaults(fn=_grep)
 
     st = sub.add_parser("stats", help="print index summary statistics")
     st.add_argument("--index", required=True)

@@ -40,20 +40,22 @@ from inverted_index_and_search_spark.operators.index_build import (
     Index,
     postings,
 )
-from inverted_index_and_search_spark.tokenizer import tokens_col
-
 __all__ = ["fielded_tf", "fielded_doc_stats", "build_fielded_index"]
 
 
 def fielded_tf(docs: DataFrame, fields: dict[str, float], *,
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               tokenizer: str = "standard") -> DataFrame:
     """(term, doc_id, tf: double) — weighted term frequency summed
     across fields: ``tf = sum_f w_f * tf_f``. One hash aggregation
     over the per-field token unions; null field values contribute
     nothing (empty token array)."""
+    from inverted_index_and_search_spark.tokenizer import tokenizer_col
+
+    tok_col = tokenizer_col(tokenizer)
     parts = []
     for col, weight in sorted(fields.items()):
-        toks = tokens_col(F.coalesce(F.col(col), F.lit("")))
+        toks = tok_col(F.coalesce(F.col(col), F.lit("")))
         parts.append(docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode(toks).alias("term"),
@@ -83,7 +85,8 @@ def fielded_doc_stats(docs: DataFrame, tf: DataFrame, fields: dict[str, float],
 def build_fielded_index(docs: DataFrame, fields: dict[str, float], *,
                         id_col: str = "doc_id",
                         n_buckets: int = DEFAULT_BUCKETS,
-                        salt_hot_terms: bool = False) -> Index:
+                        salt_hot_terms: bool = False,
+                        tokenizer: str = "standard") -> Index:
     """Standard bucketed Index over the weighted-field virtual corpus.
 
     Every downstream operator that reads ``postings[].tf`` / ``df`` /
@@ -91,7 +94,8 @@ def build_fielded_index(docs: DataFrame, fields: dict[str, float], *,
     boolean/phrase-free queries, facets, suggestions — works unchanged;
     ``tf``/``cf``/``dl`` are double instead of int/long.
     """
-    tf = fielded_tf(docs, fields, id_col=id_col)
+    tf = fielded_tf(docs, fields, id_col=id_col, tokenizer=tokenizer)
     post = postings(tf, n_buckets=n_buckets, salt_hot_terms=salt_hot_terms)
     ds = fielded_doc_stats(docs, tf, fields, id_col=id_col)
-    return Index(postings=post, doc_stats=ds, tf=tf, n_buckets=n_buckets)
+    return Index(postings=post, doc_stats=ds, tf=tf, n_buckets=n_buckets,
+                 tokenizer=tokenizer)

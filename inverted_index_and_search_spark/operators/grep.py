@@ -1,0 +1,385 @@
+"""Trigram index: exact-substring and regex search over raw content.
+
+The reference engine answers TERM queries only (SURVEY.md §2.3); a
+code-search product also needs `grep`-shape queries — exact substrings
+("->getValue(", "#include <") and regexes — which the word tokenizer
+cannot serve. The public design this follows is the trigram posting
+index of Google Code Search (R. Cox, "Regular Expression Matching with
+a Trigram Index", 2012) as carried forward by Zoekt/Sourcegraph:
+
+- **Index**: every distinct character trigram of a document's RAW
+  content (case-sensitive, punctuation included) becomes one flat
+  ``(gram, doc_id)`` row. Flat rows, not per-gram arrays, by design:
+  a stop-gram like ``" th"`` appears in nearly every document, and the
+  array layout would re-create the giant-hot-row problem the term index
+  had to shard away. Rows are hash-bucketed on the gram exactly like
+  term postings (``gram_bucket = pmod(xxhash64(gram), n_buckets)``), so
+  query-time pruning reads only the buckets of the query's grams.
+- **Gram stats**: a tiny ``(gram, df)`` side table (≤ |alphabet|³ rows,
+  bounded by total distinct grams) lets the planner pick the RAREST
+  grams of a query as the prefilter — using all grams of a long needle
+  just multiplies shuffle volume for no candidate reduction (Zoekt does
+  the same frequency-based gram selection).
+- **Query**: substring ``s`` (len ≥ 3) → required gram set {s[i:i+3]}
+  → take the ``max_grams`` rarest → candidates = docs containing ALL
+  of them (bucket-pruned scan, ``gram IN`` pushed, one hash aggregation
+  counting matched grams) → **verify only candidates** against the raw
+  corpus with a semi-join + ``instr`` — never a full-corpus scan.
+  Regexes extract required literal runs via the stdlib regex parser and
+  prefilter on their grams, then verify candidates with ``rlike``; a
+  pattern with no extractable literal falls back to the documented
+  full-scan path (Cox's design degrades the same way).
+
+Scale notes (100 TB): the index build is one map-side explode of
+map-side-distinct gram arrays followed by a single bucketed write — the
+only shuffle routes (gram, doc_id) rows to their bucket file; the gram
+df aggregation piggybacks map-side-combined. Queries touch |query
+grams| buckets and aggregate only the filtered rows; verification
+reads only candidate docs' content (broadcast semi-join on the usually
+tiny candidate id set). No stage materializes a per-gram array.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from inverted_index_and_search_spark.operators.index_build import (
+    DEFAULT_BUCKETS,
+    bucket_route_col,
+    term_bucket_col,
+)
+from inverted_index_and_search_spark.kernels.xxhash import term_bucket
+
+GRAM_N = 3
+#: prefilter width: more grams = fewer candidates but more index rows
+#: scanned; 8 rarest grams is plenty for code-shaped needles
+DEFAULT_MAX_GRAMS = 8
+
+
+# ---------------------------------------------------------------- build
+
+def grams_py(text: str) -> list[str]:
+    """DISTINCT character trigrams of ``text`` (raw: case-sensitive,
+    whitespace/punctuation preserved), ordered by first occurrence —
+    order is irrelevant downstream. O(len) — one pass, hash set."""
+    seen: dict[str, None] = {}
+    for i in range(len(text) - GRAM_N + 1):
+        seen.setdefault(text[i:i + GRAM_N], None)
+    return list(seen)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def grams_pandas_udf(content: pd.Series) -> pd.Series:
+    """Arrow-batched gram extractor — the ONLY gram build path.
+
+    A Catalyst `transform(sequence(1, n-2), i -> substr(content, i, 3))`
+    expression was tried and rejected: UTF8String.substring scans from
+    byte 0 to find code-point i (variable-width UTF-8), so evaluating it
+    at every position is O(len²) per document — a measured multi-minute
+    stall on a single 450 KB file. The Python set pass is O(len) and
+    Arrow-batched, the same north-star shape as the tokenizer kernels.
+    """
+    return pd.Series([grams_py(s) for s in content], index=content.index)
+
+
+@dataclass(frozen=True)
+class TrigramIndex:
+    """Flat trigram postings + gram document frequencies."""
+
+    grams: DataFrame          # (gram, gram_bucket, doc_id)
+    stats: DataFrame          # (gram, df) — tiny, broadcast-sized
+    n_buckets: int = DEFAULT_BUCKETS
+    #: grams were extracted from lower(content); queries fold the
+    #: needle/literals the same way (persisted in meta.json)
+    case_insensitive: bool = False
+
+
+def build_trigram_index(docs: DataFrame, *, content_col: str = "content",
+                        id_col: str = "doc_id",
+                        n_buckets: int = DEFAULT_BUCKETS,
+                        case_insensitive: bool = False) -> TrigramIndex:
+    """Lazy logical plan for the trigram index over raw content."""
+    content = F.col(content_col)
+    if case_insensitive:
+        content = F.lower(content)
+    flat = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(grams_pandas_udf(content)).alias("gram"),
+    ).select(
+        "gram",
+        term_bucket_col(F.col("gram"), n_buckets).alias("gram_bucket"),
+        "doc_id",
+    )
+    stats = flat.groupBy("gram").agg(F.count("*").cast("long").alias("df"))
+    return TrigramIndex(grams=flat, stats=stats, n_buckets=n_buckets,
+                        case_insensitive=case_insensitive)
+
+
+def write_trigram_index(tidx: TrigramIndex, out_dir: str, *,
+                        mode: str = "overwrite") -> None:
+    """Persist bucketed flat grams (one file per bucket via the Murmur3
+    routing column — same one-pass write layout as term postings) and
+    the small stats side table."""
+    import json
+    import os
+
+    spark = tidx.grams.sparkSession
+    route = bucket_route_col(spark, F.col("gram_bucket"), tidx.n_buckets)
+    (tidx.grams
+     .repartition(tidx.n_buckets, route)
+     .sortWithinPartitions("gram_bucket", "gram", "doc_id")
+     .write.mode(mode).partitionBy("gram_bucket")
+     .parquet(f"{out_dir}/grams"))
+    tidx.stats.write.mode(mode).parquet(f"{out_dir}/stats")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/meta.json", "w") as f:
+        json.dump({"n_buckets": tidx.n_buckets, "gram_n": GRAM_N,
+                   "case_insensitive": tidx.case_insensitive}, f)
+
+
+def read_trigram_index(spark, out_dir: str) -> TrigramIndex:
+    import json
+    import os
+
+    n_buckets, ci = DEFAULT_BUCKETS, False
+    meta_path = f"{out_dir}/meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        n_buckets = int(meta["n_buckets"])
+        ci = bool(meta.get("case_insensitive", False))
+    return TrigramIndex(
+        grams=spark.read.parquet(f"{out_dir}/grams"),
+        stats=spark.read.parquet(f"{out_dir}/stats"),
+        n_buckets=n_buckets,
+        case_insensitive=ci,
+    )
+
+
+# ---------------------------------------------------------------- query
+
+def _rarest_grams(tidx: TrigramIndex, grams: list[str],
+                  max_grams: int) -> list[str]:
+    """Pick the ``max_grams`` rarest of the required grams (ties by
+    gram asc for determinism). One tiny bucket-pruned aggregation on
+    the stats table; a gram ABSENT from stats has df=0 — keep it, it
+    short-circuits the query to zero candidates."""
+    if len(grams) <= max_grams:
+        return grams
+    df_map = {
+        r["gram"]: r["df"]
+        for r in tidx.stats.where(F.col("gram").isin(grams)).collect()
+    }
+    ordered = sorted(grams, key=lambda g: (df_map.get(g, 0), g))
+    return ordered[:max_grams]
+
+
+def _candidates(tidx: TrigramIndex, grams: list[str]) -> DataFrame:
+    """doc_ids containing ALL ``grams``: bucket-pruned, gram-IN-pushed
+    scan + one count aggregation (the k-way AND as a hash agg, same
+    shape as query.boolean_and)."""
+    buckets = sorted({term_bucket(g, tidx.n_buckets) for g in grams})
+    hits = tidx.grams.where(
+        F.col("gram_bucket").isin(buckets) & F.col("gram").isin(grams))
+    return (hits.groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_grams"))
+            .where(F.col("n_grams") == len(grams))
+            .select("doc_id"))
+
+
+def _verified_substring(tidx: TrigramIndex, docs: DataFrame, needle: str, *,
+                        content_col: str, id_col: str, max_grams: int,
+                        fold_case: bool) -> DataFrame:
+    """(doc_id, _content, _hay) rows whose content contains ``needle``
+    — the shared candidates-then-verify core. ``_hay`` is the haystack
+    the match ran against (lower(content) under ``fold_case``)."""
+    if fold_case and not tidx.case_insensitive:
+        raise ValueError(
+            "fold_case needs a case-insensitive trigram index: a "
+            "case-sensitive index has no grams for the folded needle")
+    hay = F.col("_content")
+    if fold_case:
+        hay, needle = F.lower(hay), needle.lower()
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(content_col).alias("_content"))
+    # a case-insensitive INDEX stores lower() grams: fold the needle for
+    # the prefilter even under case-sensitive match semantics — any
+    # verbatim occurrence implies its folded grams are present (sound)
+    req = grams_py(needle.lower() if tidx.case_insensitive else needle)
+    if req:
+        cands = _candidates(tidx, _rarest_grams(tidx, req, max_grams))
+        base = base.join(cands, "doc_id", "left_semi")
+    return (base.select("doc_id", "_content", hay.alias("_hay"))
+            .where(F.instr(F.col("_hay"), F.lit(needle)) > 0))
+
+
+def substring_search(tidx: TrigramIndex, docs: DataFrame, needle: str, *,
+                     content_col: str = "content", id_col: str = "doc_id",
+                     max_grams: int = DEFAULT_MAX_GRAMS,
+                     count_occurrences: bool = False,
+                     fold_case: bool = False) -> DataFrame:
+    """doc_ids whose raw content contains ``needle`` (case-sensitive by
+    default; ``fold_case=True`` matches case-insensitively and requires
+    an index built with ``case_insensitive=True``).
+
+    Trigram-prefiltered, candidates-only verified. Needles shorter than
+    GRAM_N cannot use the index — documented full-scan fallback (the
+    needle is then so unselective a scan is the honest plan anyway).
+    Returns (doc_id) or (doc_id, n_hits) with ``count_occurrences``.
+    """
+    if fold_case:
+        needle = needle.lower()
+    verified = _verified_substring(
+        tidx, docs, needle, content_col=content_col, id_col=id_col,
+        max_grams=max_grams, fold_case=fold_case)
+    if count_occurrences:
+        # non-overlapping occurrence count via length difference
+        n = (
+            (F.length("_hay")
+             - F.length(F.replace(F.col("_hay"), F.lit(needle),
+                                  F.lit(""))))
+            / F.lit(len(needle))
+        ).cast("long")
+        return verified.select("doc_id", n.alias("n_hits"))
+    return verified.select("doc_id")
+
+
+def matching_lines(tidx: TrigramIndex, docs: DataFrame, needle: str, *,
+                   content_col: str = "content", id_col: str = "doc_id",
+                   max_grams: int = DEFAULT_MAX_GRAMS,
+                   fold_case: bool = False) -> DataFrame:
+    """(doc_id, line_no, line) — grep's output shape: every line (1-based)
+    of every matching document that contains ``needle``.
+
+    Scale: lines are exploded ONLY for verified candidate docs (the
+    posexplode input is the candidate set, never the corpus), so the
+    expansion is bounded by result size — the same
+    verify-only-candidates discipline as the doc-level search.
+    """
+    if fold_case:
+        needle = needle.lower()
+    verified = _verified_substring(
+        tidx, docs, needle, content_col=content_col, id_col=id_col,
+        max_grams=max_grams, fold_case=fold_case)
+    lines = verified.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("_content"), "\n", -1))
+        .alias("_ln0", "line"))
+    hay = F.lower(F.col("line")) if fold_case else F.col("line")
+    return (lines.where(F.instr(hay, F.lit(needle)) > 0)
+            .select("doc_id", (F.col("_ln0") + 1).alias("line_no"), "line"))
+
+
+# ------------------------------------------------- regex literal grams
+
+def required_literals(pattern: str) -> list[str]:
+    """Maximal literal character runs REQUIRED by every match of
+    ``pattern``, extracted from the stdlib regex parse tree.
+
+    Conservative by construction: only top-level concatenation is
+    walked; alternations, repeats and classes end the current run and
+    contribute nothing (a `?`/`*`-quantified atom also breaks the run
+    since it may be absent). Anything this returns must appear verbatim
+    in every matching string — sound as an index prefilter; an empty
+    result means the pattern gets no prefilter (full-scan fallback).
+    """
+    try:
+        parsed = _sre_parse(pattern)
+    except re.error:
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    for op, arg in parsed:
+        name = str(op).lower()
+        # exact name check: NOT_LITERAL ([^a]) must NOT count
+        if name == "literal":
+            cur.append(chr(arg))
+        elif name in ("max_repeat", "min_repeat"):
+            lo, _hi, sub = arg
+            flush()
+            if lo >= 1:
+                # a+ / a{2,}: the sub-pattern's own required literals
+                # occur at least once
+                runs.extend(_literal_runs(sub))
+        else:
+            flush()
+    flush()
+    return [r for r in runs if len(r) >= GRAM_N]
+
+
+def _sre_parse(pattern: str):
+    """Stdlib regex parser across Python versions (re._parser on 3.11+,
+    the deprecated top-level sre_parse before)."""
+    parser = getattr(re, "_parser", None)
+    if parser is not None:
+        return parser.parse(pattern)
+    import warnings
+
+    with warnings.catch_warnings():  # pragma: no cover - <3.11 only
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import sre_parse
+
+        return sre_parse.parse(pattern)
+
+
+def _literal_runs(sub) -> list[str]:
+    runs: list[str] = []
+    cur: list[str] = []
+    for op, arg in sub:
+        if str(op).lower() == "literal":
+            cur.append(chr(arg))
+        else:
+            if cur:
+                runs.append("".join(cur))
+                cur.clear()
+    if cur:
+        runs.append("".join(cur))
+    return [r for r in runs if len(r) >= GRAM_N]
+
+
+def regex_search(tidx: TrigramIndex | None, docs: DataFrame, pattern: str, *,
+                 content_col: str = "content", id_col: str = "doc_id",
+                 max_grams: int = DEFAULT_MAX_GRAMS,
+                 count_matches: bool = False) -> DataFrame:
+    """doc_ids whose raw content matches ``pattern`` (Java regex,
+    unanchored ``rlike`` semantics); with ``count_matches``,
+    (doc_id, n_hits) where n_hits counts leftmost non-overlapping
+    matches (``regexp_extract_all`` length, grep -c shape).
+
+    Every required literal's grams are ANDed into one candidate
+    prefilter (they must all be present), then ONLY candidates run the
+    real regex. With no extractable literal (or ``tidx=None``) the scan
+    is the whole corpus — the documented degraded path.
+    """
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(content_col).alias("_content"))
+    if tidx is not None:
+        req: list[str] = []
+        for lit in required_literals(pattern):
+            # a case-insensitive index stores lower() grams; folding a
+            # required literal keeps the prefilter sound (any verbatim
+            # occurrence lowers to these grams)
+            req.extend(grams_py(
+                lit.lower() if tidx.case_insensitive else lit))
+        req = list(dict.fromkeys(req))
+        if req:
+            cands = _candidates(tidx, _rarest_grams(tidx, req, max_grams))
+            base = base.join(cands, "doc_id", "left_semi")
+    matched = base.where(F.col("_content").rlike(pattern))
+    if count_matches:
+        n = F.size(F.regexp_extract_all(
+            F.col("_content"), F.lit(pattern), F.lit(0))).cast("long")
+        return matched.select("doc_id", n.alias("n_hits"))
+    return matched.select("doc_id")

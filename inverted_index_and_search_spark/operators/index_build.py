@@ -87,7 +87,7 @@ _ROUTE_CACHE: dict = {}
 
 def tokens(docs: DataFrame, *, use_pandas_udf: bool = True,
            content_col: str = "content", id_col: str = "doc_id",
-           analyzer=None) -> DataFrame:
+           analyzer=None, tokenizer: str = "standard") -> DataFrame:
     """(doc_id, term) — one row per token occurrence.
 
     ``use_pandas_udf=True`` is the north-star path (Arrow-vectorized);
@@ -95,8 +95,13 @@ def tokens(docs: DataFrame, *, use_pandas_udf: bool = True,
     codegen, fastest). Both are cross-tested for identical output.
     ``analyzer`` (analysis.Analyzer) applies stopword/stem token
     filters as pure Catalyst array expressions — identity by default.
+    ``tokenizer`` selects term semantics: ``"standard"`` (reference
+    parity) or ``"code"`` (identifier splitting, tokenizer.py).
     """
-    tok = tokenize_pandas_udf(F.col(content_col)) if use_pandas_udf else tokens_col(F.col(content_col))
+    from inverted_index_and_search_spark.tokenizer import (
+        tokenizer_col, tokenizer_pandas_udf)
+    mk = tokenizer_pandas_udf(tokenizer) if use_pandas_udf else tokenizer_col(tokenizer)
+    tok = mk(F.col(content_col))
     if analyzer is not None and not analyzer.is_identity:
         tok = analyzer.analyze_tokens_col(tok)
     return docs.select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("term"))
@@ -109,7 +114,8 @@ def term_doc_tf(tok: DataFrame) -> DataFrame:
 
 
 def term_doc_tf_arrow(docs: DataFrame, *, content_col: str = "content",
-                      id_col: str = "doc_id", analyzer=None) -> DataFrame:
+                      id_col: str = "doc_id", analyzer=None,
+                      tokenizer: str = "standard") -> DataFrame:
     """(term, doc_id, tf) computed *inside* the Arrow UDF — in-mapper
     combining (the reference's ``TokenizerMapperStateful.java:29-66``)
     done batch-vectorized.
@@ -123,15 +129,20 @@ def term_doc_tf_arrow(docs: DataFrame, *, content_col: str = "content",
     """
     import pandas as pd
 
-    from inverted_index_and_search_spark.tokenizer import _PY_TOKEN
+    from inverted_index_and_search_spark.tokenizer import (
+        _PY_TOKEN, code_tokenize_py)
 
     analyze = (None if analyzer is None or analyzer.is_identity
                else analyzer.analyze_py)
+    code = tokenizer == "code"
 
     def count_tf(batches):
         from collections import Counter
         for pdf in batches:
-            toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
+            if code:
+                toks = [code_tokenize_py(s) for s in pdf[content_col]]
+            else:
+                toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
             ids, terms, tfs = [], [], []
             for doc_id, words in zip(pdf[id_col], toks):
                 c = Counter(words if analyze is None else analyze(words))
@@ -182,7 +193,8 @@ def hot_terms(tf: DataFrame, *, hot_df: int = DEFAULT_HOT_DF,
 def hot_terms_from_docs(docs: DataFrame, *, content_col: str = "content",
                         id_col: str = "doc_id", hot_df: int = DEFAULT_HOT_DF,
                         sample_mod: int = 100,
-                        use_pandas_udf: bool = False) -> DataFrame:
+                        use_pandas_udf: bool = False,
+                        tokenizer: str = "standard") -> DataFrame:
     """(term) hot set detected by tokenizing a deterministic
     ~1/sample_mod DOCUMENT sample — the preferred detection source.
 
@@ -196,7 +208,8 @@ def hot_terms_from_docs(docs: DataFrame, *, content_col: str = "content",
     sampled = docs.where(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
     tok = tokens(sampled, use_pandas_udf=use_pandas_udf,
-                 content_col=content_col, id_col=id_col)
+                 content_col=content_col, id_col=id_col,
+                 tokenizer=tokenizer)
     df_s = (tok.groupBy("term", "doc_id").count()
             .groupBy("term").count())
     return df_s.where(F.col("count") * sample_mod > hot_df).select("term")
@@ -312,6 +325,10 @@ class Index:
     #: None = identity): persisted in meta.json so query surfaces can
     #: apply the same stopword/stem transform to incoming terms
     analyzer: object | None = None
+    #: tokenizer name the index was BUILT with ("standard" | "code");
+    #: persisted in meta.json — query surfaces must tokenize incoming
+    #: terms with the same semantics or they miss the vocabulary
+    tokenizer: str = "standard"
     _n_docs: int | None = None
     _avgdl: float | None = None
 
@@ -329,7 +346,7 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
                 id_col: str = "doc_id", use_pandas_udf: bool = True,
                 n_buckets: int = DEFAULT_BUCKETS,
                 salt_hot_terms: bool = False,
-                analyzer=None) -> Index:
+                analyzer=None, tokenizer: str = "standard") -> Index:
     """End-to-end logical plan for the index build (lazy).
 
     ``use_pandas_udf=True`` (north-star path) counts tf inside the
@@ -339,16 +356,16 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
     """
     if use_pandas_udf:
         tf = term_doc_tf_arrow(docs, content_col=content_col, id_col=id_col,
-                               analyzer=analyzer)
+                               analyzer=analyzer, tokenizer=tokenizer)
     else:
         tok = tokens(docs, use_pandas_udf=False,
                      content_col=content_col, id_col=id_col,
-                     analyzer=analyzer)
+                     analyzer=analyzer, tokenizer=tokenizer)
         tf = term_doc_tf(tok)
     hot = None
     if salt_hot_terms:
         hot = hot_terms_from_docs(docs, content_col=content_col,
-                                  id_col=id_col)
+                                  id_col=id_col, tokenizer=tokenizer)
     return Index(
         postings=postings(tf, n_buckets=n_buckets,
                           salt_hot_terms=salt_hot_terms, hot=hot),
@@ -356,6 +373,7 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
         tf=tf,
         n_buckets=n_buckets,
         analyzer=analyzer,
+        tokenizer=tokenizer,
     )
 
 
@@ -401,6 +419,8 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite") -> None:
             meta["analyzer"] = {
                 "stopwords": sorted(index.analyzer.stopwords),
                 "stem": index.analyzer.stem}
+        if index.tokenizer != "standard":
+            meta["tokenizer"] = index.tokenizer
         with open(f"{out_dir}/meta.json", "w") as f:
             json.dump(meta, f)
     finally:
@@ -769,12 +789,14 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         # always correct, merely skippable when sharded is known False
         sharded = bool(meta.get("sharded", True))
     analyzer = None
+    tokenizer = "standard"
     if os.path.exists(meta_path):
         acfg = meta.get("analyzer")
         if acfg:
             from inverted_index_and_search_spark.analysis import Analyzer
             analyzer = Analyzer.make(acfg.get("stopwords"),
                                      bool(acfg.get("stem")))
+        tokenizer = meta.get("tokenizer", "standard")
     dictionary = None
     if os.path.exists(f"{out_dir}/dictionary"):
         dictionary = spark.read.parquet(f"{out_dir}/dictionary")
@@ -785,4 +807,5 @@ def read_index(spark: SparkSession, out_dir: str) -> Index:
         sharded=sharded,
         dictionary=dictionary,
         analyzer=analyzer,
+        tokenizer=tokenizer,
     )

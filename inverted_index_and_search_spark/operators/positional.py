@@ -52,8 +52,6 @@ from inverted_index_and_search_spark.operators.query import (
     B,
     _query_postings,
 )
-from inverted_index_and_search_spark.tokenizer import tokens_col
-
 __all__ = [
     "term_doc_positions",
     "term_doc_positions_arrow",
@@ -68,16 +66,21 @@ __all__ = [
 
 
 def term_doc_positions(docs: DataFrame, *, content_col: str = "content",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       tokenizer: str = "standard") -> DataFrame:
     """(term, doc_id, tf, positions) — pure-JVM path.
 
     posexplode assigns each token its 0-based offset; the group-by
     collects offsets per (term, doc). sort_array gives canonical
     ascending position order regardless of partitioning.
+    ``tokenizer`` selects term semantics ("standard" | "code").
     """
+    from inverted_index_and_search_spark.tokenizer import tokenizer_col
+
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_col(F.col(content_col))).alias("pos", "term"),
+        F.posexplode(tokenizer_col(tokenizer)(F.col(content_col)))
+        .alias("pos", "term"),
     )
     return tok.groupBy("term", "doc_id").agg(
         F.count("*").cast("int").alias("tf"),
@@ -86,7 +89,8 @@ def term_doc_positions(docs: DataFrame, *, content_col: str = "content",
 
 
 def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
-                             id_col: str = "doc_id") -> DataFrame:
+                             id_col: str = "doc_id",
+                             tokenizer: str = "standard") -> DataFrame:
     """(term, doc_id, tf, positions) computed inside an Arrow UDF —
     in-mapper combining with positions (the positional analogue of
     index_build.term_doc_tf_arrow): no JVM token explode, no
@@ -95,11 +99,17 @@ def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
     """
     import pandas as pd
 
-    from inverted_index_and_search_spark.tokenizer import _PY_TOKEN
+    from inverted_index_and_search_spark.tokenizer import (
+        _PY_TOKEN, code_tokenize_py)
+
+    code = tokenizer == "code"
 
     def collect_pos(batches):
         for pdf in batches:
-            toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
+            if code:
+                toks = [code_tokenize_py(s) for s in pdf[content_col]]
+            else:
+                toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
             ids, terms, tfs, poss = [], [], [], []
             for doc_id, words in zip(pdf[id_col], toks):
                 d: dict[str, list[int]] = {}
@@ -205,7 +215,8 @@ def positional_postings(tdp: DataFrame, *,
 def build_positional_index(docs: DataFrame, *, content_col: str = "content",
                            id_col: str = "doc_id", use_pandas_udf: bool = True,
                            n_buckets: int = DEFAULT_BUCKETS,
-                           shard_hot_terms: bool = False) -> Index:
+                           shard_hot_terms: bool = False,
+                           tokenizer: str = "standard") -> Index:
     """Positional :class:`Index` — a strict superset of the tf-only
     layout: boolean/BM25/text-sink operators work on it unchanged, and
     the phrase/proximity operators below require it.
@@ -217,22 +228,24 @@ def build_positional_index(docs: DataFrame, *, content_col: str = "content",
     query results are identical either way (tested)."""
     if use_pandas_udf:
         tdp = term_doc_positions_arrow(docs, content_col=content_col,
-                                       id_col=id_col)
+                                       id_col=id_col, tokenizer=tokenizer)
     else:
-        tdp = term_doc_positions(docs, content_col=content_col, id_col=id_col)
+        tdp = term_doc_positions(docs, content_col=content_col, id_col=id_col,
+                                 tokenizer=tokenizer)
     hot = None
     if shard_hot_terms:
         from inverted_index_and_search_spark.operators.index_build import (
             hot_terms_from_docs,
         )
         hot = hot_terms_from_docs(docs, content_col=content_col,
-                                  id_col=id_col)
+                                  id_col=id_col, tokenizer=tokenizer)
     return Index(
         postings=positional_postings(tdp, n_buckets=n_buckets, hot=hot),
         doc_stats=doc_stats(docs, tdp, content_col=content_col, id_col=id_col),
         tf=tdp,
         n_buckets=n_buckets,
         sharded=hot is not None,
+        tokenizer=tokenizer,
     )
 
 

@@ -252,12 +252,16 @@ class SegmentIndex:
     #: optional SORTED (term, term_bucket) side table (persisted layouts)
     #: — term-range file pruning for prefix/fuzzy dictionary scans
     dictionary: DataFrame | None = None
+    #: tokenizer the tf relation was BUILT with ("standard" | "code");
+    #: persisted in stats.json — query surfaces split incoming terms
+    #: with the same semantics or they miss the vocabulary
+    tokenizer: str = "standard"
 
 
 def build_segment_index(
     tf: DataFrame, n_docs: int, avgdl: float,
     *, n_buckets: int = DEFAULT_BUCKETS, salt_hot_terms: bool = True,
-    hot: DataFrame | None = None,
+    hot: DataFrame | None = None, tokenizer: str = "standard",
 ) -> SegmentIndex:
     """SegmentIndex over a (term, doc_id, tf[, positions]) relation.
 
@@ -279,6 +283,7 @@ def build_segment_index(
         n_docs=n_docs,
         avgdl=avgdl,
         n_buckets=n_buckets,
+        tokenizer=tokenizer,
     )
 
 
@@ -306,7 +311,8 @@ def write_segment_index(idx: SegmentIndex, out_dir: str, mode: str = "overwrite"
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/stats.json", "w") as f:
         json.dump({"n_docs": idx.n_docs, "avgdl": idx.avgdl,
-                   "n_buckets": idx.n_buckets, "block": idx.block}, f)
+                   "n_buckets": idx.n_buckets, "block": idx.block,
+                   "tokenizer": idx.tokenizer}, f)
 
 
 def read_segment_index(spark: SparkSession, out_dir: str) -> SegmentIndex:
@@ -322,6 +328,7 @@ def read_segment_index(spark: SparkSession, out_dir: str) -> SegmentIndex:
         n_buckets=stats["n_buckets"],
         block=stats["block"],
         dictionary=dictionary,
+        tokenizer=stats.get("tokenizer", "standard"),
     )
 
 
@@ -396,10 +403,14 @@ def merge_segment_indexes(parts: list[SegmentIndex], *,
     n_docs = sum(p.n_docs for p in parts)
     avgdl = (sum(p.avgdl * p.n_docs for p in parts) / n_docs
              if n_docs else 0.0)
+    toks = {p.tokenizer for p in parts}
+    if len(toks) > 1:
+        raise ValueError("cannot merge segment indexes built with "
+                         f"different tokenizers: {sorted(toks)}")
     return build_segment_index(
         tf, n_docs, avgdl,
         n_buckets=n_buckets if n_buckets is not None else parts[0].n_buckets,
-        salt_hot_terms=salt_hot_terms, hot=hot)
+        salt_hot_terms=salt_hot_terms, hot=hot, tokenizer=parts[0].tokenizer)
 
 
 def _decode_row(row, avgdl: float, n_docs: int, block: int) -> bm25.TermPostings:

@@ -95,3 +95,117 @@ def tokens_sql_duckdb(text_expr: str) -> str:
         f"regexp_replace(lower({text_expr}), '{DUCKDB_STRIP_REGEX}', ' ', 'g')"
         ", '\\s+'), t -> t <> '')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-aware tokenizer ("code" mode)
+#
+# The corpus is SOURCE CODE (north-star input: (repo, path, commit, lang,
+# content)); the reference tokenizes identifiers verbatim, so a search for
+# `filename` misses `getFileName` and `file_name`. Production code-search
+# engines (Lucene's WordDelimiterGraphFilter; see also Zoekt/OpenGrok
+# symbol tokenizers) split identifiers at case and class transitions.
+# This is the deterministic subset of those rules:
+#
+#   1. ACRONYM boundary   : Lu+ before Lu Ll    ("XMLHttp"  -> "XML Http")
+#   2. CAMEL boundary     : Ll|N before Lu      ("getFile"  -> "get File")
+#   3. LETTER->DIGIT      : L before N          ("sha256"   -> "sha 256")
+#   4. DIGIT->LETTER      : N before L          ("2vec"     -> "2 vec")
+#   then lowercase and extract [L N]+ runs (underscore and every other
+#   non-alphanumeric char is a separator, which splits snake_case for free).
+#
+# All three engines run the SAME four substitution passes (Java regex /
+# RE2 / the `regex` module all support \p{Lu}-style classes and resume
+# scanning after each non-overlapping match identically), so the Spark
+# expression, the Arrow batch path, the pure-Python oracle and the DuckDB
+# SQL twin are byte-parity-testable — same proof obligation as the
+# standard tokenizer above. A single-regex extraction (`\p{Lu}+(?=...)`)
+# would be one pass instead of four but needs lookahead, which RE2 (the
+# DuckDB oracle engine) does not support — the 4-pass form is chosen for
+# provable oracle parity, and it is opt-in (`tokenizer="code"`).
+# ---------------------------------------------------------------------------
+
+#: (pattern, needs_unicode_classes) — identical pattern text for Java,
+#: RE2 and the `regex` module; replacement is group1 + space + group2.
+CODE_BOUNDARY_PATTERNS: tuple[str, ...] = (
+    r"(\p{Lu}+)(\p{Lu}\p{Ll})",   # acronym end
+    r"([\p{Ll}\p{N}])(\p{Lu})",   # camelCase rise
+    r"(\p{L})(\p{N})",            # letter -> digit
+    r"(\p{N})(\p{L})",            # digit -> letter
+)
+
+try:  # pure-Python twin needs \p{} classes -> the `regex` module
+    import regex as _regex
+
+    _CODE_PASSES_PY = [_regex.compile(p) for p in CODE_BOUNDARY_PATTERNS]
+    _CODE_TOKEN_PY = _regex.compile(r"[\p{L}\p{N}]+")
+except ImportError:  # pragma: no cover - regex is present in this env
+    _regex = None
+    _CODE_PASSES_PY = []
+    _CODE_TOKEN_PY = None
+
+
+def code_tokenize_py(text: str) -> list[str]:
+    """Pure-Python oracle for the code tokenizer (4-pass + extract)."""
+    if _regex is None:  # pragma: no cover
+        raise ImportError("code tokenizer oracle requires the `regex` module")
+    for pat in _CODE_PASSES_PY:
+        text = pat.sub(r"\1 \2", text)
+    return [t.lower() for t in _CODE_TOKEN_PY.findall(text)]
+
+
+def code_tokens_col(content: Column) -> Column:
+    """JVM-expression code tokenizer: 4 codegen'd regexp_replace passes
+    (case/class boundary -> space) then the standard lower+extract.
+    No Python worker; the hot default for ``tokenizer="code"`` builds."""
+    out = content
+    for pat in CODE_BOUNDARY_PATTERNS:
+        out = F.regexp_replace(out, pat, r"$1 $2")
+    return F.regexp_extract_all(F.lower(out), F.lit(JAVA_TOKEN_REGEX), F.lit(0))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def code_tokenize_pandas_udf(content: pd.Series) -> pd.Series:
+    """Arrow-batched code tokenizer (regex-module batch loop; same
+    per-string regex work as pandas ``.str`` ops, which also dispatch
+    per element for object dtype)."""
+    return pd.Series([code_tokenize_py(s) for s in content],
+                     index=content.index)
+
+
+def code_tokens_sql_duckdb(text_expr: str) -> str:
+    """DuckDB twin of :func:`code_tokens_col` (RE2 runs the same four
+    passes; ``\\1 \\2`` is RE2 rewrite syntax for ``$1 $2``)."""
+    out = text_expr
+    for pat in CODE_BOUNDARY_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '\\1 \\2', 'g')"
+    return (
+        "list_filter(string_split_regex("
+        f"regexp_replace(lower({out}), '{DUCKDB_STRIP_REGEX}', ' ', 'g')"
+        ", '\\s+'), t -> t <> '')"
+    )
+
+
+#: registry used by index meta.json / CLI flags.
+TOKENIZERS = ("standard", "code")
+
+
+def tokenizer_py(name: str):
+    """(name -> list[str] tokenizer) for oracle/query-side use."""
+    if name == "code":
+        return code_tokenize_py
+    return tokenize_py
+
+
+def tokenizer_col(name: str):
+    """(name -> Column tokenizer) for the JVM build path."""
+    if name == "code":
+        return code_tokens_col
+    return tokens_col
+
+
+def tokenizer_pandas_udf(name: str):
+    """(name -> pandas_udf tokenizer) for the Arrow build path."""
+    if name == "code":
+        return code_tokenize_pandas_udf
+    return tokenize_pandas_udf

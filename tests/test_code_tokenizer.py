@@ -1,0 +1,222 @@
+"""Code-aware tokenizer: 4-way parity (pure-Python oracle, JVM
+expression, Arrow pandas UDF, DuckDB SQL) + build/query integration.
+
+The corpus is source code (north-star input shape); `tokenizer="code"`
+splits identifiers at case/class boundaries (Lucene WordDelimiter
+semantics, deterministic subset) so `filename` matches `getFileName`
+and `file_name`. All four implementations run the SAME four
+substitution passes — byte parity is the proof obligation, exactly as
+for the standard tokenizer (tests/test_tokenizer.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from inverted_index_and_search_spark.operators import index_build as ib
+from inverted_index_and_search_spark.operators import query as q
+from inverted_index_and_search_spark.tokenizer import (
+    code_tokenize_pandas_udf,
+    code_tokenize_py,
+    code_tokens_col,
+    code_tokens_sql_duckdb,
+)
+
+CASES = [
+    "getFileName",
+    "HTTPServer2",
+    "foo_bar_baz",
+    "sha256sum",
+    "XMLHttpRequest",
+    "parse_args2vec",
+    "__dunder__MixedCase",
+    "ALLCAPS",
+    "aB aBC aBcDe",
+    "überÜberStraße",
+    "x = camelCase(snake_case, UPPER_SNAKE); // C99_style",
+    "if (fooBar != null) { return fooBar.getValue(); }",
+    "",
+    "    ",
+    "123abc456DEF",
+]
+
+EXPECT = {
+    "getFileName": ["get", "file", "name"],
+    "foo_bar_baz": ["foo", "bar", "baz"],
+    "HTTPServer2": ["http", "server", "2"],
+    "sha256sum": ["sha", "256", "sum"],
+    "XMLHttpRequest": ["xml", "http", "request"],
+    "ALLCAPS": ["allcaps"],
+}
+
+
+def test_expected_splits():
+    for text, want in EXPECT.items():
+        assert code_tokenize_py(text) == want, text
+
+
+def test_py_vs_jvm_vs_pandas_vs_duckdb(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CASES)],
+                               "i long, content string")
+    jvm = {r["i"]: r["t"] for r in
+           df.select("i", code_tokens_col(F.col("content")).alias("t"))
+           .collect()}
+    arrow = {r["i"]: r["t"] for r in
+             df.select("i", code_tokenize_pandas_udf(F.col("content"))
+                       .alias("t")).collect()}
+    con = duckdb.connect()
+    sql = code_tokens_sql_duckdb("content")
+    for i, s in enumerate(CASES):
+        py = code_tokenize_py(s)
+        assert jvm[i] == py, f"JVM mismatch on {s!r}"
+        assert arrow[i] == py, f"Arrow mismatch on {s!r}"
+        duck = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS content)", [s]).fetchone()[0]
+        assert duck == py, f"DuckDB mismatch on {s!r}"
+
+
+@functools.lru_cache(maxsize=None)
+def _lower_tables_agree(c: str) -> bool:
+    """True when DuckDB's utf8proc lower() matches Python's str.lower
+    for ``c``. They diverge on (a) expanding mappings (U+0130 'İ' ->
+    'i' + combining dot) and (b) Unicode-VERSION drift (e.g. U+10570
+    Vithkuqi, cased only since Unicode 14) — lower() TABLE differences
+    shared with the standard tokenizer, not split-rule issues, so the
+    property excludes them by probing both engines directly."""
+    got = duckdb.execute("SELECT lower(?)", [c]).fetchone()[0]
+    return got == c.lower()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+        whitelist_characters="_-.:{}()",
+    ).filter(_lower_tables_agree),
+    max_size=80,
+))
+def test_duckdb_parity_property(text):
+    con = duckdb.connect()
+    sql = code_tokens_sql_duckdb("content")
+    duck = con.execute(
+        f"SELECT {sql} FROM (SELECT ? AS content)", [text]).fetchone()[0]
+    assert duck == code_tokenize_py(text)
+
+
+@pytest.fixture(scope="module")
+def code_idx(spark, docs_df):
+    return ib.build_index(docs_df, tokenizer="code")
+
+
+def test_code_index_vocabulary(spark, docs_df, code_idx, corpus_pdf):
+    # per-doc oracle recount with the python code tokenizer
+    from collections import Counter
+    want = Counter()
+    for text in corpus_pdf["content"]:
+        for t in set(code_tokenize_py(text)):
+            want[t] += 1
+    got = {r["term"]: r["df"] for r in code_idx.postings.collect()}
+    assert got == dict(want)
+
+
+def test_code_index_jvm_arrow_paths_agree(spark, docs_df):
+    a = ib.build_index(docs_df, tokenizer="code", use_pandas_udf=True)
+    b = ib.build_index(docs_df, tokenizer="code", use_pandas_udf=False)
+    ra = {(r["term"], r["df"], r["cf"]) for r in a.postings.collect()}
+    rb = {(r["term"], r["df"], r["cf"]) for r in b.postings.collect()}
+    assert ra == rb
+
+
+WDF_ROWS = [
+    (0, "x getFileName y"),
+    (1, "a get_file_name b"),
+    (2, "get nothing file then name apart"),
+    (3, "GetFile names"),
+]
+
+
+@pytest.fixture(scope="module")
+def wdf_docs(spark):
+    df = spark.createDataFrame(WDF_ROWS, "doc_id long, content string")
+    df.cache().count()
+    return df
+
+
+def test_code_positional_phrase_wdf_semantics(spark, wdf_docs):
+    """Phrase [get, file, name] under the code tokenizer matches BOTH
+    `getFileName` and `get_file_name` occurrences (Lucene WDF phrase
+    semantics), not the scattered tokens of doc 2."""
+    from inverted_index_and_search_spark.operators.positional import (
+        build_positional_index, phrase_match)
+
+    idx = build_positional_index(wdf_docs, tokenizer="code")
+    got = sorted(r["doc_id"] for r in
+                 phrase_match(idx, ["get", "file", "name"]).collect())
+    assert got == [0, 1]
+
+
+def test_code_positional_paths_agree(spark, docs_df):
+    from inverted_index_and_search_spark.operators.positional import (
+        term_doc_positions, term_doc_positions_arrow)
+
+    a = term_doc_positions_arrow(docs_df, tokenizer="code")
+    b = term_doc_positions(docs_df, tokenizer="code")
+    ra = {(r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+          for r in a.collect()}
+    rb = {(r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+          for r in b.collect()}
+    assert ra == rb and ra
+
+
+def test_cli_segments_code_tokenizer(spark, wdf_docs, tmp_path, capsys):
+    """`build --tokenizer code --format segments --positional` persists
+    the tokenizer in stats.json and `search` splits query identifiers
+    automatically — `--phrase getFileName` finds the snake_case doc."""
+    from inverted_index_and_search_spark import cli
+
+    src = str(tmp_path / "wdf.parquet")
+    wdf_docs.write.parquet(src)
+    out = str(tmp_path / "codeseg")
+    cli.main(["build", "--input", src, "--output", out,
+              "--tokenizer", "code", "--format", "segments",
+              "--positional"])
+    capsys.readouterr()
+    cli.main(["search", "--index", out, "--index-format", "segments",
+              "--phrase", "--query", "getFileName"])
+    outp = capsys.readouterr().out
+    ids = {int(ln.split("\t")[0]) for ln in outp.splitlines()
+           if ln and ln.split("\t")[0].isdigit()}
+    assert ids == {0, 1}
+
+
+def test_fielded_code_tokenizer(spark, wdf_docs):
+    from inverted_index_and_search_spark.operators.fielded import (
+        build_fielded_index)
+    from inverted_index_and_search_spark.operators import query as q
+
+    docs = wdf_docs.withColumn("path", F.lit("src/MainFile.java"))
+    idx = build_fielded_index(docs, {"path": 3.0, "content": 1.0},
+                              tokenizer="code")
+    assert idx.tokenizer == "code"
+    # "file" appears in every doc's path (MainFile) — all 4 match
+    got = {r["doc_id"] for r in q.bm25_topk(idx, ["file"], k=10).collect()}
+    assert got == {0, 1, 2, 3}
+
+
+def test_code_index_roundtrip_meta(spark, docs_df, tmp_path):
+    idx = ib.build_index(docs_df, tokenizer="code")
+    out = str(tmp_path / "codeidx")
+    ib.write_index(idx, out)
+    back = ib.read_index(spark, out)
+    assert back.tokenizer == "code"
+    # querying a camelCase identifier's split parts hits the index
+    parts = code_tokenize_py("varName")  # fixture corpus has var_N_N ids
+    assert parts == ["var", "name"]
+    rows = q.bm25_topk(back, ["var"], k=5).collect()
+    assert len(rows) > 0

@@ -1,0 +1,246 @@
+"""Trigram substring/regex search (operators/grep.py): the
+candidates-then-verify path must equal a brute-force scan on every
+query, and the regex literal extraction must be sound (required
+literals only).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from inverted_index_and_search_spark.operators import grep
+
+NEEDLES = [
+    "def ",            # hot
+    "var_3_0",         # identifier with underscores
+    "return",          # hot word
+    "))",              # len<3 -> full-scan fallback (len 2)
+    "zzznothere",      # absent
+    "if (",            # punctuation + space
+]
+
+PATTERNS = [
+    r"var_[0-9]+_0",       # literal run "var_" (len>=3)
+    r"def [a-z]+_[0-9]+",  # literal "def "
+    r"(foo|bar)baz",       # alternation -> no top-level literal
+    r"return|yield",       # alternation at top -> no prefilter
+]
+
+
+@pytest.fixture(scope="module")
+def tidx(docs_df):
+    return grep.build_trigram_index(docs_df)
+
+
+def brute_substr(corpus_pdf, needle):
+    return sorted(
+        int(r.doc_id) for r in corpus_pdf.itertuples()
+        if needle in r.content)
+
+
+def brute_regex(corpus_pdf, pattern):
+    rx = re.compile(pattern)
+    return sorted(
+        int(r.doc_id) for r in corpus_pdf.itertuples()
+        if rx.search(r.content))
+
+
+def test_grams_udf_matches_py(spark, docs_df, corpus_pdf):
+    got = {r["doc_id"]: r["g"] for r in docs_df.select(
+        "doc_id", grep.grams_pandas_udf(F.col("content")).alias("g"))
+        .collect()}
+    for r in corpus_pdf.itertuples():
+        assert sorted(got[int(r.doc_id)]) == sorted(
+            grep.grams_py(r.content)), r.doc_id
+
+
+def test_substring_search_equals_scan(spark, docs_df, corpus_pdf, tidx):
+    for needle in NEEDLES:
+        got = sorted(r["doc_id"] for r in grep.substring_search(
+            tidx, docs_df, needle).collect())
+        assert got == brute_substr(corpus_pdf, needle), needle
+
+
+def test_substring_counts(spark, docs_df, corpus_pdf, tidx):
+    rows = grep.substring_search(tidx, docs_df, "def ",
+                                 count_occurrences=True).collect()
+    got = {r["doc_id"]: r["n_hits"] for r in rows}
+    for r in corpus_pdf.itertuples():
+        want = r.content.count("def ")
+        if want:
+            assert got[int(r.doc_id)] == want
+
+
+def test_rarest_gram_prefilter_still_exact(spark, docs_df, corpus_pdf, tidx):
+    # force the selection path with a tiny gram budget
+    needle = "return new_table"
+    got = sorted(r["doc_id"] for r in grep.substring_search(
+        tidx, docs_df, needle, max_grams=2).collect())
+    assert got == brute_substr(corpus_pdf, needle)
+
+
+def test_regex_search_equals_scan(spark, docs_df, corpus_pdf, tidx):
+    for pattern in PATTERNS:
+        got = sorted(r["doc_id"] for r in grep.regex_search(
+            tidx, docs_df, pattern).collect())
+        assert got == brute_regex(corpus_pdf, pattern), pattern
+
+
+def test_required_literals_sound():
+    assert grep.required_literals(r"var_[0-9]+_0") == ["var_"]
+    assert grep.required_literals(r"def [a-z]+_[0-9]+") == ["def "]
+    # alternation: nothing is required
+    assert grep.required_literals(r"return|yield") == []
+    # NOT_LITERAL must not leak
+    assert grep.required_literals(r"[^a]bcdef") == ["bcdef"]
+    # a+ requires at least one 'abc' when quantifier min >= 1
+    assert grep.required_literals(r"(?:abc)+") == ["abc"]
+    assert grep.required_literals(r"(?:abc)*") == []
+    # escaped specials are literals
+    assert grep.required_literals(r"foo\.bar") == ["foo.bar"]
+
+
+def test_roundtrip_persist(spark, docs_df, corpus_pdf, tmp_path, tidx):
+    out = str(tmp_path / "tri")
+    grep.write_trigram_index(tidx, out)
+    back = grep.read_trigram_index(spark, out)
+    assert back.n_buckets == tidx.n_buckets
+    got = sorted(r["doc_id"] for r in grep.substring_search(
+        back, docs_df, "var_3_0").collect())
+    assert got == brute_substr(corpus_pdf, "var_3_0")
+
+
+def test_matching_lines_equals_python_grep(spark, docs_df, corpus_pdf, tidx):
+    needle = "var_3_0"
+    got = sorted(
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in grep.matching_lines(tidx, docs_df, needle).collect())
+    want = sorted(
+        (int(r.doc_id), i + 1, ln)
+        for r in corpus_pdf.itertuples()
+        for i, ln in enumerate(r.content.split("\n"))
+        if needle in ln)
+    assert got == want and got
+
+
+CI_ROWS = [
+    (0, "GetFileName calls OpenFile\nreturn FILE_NAME"),
+    (1, "getfilename lower only"),
+    (2, "no match here at all"),
+    (3, "mixed GETFILENAME CAPS"),
+]
+
+
+@pytest.fixture(scope="module")
+def ci_docs(spark):
+    df = spark.createDataFrame(CI_ROWS, "doc_id long, content string")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def ci_tidx(ci_docs):
+    return grep.build_trigram_index(ci_docs, case_insensitive=True)
+
+
+def test_case_insensitive_substring(spark, ci_docs, ci_tidx):
+    got = sorted(r["doc_id"] for r in grep.substring_search(
+        ci_tidx, ci_docs, "GetFileName", fold_case=True).collect())
+    assert got == [0, 1, 3]
+    # same index still answers case-SENSITIVE queries exactly (folded
+    # gram prefilter is sound; verification stays verbatim)
+    got = sorted(r["doc_id"] for r in grep.substring_search(
+        ci_tidx, ci_docs, "GetFileName", fold_case=False).collect())
+    assert got == [0]
+
+
+def test_fold_case_requires_ci_index(spark, docs_df, tidx):
+    with pytest.raises(ValueError, match="case-insensitive"):
+        grep.substring_search(tidx, docs_df, "def ", fold_case=True)
+
+
+def test_ci_index_regex_prefilter_sound(spark, ci_docs, ci_tidx):
+    # required literal "OpenFile" folds to lower grams on the CI index
+    got = sorted(r["doc_id"] for r in grep.regex_search(
+        ci_tidx, ci_docs, r"OpenFile").collect())
+    assert got == [0]
+
+
+def test_ci_roundtrip_meta(spark, ci_docs, tmp_path, ci_tidx):
+    out = str(tmp_path / "ci")
+    grep.write_trigram_index(ci_tidx, out)
+    back = grep.read_trigram_index(spark, out)
+    assert back.case_insensitive is True
+    got = sorted(r["doc_id"] for r in grep.substring_search(
+        back, ci_docs, "file_name", fold_case=True).collect())
+    assert got == [0]
+
+
+def test_cli_grep_build_and_search(spark, tmp_path, capsys):
+    from inverted_index_and_search_spark import cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "tri_cli")
+    cli.main(["grep-build", "--input", docs, "--content-col", "text",
+              "--output", idx])
+    assert "trigram index written" in capsys.readouterr().out
+
+    cli.main(["grep", "merge part", "--index", idx, "--docs", docs,
+              "--content-col", "text"])
+    ids = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.strip().isdigit()]
+    import duckdb
+    want = [str(r[0]) for r in duckdb.execute(
+        f"SELECT doc_id FROM '{docs}' WHERE contains(text, 'merge part') "
+        "ORDER BY doc_id").fetchall()]
+    assert ids == want and ids
+
+    cli.main(["grep", "zzzznothere", "--index", idx, "--docs", docs,
+              "--content-col", "text"])
+    assert "No matches found." in capsys.readouterr().out
+
+    cli.main(["grep", r"key [a-z]+ sort", "--regex", "--index", idx,
+              "--docs", docs, "--content-col", "text"])
+    rids = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.strip().isdigit()]
+    rwant = [str(r[0]) for r in duckdb.execute(
+        f"SELECT doc_id FROM '{docs}' "
+        "WHERE regexp_matches(text, 'key [a-z]+ sort') "
+        "ORDER BY doc_id").fetchall()]
+    assert rids == rwant and rids
+
+
+def test_cli_grep_lines_and_count(spark, tmp_path, capsys):
+    from inverted_index_and_search_spark import cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "tri_cli2")
+    cli.main(["grep-build", "--input", docs, "--content-col", "text",
+              "--output", idx])
+    capsys.readouterr()
+    cli.main(["grep", "merge part", "--index", idx, "--docs", docs,
+              "--content-col", "text", "--count"])
+    out = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert out and all(int(ln.split("\t")[1]) >= 1 for ln in out)
+
+    cli.main(["grep", "merge part", "--index", idx, "--docs", docs,
+              "--content-col", "text", "--lines"])
+    lns = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.count(":") >= 2]
+    assert lns and all("merge part" in ln.split(":", 2)[2] for ln in lns)
+
+
+def test_bucket_pruning_plan(spark, docs_df, tmp_path, tidx):
+    """Persisted layout: the candidates scan must prune gram_bucket
+    partitions (driver-side hash, no hash job) and push gram IN."""
+    out = str(tmp_path / "tri_plan")
+    grep.write_trigram_index(tidx, out)
+    back = grep.read_trigram_index(spark, out)
+    plan = grep.substring_search(
+        back, docs_df, "var_3_0")._jdf.queryExecution().executedPlan().toString()
+    assert "gram_bucket" in plan
+    # partition filters appear as PartitionFilters on the scan node
+    assert "PartitionFilters" in plan or "dynamicpruning" not in plan.lower()
