@@ -877,6 +877,57 @@ def _grep(args: argparse.Namespace) -> None:
         spark.stop()
 
 
+def _symbols_build(args: argparse.Namespace) -> None:
+    """`symbols-build`: extract a ctags-style definition index."""
+    from inverted_index_and_search_spark.operators import symbols as sy
+
+    spark, created = _session("iis-symbols-build")
+    docs, auto_content = _load_docs_arg(spark, args.input, "*")
+    content_col = auto_content or args.content_col
+    if args.lang_col not in docs.columns:
+        print(f"error: --lang-col {args.lang_col!r} not in input columns "
+              f"{docs.columns} (symbol patterns are per-language)",
+              file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
+    id_col = "doc_id" if auto_content else args.id_col
+    if id_col not in docs.columns:
+        from inverted_index_and_search_spark.corpus import with_doc_id
+        docs = with_doc_id(docs)
+        id_col = "doc_id"
+    syms = sy.extract_symbols(docs, content_col=content_col, id_col=id_col,
+                              lang_col=args.lang_col)
+    sy.write_symbol_index(syms, args.output,
+                          n_buckets=args.num_output_partitions)
+    print(f"symbol index written to {args.output}")
+    if created:
+        spark.stop()
+
+
+def _symbols(args: argparse.Namespace) -> None:
+    """`symbols`: definition lookup over a symbols-build index."""
+    from inverted_index_and_search_spark.operators import symbols as sy
+
+    spark, created = _session("iis-symbols")
+    back, nb = sy.read_symbol_index(spark, args.index)
+    if args.prefix:
+        rows = sy.symbol_search(back, args.name, kind=args.kind,
+                                prefix=True) \
+            .select("doc_id", "lang", "kind", "symbol", "line_no") \
+            .orderBy("symbol", "doc_id", "line_no").collect()
+    else:
+        rows = sy.symbol_lookup(back, nb, args.name, kind=args.kind) \
+            .orderBy("doc_id", "line_no").collect()
+    for r in rows:
+        print(f"{r['doc_id']}:{r['line_no']}\t{r['kind']}\t{r['symbol']}"
+              f"\t{r['lang']}")
+    if not rows:
+        print("No definitions found.")
+    if created:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="inverted_index_and_search_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1076,6 +1127,32 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--max-grams", type=int, default=8,
                    help="rarest-gram prefilter width (default 8)")
     g.set_defaults(fn=_grep)
+
+    sb = sub.add_parser(
+        "symbols-build",
+        help="extract a ctags-style per-language definition index")
+    sb.add_argument("--input", required=True, nargs="+",
+                    help="documents parquet table(s) with a language "
+                         "column (the north-star corpus shape)")
+    sb.add_argument("--output", required=True)
+    sb.add_argument("--content-col", default="content")
+    sb.add_argument("--id-col", default="doc_id")
+    sb.add_argument("--lang-col", default="lang")
+    sb.add_argument("--num-output-partitions", type=int,
+                    default=ib.DEFAULT_BUCKETS)
+    sb.set_defaults(fn=_symbols_build)
+
+    sy = sub.add_parser(
+        "symbols", help="definition lookup (doc:line kind symbol lang)")
+    sy.add_argument("name", help="symbol name (exact; see --prefix)")
+    sy.add_argument("--index", required=True,
+                    help="symbols-build output dir")
+    sy.add_argument("--kind", default=None,
+                    help="restrict to a definition kind "
+                         "(function/class/struct/...)")
+    sy.add_argument("--prefix", action="store_true",
+                    help="treat NAME as a prefix")
+    sy.set_defaults(fn=_symbols)
 
     st = sub.add_parser("stats", help="print index summary statistics")
     st.add_argument("--index", required=True)

@@ -19,7 +19,7 @@ PIPELINE_QUERIES = [
     "text_metrics",
     "dedup_exact", "dedup_jaccard_pairs",
     "simhash_fingerprint", "dedup_simhash_pairs", "dedup_embedding_cosine",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_neardup",
+    "ann_topk", "ann_lsh_neardup",
     "multimodal_features", "multimodal_frames",
     "event_windowed_counts", "event_sessions", "event_props_json",
     "input_budget",

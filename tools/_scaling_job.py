@@ -87,6 +87,19 @@ def main() -> None:
     one_pos_build(f"{out}_warm_pos")  # untimed warmup
     build_s_pos = min(one_pos_build(f"{out}_pos_{r}") for r in range(2))
 
+    # trigram grep index (round-4 surface): Arrow gram UDF + one
+    # bucket-routed write — evidences the substring index's N->4N
+    # scaling alongside the term index's
+    from inverted_index_and_search_spark.operators import grep
+
+    def one_tri_build(dest: str) -> float:
+        t0 = time.perf_counter()
+        grep.write_trigram_index(grep.build_trigram_index(docs), dest)
+        return time.perf_counter() - t0
+
+    one_tri_build(f"{out}_warm_tri")  # untimed warmup
+    build_s_tri = min(one_tri_build(f"{out}_tri_{r}") for r in range(2))
+
     # Spark-native hardware ceiling probe: tokenize EVERY doc with the
     # same JVM tokenizer but zero shuffle (map + tiny partial-agg merge).
     # Perfectly parallel by construction, so its N->4N speedup is what
@@ -122,6 +135,7 @@ def main() -> None:
         "build_s": round(build_s, 3),
         "build_s_arrow": round(builds["arrow"], 3),
         "build_s_positional": round(build_s_pos, 3),
+        "build_s_trigram": round(build_s_tri, 3),
         "maponly_s": round(maponly_s, 3),
         "files_per_sec": round(n_files / build_s, 2),
         "mb_per_sec": round(n_bytes / 1e6 / build_s, 3),

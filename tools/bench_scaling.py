@@ -112,6 +112,7 @@ def main() -> None:
     speedup = lo["build_s"] / hi["build_s"]
     speedup_arrow = lo["build_s_arrow"] / hi["build_s_arrow"]
     speedup_pos = lo["build_s_positional"] / hi["build_s_positional"]
+    speedup_tri = lo["build_s_trigram"] / hi["build_s_trigram"]
     eff = speedup / (N_HIGH / N_LOW)
     eff_norm = speedup / hw["speedup"]
     spark_ceiling = round(lo["maponly_s"] / hi["maponly_s"], 3)
@@ -119,6 +120,7 @@ def main() -> None:
            "job_speedup": round(speedup, 3),
            "job_speedup_arrow": round(speedup_arrow, 3),
            "job_speedup_positional": round(speedup_pos, 3),
+           "job_speedup_trigram": round(speedup_tri, 3),
            "efficiency_raw": round(eff, 3),
            "hw_attainable_speedup": hw["speedup"],
            "efficiency_vs_hw": round(eff_norm, 3),
@@ -129,6 +131,8 @@ def main() -> None:
                round(speedup_arrow / spark_ceiling, 3),
            "efficiency_vs_spark_ceiling_positional":
                round(speedup_pos / spark_ceiling, 3),
+           "efficiency_vs_spark_ceiling_trigram":
+               round(speedup_tri / spark_ceiling, 3),
            "n_docs": n_docs}
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
@@ -154,16 +158,17 @@ warmup build then min of 4 timed builds per path (this sandbox's
 virtualized CPU shows up-to-2x noise between identical runs; min is
 the least-interference observation).
 
-| parallelism | build s (JVM tok) | build s (Arrow tok) | build s (positional) | files/s | MB/s | BM25 p50 ms | BM25 p95 ms |
-|---|---|---|---|---|---|---|---|
-| local[{N_LOW}]  (N)  | {lo["build_s"]} | {lo["build_s_arrow"]} | {lo["build_s_positional"]} | {lo["files_per_sec"]} | {lo["mb_per_sec"]} | {lo["bm25_p50_ms"]} | {lo["bm25_p95_ms"]} |
-| local[{N_HIGH}] (4N) | {hi["build_s"]} | {hi["build_s_arrow"]} | {hi["build_s_positional"]} | {hi["files_per_sec"]} | {hi["mb_per_sec"]} | {hi["bm25_p50_ms"]} | {hi["bm25_p95_ms"]} |
+| parallelism | build s (JVM tok) | build s (Arrow tok) | build s (positional) | build s (trigram) | files/s | MB/s | BM25 p50 ms | BM25 p95 ms |
+|---|---|---|---|---|---|---|---|---|
+| local[{N_LOW}]  (N)  | {lo["build_s"]} | {lo["build_s_arrow"]} | {lo["build_s_positional"]} | {lo["build_s_trigram"]} | {lo["files_per_sec"]} | {lo["mb_per_sec"]} | {lo["bm25_p50_ms"]} | {lo["bm25_p95_ms"]} |
+| local[{N_HIGH}] (4N) | {hi["build_s"]} | {hi["build_s_arrow"]} | {hi["build_s_positional"]} | {hi["build_s_trigram"]} | {hi["files_per_sec"]} | {hi["mb_per_sec"]} | {hi["bm25_p50_ms"]} | {hi["bm25_p95_ms"]} |
 
 | metric | value |
 |---|---|
 | job speedup {N_LOW}->{N_HIGH} cores (JVM tokenizer path) | {out["job_speedup"]}x |
 | job speedup {N_LOW}->{N_HIGH} cores (positional layout) | {out["job_speedup_positional"]}x |
 | job speedup {N_LOW}->{N_HIGH} cores (Arrow pandas-UDF path) | {out["job_speedup_arrow"]}x |
+| job speedup {N_LOW}->{N_HIGH} cores (trigram grep index) | {out["job_speedup_trigram"]}x |
 | raw efficiency (T_N / T_4N) / 4 | {out["efficiency_raw"]} |
 | hardware-attainable speedup (pure-CPU {N_LOW}->{N_HIGH} procs, measured) | {hw["speedup"]}x |
 | Spark map-only attainable speedup (same corpus, zero-shuffle tokenize, measured) | {out["spark_maponly_speedup"]}x |
@@ -172,6 +177,7 @@ the least-interference observation).
 | **efficiency vs Spark map-only ceiling (JVM path)** | **{out["efficiency_vs_spark_ceiling"]}** |
 | **efficiency vs Spark map-only ceiling (positional layout)** | **{out["efficiency_vs_spark_ceiling_positional"]}** |
 | efficiency vs Spark map-only ceiling (Arrow path) | {out["efficiency_vs_spark_ceiling_arrow"]} |
+| efficiency vs Spark map-only ceiling (trigram grep index) | {out["efficiency_vs_spark_ceiling_trigram"]} |
 
 Why two paths: the engine tokenizes either with pure-JVM expressions
 (1 thread per task — scales at the hardware ceiling) or with the Arrow

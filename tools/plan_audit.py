@@ -164,6 +164,22 @@ def main() -> None:
         "PREFIX plan for the first time.",
         explain(q.prefix_docs(pidx, "tab"))))
 
+    from inverted_index_and_search_spark.operators import grep
+    gtmp = tempfile.mkdtemp(prefix="iis_plan_tri_")
+    grep.write_trigram_index(
+        grep.build_trigram_index(docs, content_col="text", id_col="doc_id"),
+        gtmp)
+    tri = grep.read_trigram_index(spark, gtmp)
+    sections.append((
+        "Trigram substring search (grep, round 4)",
+        "Candidates: gram_bucket PartitionFilters (driver-side hash of "
+        "the needle's rarest grams) + pushed gram IN, one hash "
+        "aggregation counting matched grams; verification is an instr "
+        "filter applied ONLY to the left-semi-joined candidate docs — "
+        "the raw corpus is never regex/substring-scanned in full.",
+        explain(grep.substring_search(tri, docs, "merge part",
+                                      content_col="text"))))
+
     hot = spark.createDataFrame([("table",), ("query",)], "term string")
     sections.append((
         "Salted postings aggregation (hot/cold split, round 3)",
