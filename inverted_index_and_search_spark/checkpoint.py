@@ -10,7 +10,7 @@ Layout under ``out_dir``:
     stage/tf_dl/term_bucket=B/...   materialized (term, doc_id, tf, dl)
     doc_stats/...                   (doc_id, dl, content_sha256)
     segments/term_bucket=B/...      compressed segments (segments.py)
-    stats.json                      {n_docs, avgdl, n_buckets, block}
+    stats.json                      {n_docs, avgdl, n_buckets, block, tokenizer}
     _manifest/stage0.json           stage-0 commit (input lineage)
     _manifest/bucket_B.json         per-bucket commit (counts, checksum,
                                     wall seconds, lineage back-pointer)
@@ -75,6 +75,7 @@ def build_resumable(
     use_pandas_udf: bool = True,
     input_desc: str = "",
     on_bucket_done: Callable[[int], None] | None = None,
+    tokenizer: str = "standard",
 ) -> seg.SegmentIndex:
     """Build (or resume building) a compressed segment index.
 
@@ -95,7 +96,8 @@ def build_resumable(
     if not _committed(out_dir, "stage0"):
         t0 = time.perf_counter()
         tok = ib.tokens(docs, use_pandas_udf=use_pandas_udf,
-                        content_col=content_col, id_col=id_col)
+                        content_col=content_col, id_col=id_col,
+                        tokenizer=tokenizer)
         tf = ib.term_doc_tf(tok)
         tf_dl = seg.tf_with_dl(tf).withColumn(
             "term_bucket", ib.term_bucket_col(F.col("term"), n_buckets)
@@ -113,7 +115,8 @@ def build_resumable(
             F.count("*").alias("n"), F.avg("dl").alias("avgdl")
         ).collect()[0]
         stats = {"n_docs": int(srow["n"]), "avgdl": float(srow["avgdl"] or 0.0),
-                 "n_buckets": n_buckets, "block": seg.BLOCK}
+                 "n_buckets": n_buckets, "block": seg.BLOCK,
+                 "tokenizer": tokenizer}
         _atomic_write_json(f"{out_dir}/stats.json", stats)
         _atomic_write_json(_manifest_path(out_dir, "stage0"), {
             "input": input_desc,
@@ -181,6 +184,7 @@ def build_resumable(
         segments=spark.read.parquet(f"{out_dir}/segments"),
         n_docs=n_docs, avgdl=avgdl, n_buckets=n_buckets, block=stats["block"],
         dictionary=spark.read.parquet(f"{out_dir}/dictionary"),
+        tokenizer=stats.get("tokenizer", "standard"),
     )
 
 

@@ -853,7 +853,12 @@ def _grep(args: argparse.Namespace) -> None:
     kw = dict(content_col=content_col, id_col=id_col,
               max_grams=args.max_grams)
     if args.regex:
-        rows = grep.regex_search(tidx, docs, args.pattern, **kw) \
+        # --ignore-case folds the match via an embedded (?i) flag; the
+        # literal-gram prefilter stays sound because the CI index (the
+        # flag is rejected above without one) stores folded grams and
+        # regex_search folds required literals against it
+        pat = f"(?i){args.pattern}" if args.ignore_case else args.pattern
+        rows = grep.regex_search(tidx, docs, pat, **kw) \
             .orderBy("doc_id").collect()
         for r in rows:
             print(r["doc_id"])

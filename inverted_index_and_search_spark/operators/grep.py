@@ -136,7 +136,14 @@ def write_trigram_index(tidx: TrigramIndex, out_dir: str, *,
      .sortWithinPartitions("gram_bucket", "gram", "doc_id")
      .write.mode(mode).partitionBy("gram_bucket")
      .parquet(f"{out_dir}/grams"))
-    tidx.stats.write.mode(mode).parquet(f"{out_dir}/stats")
+    # stats derive from the WRITTEN parquet — aggregating tidx.stats
+    # here would re-execute the whole gram-extraction pipeline a second
+    # time (same derive-don't-recompute rule as index_build's
+    # write_dictionary); the read-back scans only the narrow gram
+    # column, dictionary-encoded
+    (spark.read.parquet(f"{out_dir}/grams")
+     .groupBy("gram").agg(F.count("*").cast("long").alias("df"))
+     .write.mode(mode).parquet(f"{out_dir}/stats"))
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
         json.dump({"n_buckets": tidx.n_buckets, "gram_n": GRAM_N,

@@ -45,7 +45,7 @@ class StreamingIndexWriter:
 
     def __init__(self, out_dir: str, *, content_col: str = "content",
                  id_col: str = "doc_id", n_buckets: int = ib.DEFAULT_BUCKETS,
-                 positional: bool = False):
+                 positional: bool = False, tokenizer: str = "standard"):
         self.out_dir = out_dir
         self.content_col = content_col
         self.id_col = id_col
@@ -54,6 +54,9 @@ class StreamingIndexWriter:
         #: live/compacted index answers phrase queries too — the delta
         #: relation gains one array<int> column, nothing else changes
         self.positional = positional
+        #: term semantics of every delta batch ("standard" | "code") —
+        #: one writer, one vocabulary; live_index/compaction inherit it
+        self.tokenizer = tokenizer
 
     # ------------------------------------------------------------ write
     def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
@@ -64,10 +67,12 @@ class StreamingIndexWriter:
             )
             tf = term_doc_positions_arrow(docs_batch,
                                           content_col=self.content_col,
-                                          id_col=self.id_col)
+                                          id_col=self.id_col,
+                                          tokenizer=self.tokenizer)
         else:
             tf = ib.term_doc_tf_arrow(docs_batch, content_col=self.content_col,
-                                      id_col=self.id_col)
+                                      id_col=self.id_col,
+                                      tokenizer=self.tokenizer)
         tf = tf.withColumn("term_bucket",
                            ib.term_bucket_col(F.col("term"), self.n_buckets))
         (tf.write.mode("overwrite")
@@ -162,6 +167,7 @@ class StreamingIndexWriter:
             doc_stats=self._delta_doc_stats(spark),
             tf=tf,
             n_buckets=self.n_buckets,
+            tokenizer=self.tokenizer,
         )
 
     # --------------------------------------------------------- compact
@@ -187,7 +193,7 @@ class StreamingIndexWriter:
                      F.avg("dl").alias("avgdl")).collect()[0]
         sidx = sg.build_segment_index(
             tf, int(row["n"]), float(row["avgdl"] or 0.0),
-            n_buckets=self.n_buckets)
+            n_buckets=self.n_buckets, tokenizer=self.tokenizer)
         sg.write_segment_index(sidx, seg_dir)
 
 
@@ -195,11 +201,12 @@ def ingest_stream(spark: SparkSession, input_dir: str, out_dir: str, *,
                   content_col: str = "content", id_col: str = "doc_id",
                   checkpoint: str | None = None,
                   max_files_per_trigger: int = 1,
-                  positional: bool = False):
+                  positional: bool = False, tokenizer: str = "standard"):
     """Stream a directory of document parquet files into delta segments
     (availableNow: drains what exists, then stops — cron-friendly)."""
     writer = StreamingIndexWriter(out_dir, content_col=content_col,
-                                  id_col=id_col, positional=positional)
+                                  id_col=id_col, positional=positional,
+                                  tokenizer=tokenizer)
     schema = spark.read.parquet(input_dir).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -213,6 +213,43 @@ def test_cli_grep_build_and_search(spark, tmp_path, capsys):
     assert rids == rwant and rids
 
 
+def test_cli_grep_regex_ignore_case(spark, ci_docs, tmp_path, capsys):
+    from inverted_index_and_search_spark import cli
+
+    src = str(tmp_path / "cidocs.parquet")
+    ci_docs.write.parquet(src)
+    idx = str(tmp_path / "tri_ci_cli")
+    cli.main(["grep-build", "--input", src, "--output", idx,
+              "--ignore-case"])
+    capsys.readouterr()
+    # (?i)-wrapped regex over the CI index: matches all case variants
+    cli.main(["grep", r"getfilename", "--regex", "--ignore-case",
+              "--index", idx, "--docs", src])
+    ids = {int(ln) for ln in capsys.readouterr().out.splitlines()
+           if ln.strip().isdigit()}
+    assert ids == {0, 1, 3}
+    # without --ignore-case the same pattern is case-sensitive
+    cli.main(["grep", r"getfilename", "--regex", "--index", idx,
+              "--docs", src])
+    ids = {int(ln) for ln in capsys.readouterr().out.splitlines()
+           if ln.strip().isdigit()}
+    assert ids == {1}
+
+
+def test_grep_composes_with_filtered_bm25(spark, docs_df, corpus_pdf, tidx):
+    """Zoekt-style composition: substring prefilter -> ranked BM25 via
+    the existing doc_filter surface (no new operator needed)."""
+    from inverted_index_and_search_spark.operators import index_build as ib
+    from inverted_index_and_search_spark.operators import query as q
+
+    idx = ib.build_index(docs_df)
+    match = grep.substring_search(tidx, docs_df, "def ")
+    rows = q.bm25_topk(idx, ["return", "def"], k=5,
+                       doc_filter=match).collect()
+    allowed = set(brute_substr(corpus_pdf, "def "))
+    assert rows and all(r["doc_id"] in allowed for r in rows)
+
+
 def test_cli_grep_lines_and_count(spark, tmp_path, capsys):
     from inverted_index_and_search_spark import cli
 

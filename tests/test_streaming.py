@@ -89,6 +89,30 @@ def test_incremental_ingest_matches_batch_build(spark, docs_df, tmp_path):
     assert live_ds == batch_ds
 
 
+def test_code_tokenizer_ingest_matches_batch_build(spark, docs_df, tmp_path):
+    """Streaming deltas built with tokenizer='code' compact to the
+    exact rows of a one-shot code-tokenizer batch build, and the
+    persisted meta carries the tokenizer."""
+    chunks_dir = str(tmp_path / "code_chunks")
+    docs = docs_df.select("doc_id", "content")
+    for i in range(2):
+        (docs.filter((ib.F.col("doc_id") % 2) == i)
+         .coalesce(1).write.mode("append").parquet(chunks_dir))
+
+    out = str(tmp_path / "code_ingest")
+    writer = ingest.ingest_stream(spark, chunks_dir, out, tokenizer="code")
+    idx_dir = str(tmp_path / "code_compacted")
+    writer.compact(spark, idx_dir)
+    compacted = ib.read_index(spark, idx_dir)
+    assert compacted.tokenizer == "code"
+
+    batch = ib.build_index(docs, tokenizer="code")
+    cols = ["term", "term_bucket", "df", "cf", "postings"]
+    got = sorted(tuple(r) for r in compacted.postings.select(cols).collect())
+    want = sorted(tuple(r) for r in batch.postings.select(cols).collect())
+    assert got == want
+
+
 def test_ingest_is_restartable(spark, docs_df, tmp_path):
     """availableNow + checkpoint: a second invocation with no new files
     is a no-op; adding files ingests only the new ones."""

@@ -82,7 +82,7 @@ def run_level(cpus: int, corpus: str, tmp: str) -> dict:
                    SCALE_OUT=out)
         proc = subprocess.run(
             [sys.executable, f"{REPO}/tools/_scaling_job.py"],
-            env=env, capture_output=True, text=True, timeout=1800)
+            env=env, capture_output=True, text=True, timeout=3600)
         if proc.returncode != 0:
             raise RuntimeError(f"level {cpus} run {r} failed:\n{proc.stderr[-3000:]}")
         res = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -158,7 +158,7 @@ warmup build then min of 4 timed builds per path (this sandbox's
 virtualized CPU shows up-to-2x noise between identical runs; min is
 the least-interference observation).
 
-| parallelism | build s (JVM tok) | build s (Arrow tok) | build s (positional) | build s (trigram) | files/s | MB/s | BM25 p50 ms | BM25 p95 ms |
+| parallelism | build s (JVM tok) | build s (Arrow tok) | build s (positional) | build s (trigram, 1/4 sample) | files/s | MB/s | BM25 p50 ms | BM25 p95 ms |
 |---|---|---|---|---|---|---|---|---|
 | local[{N_LOW}]  (N)  | {lo["build_s"]} | {lo["build_s_arrow"]} | {lo["build_s_positional"]} | {lo["build_s_trigram"]} | {lo["files_per_sec"]} | {lo["mb_per_sec"]} | {lo["bm25_p50_ms"]} | {lo["bm25_p95_ms"]} |
 | local[{N_HIGH}] (4N) | {hi["build_s"]} | {hi["build_s_arrow"]} | {hi["build_s_positional"]} | {hi["build_s_trigram"]} | {hi["files_per_sec"]} | {hi["mb_per_sec"]} | {hi["bm25_p50_ms"]} | {hi["bm25_p95_ms"]} |
@@ -168,7 +168,7 @@ the least-interference observation).
 | job speedup {N_LOW}->{N_HIGH} cores (JVM tokenizer path) | {out["job_speedup"]}x |
 | job speedup {N_LOW}->{N_HIGH} cores (positional layout) | {out["job_speedup_positional"]}x |
 | job speedup {N_LOW}->{N_HIGH} cores (Arrow pandas-UDF path) | {out["job_speedup_arrow"]}x |
-| job speedup {N_LOW}->{N_HIGH} cores (trigram grep index) | {out["job_speedup_trigram"]}x |
+| job speedup {N_LOW}->{N_HIGH} cores (trigram grep index, 1/4-corpus sample — identical at both levels) | {out["job_speedup_trigram"]}x |
 | raw efficiency (T_N / T_4N) / 4 | {out["efficiency_raw"]} |
 | hardware-attainable speedup (pure-CPU {N_LOW}->{N_HIGH} procs, measured) | {hw["speedup"]}x |
 | Spark map-only attainable speedup (same corpus, zero-shuffle tokenize, measured) | {out["spark_maponly_speedup"]}x |
