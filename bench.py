@@ -346,6 +346,16 @@ def main() -> None:
         (extra["grep_build_sec"],
          extra["grep_build_runs"]) = timed_min(build_trigram)
         extra["grep_index_mb"] = _dir_mb(f"{tmp}/tri_docs")
+        # compressed layout: size + build one-shot (same queries run
+        # against it implicitly via the equality tests; here we track
+        # the storage ratio, the reason the layout exists)
+        t0 = time.perf_counter()
+        grep.write_trigram_index(
+            grep.build_trigram_segments(docs, content_col="text",
+                                        id_col="doc_id"),
+            f"{tmp}/tri_docs_comp")
+        extra["grep_build_compressed_sec"] = round(time.perf_counter() - t0, 3)
+        extra["grep_index_compressed_mb"] = _dir_mb(f"{tmp}/tri_docs_comp")
         tri = grep.read_trigram_index(spark, f"{tmp}/tri_docs")
         NEEDLES = ["merge part", "key order sort", "zzznothere",
                    "batch stream"]

@@ -92,12 +92,18 @@ def grams_pandas_udf(content: pd.Series) -> pd.Series:
 class TrigramIndex:
     """Flat trigram postings + gram document frequencies."""
 
-    grams: DataFrame          # (gram, gram_bucket, doc_id)
+    grams: DataFrame          # flat: (gram, gram_bucket, doc_id)
+                              # compressed: (gram, gram_bucket, shard,
+                              #              p_df, doc_ids_enc)
     stats: DataFrame          # (gram, df) — tiny, broadcast-sized
     n_buckets: int = DEFAULT_BUCKETS
     #: grams were extracted from lower(content); queries fold the
     #: needle/literals the same way (persisted in meta.json)
     case_insensitive: bool = False
+    #: compressed layout: per-(gram, shard) delta+varint doc-id lists
+    #: (kernels/codec — the same wire as term segments); queries decode
+    #: distributed, results identical to the flat layout (tested)
+    compressed: bool = False
 
 
 def build_trigram_index(docs: DataFrame, *, content_col: str = "content",
@@ -121,6 +127,90 @@ def build_trigram_index(docs: DataFrame, *, content_col: str = "content",
                         case_insensitive=case_insensitive)
 
 
+def build_trigram_segments(docs: DataFrame, *, content_col: str = "content",
+                           id_col: str = "doc_id",
+                           n_buckets: int = DEFAULT_BUCKETS,
+                           case_insensitive: bool = False,
+                           shard_factor: int = 64,
+                           hot_df: int = 100_000,
+                           hot_sample_mod: int = 100,
+                           hot: DataFrame | None = None) -> TrigramIndex:
+    """COMPRESSED trigram layout: one (gram, shard) row holding the
+    shard's sorted doc ids delta+varint-encoded (kernels/codec — the
+    exact wire the term segments use).
+
+    Why: the flat layout writes one row per (gram, doc) — ~1 row per
+    distinct content trigram position, the dominant storage cost at
+    corpus scale; delta+varint doc-id lists compress that by ~an order
+    of magnitude (Zoekt stores exactly this shape). Skew: a stop-gram
+    (" th") rides nearly every document, so its single merged list
+    would be the giant-row straggler the TERM index sharded away —
+    grams the sampled detector flags hot keep their lists SPLIT across
+    ``shard_factor`` rows by pmod(xxhash64(doc_id), s); readers union
+    shard decodes (candidate counting is agnostic to row grouping).
+    Query results are identical to the flat layout (tested).
+    """
+    flat = build_trigram_index(docs, content_col=content_col,
+                               id_col=id_col, n_buckets=n_buckets,
+                               case_insensitive=case_insensitive).grams
+    if hot is None:
+        sampled = flat.where(
+            F.pmod(F.xxhash64("doc_id"), F.lit(hot_sample_mod)) == 0)
+        hot = (sampled.groupBy("gram").count()
+               .where(F.col("count") * hot_sample_mod > hot_df)
+               .select("gram"))
+    hot = hot.withColumn("_hot", F.lit(True))
+    sharded = (flat.join(F.broadcast(hot), "gram", "left")
+               .withColumn("shard",
+                           F.when(F.col("_hot").isNotNull(),
+                                  F.pmod(F.xxhash64("doc_id"),
+                                         F.lit(shard_factor)))
+                           .otherwise(F.lit(0)).cast("int")))
+    grouped = sharded.groupBy("gram", "gram_bucket", "shard").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.count("*").cast("long").alias("p_df"))
+
+    import numpy as np
+
+    from inverted_index_and_search_spark.kernels import codec
+
+    def enc(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["doc_ids_enc"] = [
+                codec.encode_deltas(np.asarray(ids, dtype=np.int64))
+                for ids in pdf["doc_ids"]]
+            yield pdf.drop(columns=["doc_ids"])
+
+    enc_df = grouped.mapInPandas(
+        enc, schema="gram string, gram_bucket int, shard int, "
+                    "p_df long, doc_ids_enc binary")
+    stats = enc_df.groupBy("gram").agg(
+        F.sum("p_df").cast("long").alias("df"))
+    return TrigramIndex(grams=enc_df, stats=stats, n_buckets=n_buckets,
+                        case_insensitive=case_insensitive, compressed=True)
+
+
+def decode_gram_postings(rows: DataFrame) -> DataFrame:
+    """(gram, doc_id) — compressed rows decoded back to flat postings,
+    distributed (Arrow mapInPandas over the already-pruned rows)."""
+    from inverted_index_and_search_spark.kernels import codec
+
+    def dec(batches):
+        for pdf in batches:
+            grams, ids = [], []
+            for g, buf, n in zip(pdf["gram"], pdf["doc_ids_enc"],
+                                 pdf["p_df"]):
+                dids = codec.decode_deltas(bytes(buf), int(n))
+                grams.extend([g] * len(dids))
+                ids.extend(dids.tolist())
+            yield pd.DataFrame({"gram": pd.Series(grams, dtype="object"),
+                                "doc_id": pd.Series(ids, dtype="int64")})
+
+    return rows.select("gram", "p_df", "doc_ids_enc").mapInPandas(
+        dec, schema="gram string, doc_id long")
+
+
 def write_trigram_index(tidx: TrigramIndex, out_dir: str, *,
                         mode: str = "overwrite") -> None:
     """Persist bucketed flat grams (one file per bucket via the Murmur3
@@ -131,41 +221,47 @@ def write_trigram_index(tidx: TrigramIndex, out_dir: str, *,
 
     spark = tidx.grams.sparkSession
     route = bucket_route_col(spark, F.col("gram_bucket"), tidx.n_buckets)
+    order = (["gram_bucket", "gram", "shard"] if tidx.compressed
+             else ["gram_bucket", "gram", "doc_id"])
     (tidx.grams
      .repartition(tidx.n_buckets, route)
-     .sortWithinPartitions("gram_bucket", "gram", "doc_id")
+     .sortWithinPartitions(*order)
      .write.mode(mode).partitionBy("gram_bucket")
      .parquet(f"{out_dir}/grams"))
     # stats derive from the WRITTEN parquet — aggregating tidx.stats
     # here would re-execute the whole gram-extraction pipeline a second
     # time (same derive-don't-recompute rule as index_build's
-    # write_dictionary); the read-back scans only the narrow gram
-    # column, dictionary-encoded
-    (spark.read.parquet(f"{out_dir}/grams")
-     .groupBy("gram").agg(F.count("*").cast("long").alias("df"))
+    # write_dictionary); the read-back scans only narrow columns,
+    # dictionary-encoded
+    written = spark.read.parquet(f"{out_dir}/grams")
+    df_agg = (F.sum("p_df") if tidx.compressed else F.count("*"))
+    (written.groupBy("gram").agg(df_agg.cast("long").alias("df"))
      .write.mode(mode).parquet(f"{out_dir}/stats"))
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
         json.dump({"n_buckets": tidx.n_buckets, "gram_n": GRAM_N,
-                   "case_insensitive": tidx.case_insensitive}, f)
+                   "case_insensitive": tidx.case_insensitive,
+                   "compressed": tidx.compressed}, f)
 
 
 def read_trigram_index(spark, out_dir: str) -> TrigramIndex:
     import json
     import os
 
-    n_buckets, ci = DEFAULT_BUCKETS, False
+    n_buckets, ci, comp = DEFAULT_BUCKETS, False, False
     meta_path = f"{out_dir}/meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         n_buckets = int(meta["n_buckets"])
         ci = bool(meta.get("case_insensitive", False))
+        comp = bool(meta.get("compressed", False))
     return TrigramIndex(
         grams=spark.read.parquet(f"{out_dir}/grams"),
         stats=spark.read.parquet(f"{out_dir}/stats"),
         n_buckets=n_buckets,
         case_insensitive=ci,
+        compressed=comp,
     )
 
 
@@ -190,10 +286,14 @@ def _rarest_grams(tidx: TrigramIndex, grams: list[str],
 def _candidates(tidx: TrigramIndex, grams: list[str]) -> DataFrame:
     """doc_ids containing ALL ``grams``: bucket-pruned, gram-IN-pushed
     scan + one count aggregation (the k-way AND as a hash agg, same
-    shape as query.boolean_and)."""
+    shape as query.boolean_and). Compressed layouts decode the pruned
+    rows distributed first — only the query grams' lists are ever
+    decoded."""
     buckets = sorted({term_bucket(g, tidx.n_buckets) for g in grams})
     hits = tidx.grams.where(
         F.col("gram_bucket").isin(buckets) & F.col("gram").isin(grams))
+    if tidx.compressed:
+        hits = decode_gram_postings(hits)
     return (hits.groupBy("doc_id")
             .agg(F.countDistinct("gram").alias("n_grams"))
             .where(F.col("n_grams") == len(grams))

@@ -270,6 +270,69 @@ def test_cli_grep_lines_and_count(spark, tmp_path, capsys):
     assert lns and all("merge part" in ln.split(":", 2)[2] for ln in lns)
 
 
+@pytest.fixture(scope="module")
+def ctidx(docs_df):
+    # hot_df=0 with the default sampler finds ~every gram hot on the
+    # tiny fixture — force a mixed layout instead: two known-hot grams
+    # sharded, the rest single-row
+    hot = docs_df.sparkSession.createDataFrame(
+        [("def",), ("ret",)], "gram string")
+    return grep.build_trigram_segments(docs_df, hot=hot, shard_factor=4)
+
+
+def test_compressed_equals_flat(spark, docs_df, corpus_pdf, tidx, ctidx):
+    for needle in NEEDLES:
+        got = sorted(r["doc_id"] for r in grep.substring_search(
+            ctidx, docs_df, needle).collect())
+        assert got == brute_substr(corpus_pdf, needle), needle
+    for pattern in PATTERNS:
+        got = sorted(r["doc_id"] for r in grep.regex_search(
+            ctidx, docs_df, pattern).collect())
+        assert got == brute_regex(corpus_pdf, pattern), pattern
+
+
+def test_compressed_hot_gram_sharded(spark, ctidx):
+    shards = {r["gram"]: r["n"] for r in ctidx.grams
+              .groupBy("gram").agg(F.countDistinct("shard").alias("n"))
+              .where(F.col("gram").isin(["def", "ret"])).collect()}
+    assert shards["def"] > 1 and shards["ret"] > 1
+    # decode round-trips exactly to the flat postings for a hot gram
+    flat = grep.build_trigram_index(spark.createDataFrame(
+        [(0, "xdefy def"), (1, "def")], "doc_id long, content string"))
+    comp = grep.build_trigram_segments(
+        spark.createDataFrame(
+            [(0, "xdefy def"), (1, "def")], "doc_id long, content string"),
+        hot=spark.createDataFrame([("def",)], "gram string"),
+        shard_factor=4)
+    want = sorted((r["gram"], r["doc_id"]) for r in flat.grams
+                  .select("gram", "doc_id").collect())
+    got = sorted((r["gram"], r["doc_id"]) for r in
+                 grep.decode_gram_postings(comp.grams).collect())
+    assert got == want
+
+
+def test_compressed_roundtrip_and_cli(spark, docs_df, corpus_pdf,
+                                      tmp_path, capsys):
+    from inverted_index_and_search_spark import cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "tri_comp")
+    cli.main(["grep-build", "--input", docs, "--content-col", "text",
+              "--output", out, "--compressed"])
+    assert "compressed=True" in capsys.readouterr().out
+    back = grep.read_trigram_index(spark, out)
+    assert back.compressed is True
+    cli.main(["grep", "merge part", "--index", out, "--docs", docs,
+              "--content-col", "text"])
+    ids = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.strip().isdigit()]
+    import duckdb
+    want = [str(r[0]) for r in duckdb.execute(
+        f"SELECT doc_id FROM '{docs}' WHERE contains(text, 'merge part') "
+        "ORDER BY doc_id").fetchall()]
+    assert ids == want and ids
+
+
 def test_bucket_pruning_plan(spark, docs_df, tmp_path, tidx):
     """Persisted layout: the candidates scan must prune gram_bucket
     partitions (driver-side hash, no hash job) and push gram IN."""
