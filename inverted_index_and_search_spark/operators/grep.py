@@ -153,6 +153,22 @@ def build_trigram_segments(docs: DataFrame, *, content_col: str = "content",
     flat = build_trigram_index(docs, content_col=content_col,
                                id_col=id_col, n_buckets=n_buckets,
                                case_insensitive=case_insensitive).grams
+    return segments_from_flat(flat, n_buckets=n_buckets,
+                              case_insensitive=case_insensitive,
+                              shard_factor=shard_factor, hot_df=hot_df,
+                              hot_sample_mod=hot_sample_mod, hot=hot)
+
+
+def segments_from_flat(flat: DataFrame, *,
+                       n_buckets: int = DEFAULT_BUCKETS,
+                       case_insensitive: bool = False,
+                       shard_factor: int = 64,
+                       hot_df: int = 100_000,
+                       hot_sample_mod: int = 100,
+                       hot: DataFrame | None = None) -> TrigramIndex:
+    """Compressed layout from an existing flat (gram, gram_bucket,
+    doc_id) relation — the shared tail of :func:`build_trigram_segments`
+    and LSM compaction (which already holds flat delta rows)."""
     if hot is None:
         sampled = flat.where(
             F.pmod(F.xxhash64("doc_id"), F.lit(hot_sample_mod)) == 0)
@@ -166,9 +182,12 @@ def build_trigram_segments(docs: DataFrame, *, content_col: str = "content",
                                   F.pmod(F.xxhash64("doc_id"),
                                          F.lit(shard_factor)))
                            .otherwise(F.lit(0)).cast("int")))
+    # collect_SET: the build-path flat relation is already distinct per
+    # (gram, doc), but LSM compaction may hold a re-ingested doc's rows
+    # from several batches — the encoder needs strictly-increasing ids
     grouped = sharded.groupBy("gram", "gram_bucket", "shard").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
-        F.count("*").cast("long").alias("p_df"))
+        F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+        F.countDistinct("doc_id").cast("long").alias("p_df"))
 
     import numpy as np
 
@@ -490,3 +509,128 @@ def regex_search(tidx: TrigramIndex | None, docs: DataFrame, pattern: str, *,
             F.col("_content"), F.lit(pattern), F.lit(0))).cast("long")
         return matched.select("doc_id", n.alias("n_hits"))
     return matched.select("doc_id")
+
+
+# ------------------------------------------------------- incremental (LSM)
+
+class TrigramIndexWriter:
+    """LSM-style incremental maintenance for the trigram index — the
+    grep analogue of streaming.ingest.StreamingIndexWriter, same delta
+    protocol (append-only batch parquet, tombstone deletes ordered by
+    batch id, live view at read time, compaction on demand):
+
+    - ``process_batch``: the batch's flat (gram, gram_bucket, doc_id)
+      rows append under ``delta/batch_id=N`` — no read-modify-write;
+    - ``delete_docs``: (doc_id) tombstones under ``delta_del/batch_id=B``
+      kill STRICTLY earlier ingests of that doc; later re-ingests
+      resurrect (update = delete then re-ingest, exactly the term
+      writer's discipline);
+    - ``live_index``: union of live delta rows — candidate counting
+      uses countDistinct, so a resurrect's duplicate rows are harmless;
+    - ``compact``: rewrites the canonical layout (flat or compressed)
+      from the live rows; physically purges tombstoned docs.
+    """
+
+    def __init__(self, out_dir: str, *, content_col: str = "content",
+                 id_col: str = "doc_id", n_buckets: int = DEFAULT_BUCKETS,
+                 case_insensitive: bool = False):
+        self.out_dir = out_dir
+        self.content_col = content_col
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self.case_insensitive = case_insensitive
+
+    # ------------------------------------------------------------ write
+    def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
+        flat = build_trigram_index(
+            docs_batch, content_col=self.content_col, id_col=self.id_col,
+            n_buckets=self.n_buckets,
+            case_insensitive=self.case_insensitive).grams
+        (flat.write.mode("overwrite").partitionBy("gram_bucket")
+         .parquet(f"{self.out_dir}/delta/batch_id={batch_id}"))
+
+    def delete_docs(self, spark, doc_ids, batch_id: int | None = None) -> int:
+        if batch_id is None:
+            batch_id = self._next_batch_id(spark)
+        if isinstance(doc_ids, DataFrame):
+            df = doc_ids.select(F.col("doc_id").cast("long"))
+        else:
+            df = spark.createDataFrame([(int(d),) for d in doc_ids],
+                                       "doc_id long")
+        (df.coalesce(1).write.mode("overwrite")
+         .parquet(f"{self.out_dir}/delta_del/batch_id={batch_id}"))
+        return int(batch_id)
+
+    def _next_batch_id(self, spark) -> int:
+        ids = [-1]
+        for sub in ("delta", "delta_del"):
+            try:
+                ids += [int(r["batch_id"]) for r in
+                        spark.read.parquet(f"{self.out_dir}/{sub}")
+                        .select("batch_id").distinct().collect()]
+            except Exception:  # noqa: BLE001 — dir not written yet
+                pass
+        return max(ids) + 1
+
+    # ------------------------------------------------------------- read
+    def _live_flat(self, spark) -> DataFrame:
+        flat = spark.read.parquet(f"{self.out_dir}/delta")
+        try:
+            dels = spark.read.parquet(f"{self.out_dir}/delta_del")
+        except Exception:  # noqa: BLE001 — no deletes ever issued
+            return flat.drop("batch_id")
+        dead = dels.groupBy("doc_id").agg(F.max("batch_id").alias("_del_b"))
+        return (flat.join(dead, "doc_id", "left")
+                .where(F.col("_del_b").isNull()
+                       | (F.col("batch_id") >= F.col("_del_b")))
+                .drop("_del_b", "batch_id"))
+
+    def live_index(self, spark) -> TrigramIndex:
+        flat = self._live_flat(spark).select("gram", "gram_bucket", "doc_id")
+        stats = flat.groupBy("gram").agg(
+            F.countDistinct("doc_id").cast("long").alias("df"))
+        return TrigramIndex(grams=flat, stats=stats,
+                            n_buckets=self.n_buckets,
+                            case_insensitive=self.case_insensitive)
+
+    # ---------------------------------------------------------- compact
+    def compact(self, spark, dest: str, *, compressed: bool = False) -> None:
+        if compressed:
+            tidx = segments_from_flat(
+                self._live_flat(spark)
+                .select("gram", "gram_bucket", "doc_id").distinct(),
+                n_buckets=self.n_buckets,
+                case_insensitive=self.case_insensitive)
+        else:
+            tidx = self.live_index(spark)
+            # physical purge dedups resurrect duplicates on disk
+            tidx = TrigramIndex(grams=tidx.grams.distinct(),
+                                stats=tidx.stats,
+                                n_buckets=tidx.n_buckets,
+                                case_insensitive=tidx.case_insensitive)
+        write_trigram_index(tidx, dest)
+
+
+def ingest_trigram_stream(spark, input_dir: str, out_dir: str, *,
+                          content_col: str = "content",
+                          id_col: str = "doc_id",
+                          checkpoint: str | None = None,
+                          max_files_per_trigger: int = 1,
+                          case_insensitive: bool = False) -> TrigramIndexWriter:
+    """Structured-Streaming wiring (availableNow foreachBatch) — drains
+    the input directory into trigram delta segments, then stops."""
+    writer = TrigramIndexWriter(out_dir, content_col=content_col,
+                                id_col=id_col,
+                                case_insensitive=case_insensitive)
+    schema = spark.read.parquet(input_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_dir))
+    q = (stream.writeStream
+         .foreachBatch(writer.process_batch)
+         .option("checkpointLocation",
+                 checkpoint or f"{out_dir}/_checkpoint")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return writer

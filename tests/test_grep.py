@@ -333,6 +333,57 @@ def test_compressed_roundtrip_and_cli(spark, docs_df, corpus_pdf,
     assert ids == want and ids
 
 
+def test_trigram_lsm_ingest_delete_compact(spark, docs_df, corpus_pdf,
+                                           tmp_path):
+    """LSM lifecycle: chunked ingest -> live == batch; tombstone kills
+    earlier ingests; re-ingest resurrects; compaction (flat AND
+    compressed) answers identically after physical purge."""
+    chunks = str(tmp_path / "tri_chunks")
+    docs = docs_df.select("doc_id", "content")
+    for i in range(3):
+        (docs.filter((F.col("doc_id") % 3) == i)
+         .coalesce(1).write.mode("append").parquet(chunks))
+    out = str(tmp_path / "tri_lsm")
+    writer = grep.ingest_trigram_stream(spark, chunks, out)
+
+    needle = "var_3_0"
+    want = brute_substr(corpus_pdf, needle)
+    assert want, "fixture needle must match"
+    live = writer.live_index(spark)
+    got = sorted(r["doc_id"] for r in grep.substring_search(
+        live, docs_df, needle).collect())
+    assert got == want
+
+    # tombstone the first matching doc: gone from the live view
+    victim = want[0]
+    writer.delete_docs(spark, [victim])
+    got = sorted(r["doc_id"] for r in grep.substring_search(
+        writer.live_index(spark), docs_df, needle).collect())
+    assert got == [d for d in want if d != victim]
+
+    # re-ingest resurrects (update = delete + re-ingest)
+    writer.process_batch(docs.where(F.col("doc_id") == victim),
+                         writer._next_batch_id(spark))
+    got = sorted(r["doc_id"] for r in grep.substring_search(
+        writer.live_index(spark), docs_df, needle).collect())
+    assert got == want
+
+    # compaction, both layouts
+    for compressed in (False, True):
+        dest = str(tmp_path / f"tri_compacted_{compressed}")
+        writer.compact(spark, dest, compressed=compressed)
+        back = grep.read_trigram_index(spark, dest)
+        assert back.compressed is compressed
+        got = sorted(r["doc_id"] for r in grep.substring_search(
+            back, docs_df, needle).collect())
+        assert got == want
+        if not compressed:
+            # physical purge: no duplicate rows from the resurrect
+            n = back.grams.groupBy("gram", "doc_id").count() \
+                .where(F.col("count") > 1).count()
+            assert n == 0
+
+
 def test_bucket_pruning_plan(spark, docs_df, tmp_path, tidx):
     """Persisted layout: the candidates scan must prune gram_bucket
     partitions (driver-side hash, no hash job) and push gram IN."""
