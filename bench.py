@@ -371,6 +371,21 @@ def main() -> None:
         extra["grep_substr_p50_sec"] = round(statistics.median(lat_sub), 3)
         extra["grep_regex_p50_sec"] = round(statistics.median(lat_rx), 3)
 
+        # warm GrepServer: repeat needles answer from the per-gram +
+        # per-doc caches — no Spark job on the warm path
+        gserver = grep.GrepServer(tri, docs, content_col="text",
+                                  id_col="doc_id")
+        for nd in NEEDLES:
+            gserver.substring(nd)  # cold fetch, uncounted
+        lat_warm = []
+        for _ in range(5):
+            for nd in NEEDLES:
+                t0 = time.perf_counter()
+                gserver.substring(nd)
+                lat_warm.append(time.perf_counter() - t0)
+        extra["grep_server_p50_ms"] = round(
+            statistics.median(lat_warm) * 1e3, 3)
+
         # code-tokenizer build cost vs the standard build (same corpus,
         # same Arrow IMC pipeline — isolates identifier splitting)
         def build_code():

@@ -854,6 +854,37 @@ def _grep(args: argparse.Namespace) -> None:
     id_col = "doc_id" if auto_content else args.id_col
     kw = dict(content_col=content_col, id_col=id_col,
               max_grams=args.max_grams)
+    if args.pattern is None:
+        # interactive REPL on the warm GrepServer: repeat needles run
+        # prefilter + verification from the per-gram / per-doc caches
+        # (milliseconds, no Spark job); `re:PATTERN` lines are regexes
+        server = grep.GrepServer(tidx, docs, content_col=content_col,
+                                 id_col=id_col)
+        try:
+            while True:
+                line = input("grep> ")
+                if not line.strip():
+                    continue
+                if line.startswith("re:"):
+                    hits = server.regex(line[3:], max_grams=args.max_grams)
+                elif args.count:
+                    hits = [f"{d}\t{n}" for d, n in server.substring(
+                        line, count_occurrences=True,
+                        fold_case=args.ignore_case,
+                        max_grams=args.max_grams)]
+                else:
+                    hits = server.substring(line,
+                                            fold_case=args.ignore_case,
+                                            max_grams=args.max_grams)
+                for h in hits:
+                    print(h)
+                if not hits:
+                    print("No matches found.")
+        except EOFError:
+            pass
+        if created:
+            spark.stop()
+        return
     if args.regex:
         # --ignore-case folds the match via an embedded (?i) flag; the
         # literal-gram prefilter stays sound because the CI index (the
@@ -1114,8 +1145,11 @@ def main(argv: list[str] | None = None) -> None:
     g = sub.add_parser(
         "grep", help="exact-substring / regex search over raw content "
                      "via a grep-build index")
-    g.add_argument("pattern", help="substring needle (default) or, with "
-                                   "--regex, a Java regex")
+    g.add_argument("pattern", nargs="?", default=None,
+                   help="substring needle (default) or, with --regex, "
+                        "a Java regex; omit for an interactive REPL on "
+                        "the warm GrepServer (per-gram + per-doc "
+                        "caches; `re:PAT` lines are regexes)")
     g.add_argument("--index", required=True, help="grep-build output dir")
     g.add_argument("--docs", required=True, nargs="+",
                    help="the raw documents (parquet or text dirs) — "

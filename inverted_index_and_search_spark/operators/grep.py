@@ -634,3 +634,181 @@ def ingest_trigram_stream(spark, input_dir: str, out_dir: str, *,
          .start())
     q.awaitTermination()
     return writer
+
+
+# --------------------------------------------------------- warm server
+
+class GrepServer:
+    """Warm interactive grep endpoint — the trigram analogue of
+    segments.QueryServer: nothing is preloaded; per-GRAM decoded doc-id
+    arrays and per-DOC verified contents cache on demand with bounded
+    LRU residency, so repeat needles run the prefilter in numpy and the
+    verification in Python — milliseconds, no Spark job. Cold needles
+    pay two pruned fetches (gram rows by bucket+IN pushdown; candidate
+    contents by doc_id IN pushdown), each bounded by the query, never
+    corpus-sized.
+
+    Residency: O(max_grams_cached gram arrays + max_docs_cached
+    contents), independent of corpus size. Needles shorter than GRAM_N
+    fall back to the distributed scan (the same documented degraded
+    path as substring_search).
+    """
+
+    def __init__(self, tidx: TrigramIndex, docs: DataFrame, *,
+                 content_col: str = "content", id_col: str = "doc_id",
+                 max_grams_cached: int = 100_000,
+                 max_docs_cached: int = 50_000):
+        import numpy as np  # noqa: F401 — used throughout
+
+        self.tidx = tidx
+        self.docs = docs
+        self.content_col = content_col
+        self.id_col = id_col
+        self.max_grams_cached = max_grams_cached
+        self.max_docs_cached = max_docs_cached
+        self._grams: dict[str, object | None] = {}   # gram -> np ids
+        self._df: dict[str, int] = {}                # gram -> df
+        self._content: dict[int, str] = {}           # doc_id -> content
+
+    # ------------------------------------------------------------ fetch
+    def _ensure_grams(self, grams: list[str]) -> None:
+        import numpy as np
+
+        from inverted_index_and_search_spark.kernels import codec
+
+        missing = [g for g in grams if g not in self._grams]
+        if missing:
+            buckets = sorted({term_bucket(g, self.tidx.n_buckets)
+                              for g in missing})
+            rows = self.tidx.grams.where(
+                F.col("gram_bucket").isin(buckets)
+                & F.col("gram").isin(missing))
+            got: dict[str, list] = {}
+            if self.tidx.compressed:
+                for r in rows.select("gram", "p_df", "doc_ids_enc").collect():
+                    got.setdefault(r["gram"], []).append(
+                        codec.decode_deltas(bytes(r["doc_ids_enc"]),
+                                            int(r["p_df"])))
+            else:
+                for r in (rows.groupBy("gram")
+                          .agg(F.sort_array(F.collect_set("doc_id"))
+                               .alias("ids")).collect()):
+                    got.setdefault(r["gram"], []).append(
+                        np.asarray(r["ids"], dtype=np.int64))
+            for g in missing:
+                parts = got.get(g)
+                if parts is None:
+                    self._grams[g] = None        # negative cache
+                    self._df[g] = 0
+                else:
+                    merged = np.unique(np.concatenate(parts))
+                    self._grams[g] = merged
+                    self._df[g] = int(merged.size)
+        for g in grams:                          # LRU touch
+            if g in self._grams:
+                self._grams[g] = self._grams.pop(g)
+        gset = set(grams)
+        if len(self._grams) > self.max_grams_cached:
+            for g in list(self._grams):
+                if len(self._grams) <= self.max_grams_cached:
+                    break
+                if g not in gset:
+                    del self._grams[g]
+
+    def _ensure_contents(self, ids) -> None:
+        missing = [int(d) for d in ids if int(d) not in self._content]
+        if missing:
+            rows = (self.docs
+                    .where(F.col(self.id_col).isin(missing))
+                    .select(F.col(self.id_col).cast("long").alias("d"),
+                            F.col(self.content_col).alias("c")).collect())
+            for r in rows:
+                self._content[r["d"]] = r["c"]
+        for d in ids:                            # LRU touch
+            d = int(d)
+            if d in self._content:
+                self._content[d] = self._content.pop(d)
+        idset = {int(d) for d in ids}
+        if len(self._content) > self.max_docs_cached:
+            for d in list(self._content):
+                if len(self._content) <= self.max_docs_cached:
+                    break
+                if d not in idset:
+                    del self._content[d]
+
+    def _candidates(self, req: list[str],
+                    max_grams: int = DEFAULT_MAX_GRAMS):
+        import numpy as np
+
+        self._ensure_grams(req)
+        if any(self._grams.get(g) is None for g in req):
+            return np.empty(0, dtype=np.int64)   # absent gram -> no match
+        # rarest-first intersection: df order comes from the fetched
+        # arrays themselves — no stats-table round trip on this path
+        ordered = sorted(req, key=lambda g: (self._df[g], g))[:max_grams]
+        cand = self._grams[ordered[0]]
+        for g in ordered[1:]:
+            if cand.size == 0:
+                break
+            cand = np.intersect1d(cand, self._grams[g],
+                                  assume_unique=True)
+        return cand
+
+    # ------------------------------------------------------------ query
+    def substring(self, needle: str, *, fold_case: bool = False,
+                  count_occurrences: bool = False,
+                  max_grams: int = DEFAULT_MAX_GRAMS):
+        """Sorted [doc_id] (or [(doc_id, n_hits)]) whose content
+        contains ``needle`` — warm path; falls back to the distributed
+        scan for sub-gram needles."""
+        if fold_case and not self.tidx.case_insensitive:
+            raise ValueError(
+                "fold_case needs a case-insensitive trigram index")
+        if fold_case:
+            needle = needle.lower()
+        if len(needle) < GRAM_N:
+            out = substring_search(self.tidx, self.docs, needle,
+                                   content_col=self.content_col,
+                                   id_col=self.id_col,
+                                   count_occurrences=count_occurrences,
+                                   fold_case=fold_case).collect()
+            return sorted((r["doc_id"], r["n_hits"]) for r in out) \
+                if count_occurrences else sorted(r["doc_id"] for r in out)
+        req = grams_py(needle.lower() if self.tidx.case_insensitive
+                       else needle)
+        cand = self._candidates(req, max_grams)
+        if cand.size == 0:
+            return []
+        self._ensure_contents(cand.tolist())
+        out = []
+        for d in cand.tolist():
+            hay = self._content.get(int(d), "")
+            if fold_case:
+                hay = hay.lower()
+            n = hay.count(needle)
+            if n:
+                out.append((int(d), n) if count_occurrences else int(d))
+        return out
+
+    def regex(self, pattern: str,
+              max_grams: int = DEFAULT_MAX_GRAMS) -> list[int]:
+        """Sorted [doc_id] whose content matches ``pattern`` (Python
+        `re` on the warm path — verify uses re.search, the same
+        unanchored semantics as rlike for the supported syntax)."""
+        req: list[str] = []
+        for lit in required_literals(pattern):
+            req.extend(grams_py(
+                lit.lower() if self.tidx.case_insensitive else lit))
+        req = list(dict.fromkeys(req))
+        if not req:
+            out = regex_search(self.tidx, self.docs, pattern,
+                               content_col=self.content_col,
+                               id_col=self.id_col).collect()
+            return sorted(r["doc_id"] for r in out)
+        cand = self._candidates(req, max_grams)
+        if cand.size == 0:
+            return []
+        self._ensure_contents(cand.tolist())
+        rx = re.compile(pattern)
+        return [int(d) for d in cand.tolist()
+                if rx.search(self._content.get(int(d), ""))]

@@ -384,6 +384,49 @@ def test_trigram_lsm_ingest_delete_compact(spark, docs_df, corpus_pdf,
             assert n == 0
 
 
+def test_grep_server_matches_scan(spark, docs_df, corpus_pdf, tidx, ctidx):
+    """Warm server == distributed path on every fixture needle/regex,
+    over BOTH layouts; repeat queries answer from cache (no new jobs —
+    asserted indirectly by the LRU dicts being populated)."""
+    for t in (tidx, ctidx):
+        server = grep.GrepServer(t, docs_df)
+        for needle in NEEDLES:
+            got = server.substring(needle)
+            assert got == brute_substr(corpus_pdf, needle), needle
+            assert got == server.substring(needle)  # warm repeat
+        for pattern in PATTERNS:
+            got = server.regex(pattern)
+            assert got == brute_regex(corpus_pdf, pattern), pattern
+        assert server._grams and server._content
+
+
+def test_grep_server_counts_and_ci(spark, ci_docs, ci_tidx, docs_df,
+                                   corpus_pdf, tidx):
+    server = grep.GrepServer(tidx, docs_df)
+    got = dict(server.substring("def ", count_occurrences=True))
+    for r in corpus_pdf.itertuples():
+        want = r.content.count("def ")
+        if want:
+            assert got[int(r.doc_id)] == want
+    ci_server = grep.GrepServer(ci_tidx, ci_docs)
+    assert ci_server.substring("GetFileName", fold_case=True) == [0, 1, 3]
+    with pytest.raises(ValueError, match="case-insensitive"):
+        server.substring("x", fold_case=True)
+
+
+def test_grep_server_lru_bounds(spark, docs_df, corpus_pdf, tidx):
+    server = grep.GrepServer(tidx, docs_df, max_grams_cached=4,
+                             max_docs_cached=3)
+    for needle in ["def ", "return", "var_3_0"]:
+        assert server.substring(needle) == brute_substr(corpus_pdf, needle)
+    # correctness survives eviction: re-ask the first needle
+    assert server.substring("def ") == brute_substr(corpus_pdf, "def ")
+    # residency is bounded by cap + the in-flight query's own set (the
+    # same transient-overage contract as QueryServer's term cache)
+    assert len(server._grams) <= 4 + len(grep.grams_py("def "))
+    assert len(server._content) <= 3 + len(brute_substr(corpus_pdf, "def "))
+
+
 def test_bucket_pruning_plan(spark, docs_df, tmp_path, tidx):
     """Persisted layout: the candidates scan must prune gram_bucket
     partitions (driver-side hash, no hash job) and push gram IN."""
