@@ -922,21 +922,39 @@ GREP_REGEX = "key [a-z]+ sort"
 def _q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(part, doc_id, n_hits) — trigram-index search over RAW content
     (operators/grep.py, the Cox-2012/Zoekt design the word tokenizer
-    cannot serve): part=substr is candidates-then-verify exact substring
-    with non-overlapping occurrence counts; part=regex prefilters on the
-    pattern's required-literal grams then verifies candidates with the
-    real regex, counting leftmost non-overlapping matches."""
+    cannot serve), FOUR evaluation paths against one brute-force oracle:
+    part=substr is candidates-then-verify exact substring with
+    non-overlapping occurrence counts over the flat layout;
+    part=substr_segments runs the identical query over the COMPRESSED
+    layout (delta+varint gram doc-lists, hot grams sharded);
+    part=substr_server is the warm GrepServer (per-gram + per-doc LRU
+    caches, numpy prefilter, Python verify — no Spark job warm);
+    part=regex prefilters on the pattern's required-literal grams then
+    verifies candidates with the real regex, counting leftmost
+    non-overlapping matches."""
     docs = _docs(spark, sf_dir)
     tidx = grep.build_trigram_index(docs, content_col="text",
                                     id_col="doc_id")
+    ctidx = grep.build_trigram_segments(docs, content_col="text",
+                                        id_col="doc_id")
     sub = grep.substring_search(tidx, docs, GREP_NEEDLE,
                                 content_col="text", count_occurrences=True)
+    csub = grep.substring_search(ctidx, docs, GREP_NEEDLE,
+                                 content_col="text", count_occurrences=True)
     rx = grep.regex_search(tidx, docs, GREP_REGEX, content_col="text",
                            count_matches=True)
+    server = grep.GrepServer(tidx, docs, content_col="text",
+                             id_col="doc_id")
+    srows = server.substring(GREP_NEEDLE, count_occurrences=True)
+    sdf = spark.createDataFrame(
+        [(int(d), int(n)) for d, n in srows], "doc_id long, n_hits long")
     tag = lambda df, t: df.select(  # noqa: E731
         F.lit(t).alias("part"), "doc_id",
         F.col("n_hits").cast("long").alias("n_hits"))
-    return tag(sub, "substr").unionByName(tag(rx, "regex"))
+    return (tag(sub, "substr")
+            .unionByName(tag(csub, "substr_segments"))
+            .unionByName(tag(sdf, "substr_server"))
+            .unionByName(tag(rx, "regex")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1609,11 +1627,12 @@ def oracle_sql() -> dict[str, str]:
         # grep: DuckDB twin verifies the WHOLE candidates-then-verify
         # path against brute-force contains/regexp over raw text
         "grep_search": _part_sql([
-            ("substr", f"""
+            *[(p, f"""
 SELECT doc_id::BIGINT AS doc_id,
        ((length(text) - length(replace(text, '{GREP_NEEDLE}', '')))
         / {len(GREP_NEEDLE)})::BIGINT AS n_hits
-FROM documents WHERE contains(text, '{GREP_NEEDLE}')"""),
+FROM documents WHERE contains(text, '{GREP_NEEDLE}')""")
+              for p in ("substr", "substr_segments", "substr_server")],
             ("regex", f"""
 SELECT doc_id::BIGINT AS doc_id,
        len(regexp_extract_all(text, '{GREP_REGEX}'))::BIGINT AS n_hits
