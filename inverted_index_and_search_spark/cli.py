@@ -275,10 +275,9 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
         # "getFileName" becomes the term sequence [get, file, name] —
         # under --phrase that is exactly Lucene WDF semantics: the
         # phrase matches getFileName AND get_file_name occurrences.
-        from inverted_index_and_search_spark.tokenizer import (
-            code_tokenize_py,
-        )
-        terms = [t for raw in terms for t in code_tokenize_py(raw)]
+        from inverted_index_and_search_spark.tokenizer import tokenizer_py
+        tok = tokenizer_py("code")
+        terms = [t for raw in terms for t in tok(raw)]
         if not terms:
             print("No matches found.")
             return True
@@ -441,10 +440,9 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
     if server.idx.tokenizer == "code" and not expr:
         # code-built segment vocabulary: split query identifiers the
         # same way (see _run_query — same Lucene-WDF phrase semantics)
-        from inverted_index_and_search_spark.tokenizer import (
-            code_tokenize_py,
-        )
-        terms = [t for raw in terms for t in code_tokenize_py(raw)]
+        from inverted_index_and_search_spark.tokenizer import tokenizer_py
+        tok = tokenizer_py("code")
+        terms = [t for raw in terms for t in tok(raw)]
         if not terms:
             print("No matches found.")
             return True
