@@ -386,6 +386,26 @@ def main() -> None:
         extra["grep_server_p50_ms"] = round(
             statistics.median(lat_warm) * 1e3, 3)
 
+        # symbol-definition index over the synth source-code corpus
+        # (real lang column + def/class-shaped content): build+persist
+        # cost and the point-lookup latency of a bucket-pruned query
+        from inverted_index_and_search_spark.operators import symbols as sy
+
+        def build_symbols():
+            sy.write_symbol_index(sy.extract_symbols(corpus),
+                                  f"{tmp}/symidx")
+
+        (extra["symbols_build_sec"],
+         extra["symbols_build_runs"]) = timed_min(build_symbols)
+        sback, snb = sy.read_symbol_index(spark, f"{tmp}/symidx")
+        extra["symbols_rows"] = sback.count()
+        lat_sym = []
+        for name in ["var_1_0", "var_7_3", "zzznotasym"]:
+            t0 = time.perf_counter()
+            sy.symbol_lookup(sback, snb, name).count()
+            lat_sym.append(time.perf_counter() - t0)
+        extra["symbol_lookup_p50_sec"] = round(statistics.median(lat_sym), 3)
+
         # code-tokenizer build cost vs the standard build (same corpus,
         # same Arrow IMC pipeline — isolates identifier splitting)
         def build_code():
