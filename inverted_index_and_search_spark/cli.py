@@ -92,15 +92,6 @@ def _build(args: argparse.Namespace) -> None:
                 stop = [ln.strip() for ln in f
                         if ln.strip() and not ln.startswith("#")]
         analyzer = Analyzer.make(stop, args.stem)
-        if args.positional or args.field or args.format == "segments":
-            # the analyzer currently rides the tf build paths only; the
-            # positional/fielded/segment pipelines tokenize separately
-            print("error: --stopwords/--stem support parquet/text/json "
-                  "tf layouts (not --positional/--field/segments yet)",
-                  file=sys.stderr)
-            if created:
-                spark.stop()
-            raise SystemExit(2)
 
     t0 = time.perf_counter()
     if args.field:
@@ -137,7 +128,8 @@ def _build(args: argparse.Namespace) -> None:
         idx = build_fielded_index(docs, fields, id_col=args.id_col,
                                   n_buckets=args.num_output_partitions,
                                   salt_hot_terms=True,
-                                  tokenizer=args.tokenizer)
+                                  tokenizer=args.tokenizer,
+                                  analyzer=analyzer)
         ib.write_index(idx, args.output)
         from inverted_index_and_search_spark.metrics import write_run_metrics
         write_run_metrics(spark, args.output,
@@ -163,11 +155,13 @@ def _build(args: argparse.Namespace) -> None:
             )
             tf = term_doc_positions_arrow(docs, content_col=args.content_col,
                                           id_col=args.id_col,
-                                          tokenizer=args.tokenizer)
+                                          tokenizer=args.tokenizer,
+                                          analyzer=analyzer)
         else:
             tf = ib.term_doc_tf_arrow(docs, content_col=args.content_col,
                                       id_col=args.id_col,
-                                      tokenizer=args.tokenizer)
+                                      tokenizer=args.tokenizer,
+                                      analyzer=analyzer)
         # persist BEFORE the stats collect: the avgdl aggregation and
         # the encode job otherwise each run the whole tokenize pipeline
         tf = tf.persist()
@@ -182,8 +176,9 @@ def _build(args: argparse.Namespace) -> None:
             n_buckets=args.num_output_partitions,
             hot=ib.hot_terms_from_docs(docs, content_col=args.content_col,
                                        id_col=args.id_col,
-                                       tokenizer=args.tokenizer),
-            tokenizer=args.tokenizer)
+                                       tokenizer=args.tokenizer,
+                                       analyzer=analyzer),
+            tokenizer=args.tokenizer, analyzer=analyzer)
         seg.write_segment_index(sidx, args.output)
         tf.unpersist()
         from inverted_index_and_search_spark.metrics import write_run_metrics
@@ -202,7 +197,8 @@ def _build(args: argparse.Namespace) -> None:
                                      id_col=args.id_col,
                                      n_buckets=args.num_output_partitions,
                                      shard_hot_terms=True,
-                                     tokenizer=args.tokenizer)
+                                     tokenizer=args.tokenizer,
+                                     analyzer=analyzer)
     else:
         idx = ib.build_index(docs, content_col=args.content_col,
                              id_col=args.id_col, salt_hot_terms=True,
@@ -369,6 +365,14 @@ def _run_query(index: ib.Index, line: str, bm25: bool, topk: int,
     if phrase:
         from inverted_index_and_search_spark.operators import positional as pos
 
+        if index.analyzer is not None and not index.analyzer.is_identity:
+            # analyzed positional index: positions are POST-analysis
+            # (renumbered), so the analyzed phrase matches across
+            # removed stopwords — one analyzer, both sides
+            terms = index.analyzer.analyze_terms(terms)
+            if not terms:
+                print("No matches found.")
+                return True
         if bm25:
             rows = pos.phrase_bm25_topk(index, terms, k=topk).collect()
             key_map = keyed(rows)
@@ -489,6 +493,15 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
         else:
             print("\n".join(str(d) for d in ids))
         return True
+    if server.idx.analyzer is not None \
+            and not server.idx.analyzer.is_identity:
+        # stats.json carried the build analyzer: same transform on the
+        # query side (raw-fragment modes — complete/suggest/prefix —
+        # already returned above, mirroring the DataFrame path)
+        terms = server.idx.analyzer.analyze_terms(terms)
+        if not terms:
+            print("No matches found.")
+            return True
     if expr:
         from inverted_index_and_search_spark.operators.search_expr import (
             ExprError,
@@ -1001,8 +1014,10 @@ def main(argv: list[str] | None = None) -> None:
                         "{word, postings:[{doc,count}]})")
     b.add_argument("--stopwords", default=None, metavar="PATH",
                    help="index-time stopword list (one term per line); "
-                        "persisted in meta.json and auto-applied to "
-                        "query terms at search time")
+                        "works with every layout incl. --positional/"
+                        "--field/segments (positions are POST-analysis, "
+                        "Lucene renumbering); persisted in meta/stats"
+                        ".json and auto-applied to query terms")
     b.add_argument("--tokenizer", choices=["standard", "code"],
                    default="standard",
                    help="term semantics: standard (reference parity) or "

@@ -45,17 +45,22 @@ __all__ = ["fielded_tf", "fielded_doc_stats", "build_fielded_index"]
 
 def fielded_tf(docs: DataFrame, fields: dict[str, float], *,
                id_col: str = "doc_id",
-               tokenizer: str = "standard") -> DataFrame:
+               tokenizer: str = "standard",
+               analyzer=None) -> DataFrame:
     """(term, doc_id, tf: double) — weighted term frequency summed
     across fields: ``tf = sum_f w_f * tf_f``. One hash aggregation
     over the per-field token unions; null field values contribute
-    nothing (empty token array)."""
+    nothing (empty token array). ``analyzer`` applies stopword/stem
+    filters per field between tokenize and count (weighted dl follows
+    from the tf pass, so length norms see post-analysis lengths)."""
     from inverted_index_and_search_spark.tokenizer import tokenizer_col
 
     tok_col = tokenizer_col(tokenizer)
     parts = []
     for col, weight in sorted(fields.items()):
         toks = tok_col(F.coalesce(F.col(col), F.lit("")))
+        if analyzer is not None and not analyzer.is_identity:
+            toks = analyzer.analyze_tokens_col(toks)
         parts.append(docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode(toks).alias("term"),
@@ -86,7 +91,8 @@ def build_fielded_index(docs: DataFrame, fields: dict[str, float], *,
                         id_col: str = "doc_id",
                         n_buckets: int = DEFAULT_BUCKETS,
                         salt_hot_terms: bool = False,
-                        tokenizer: str = "standard") -> Index:
+                        tokenizer: str = "standard",
+                        analyzer=None) -> Index:
     """Standard bucketed Index over the weighted-field virtual corpus.
 
     Every downstream operator that reads ``postings[].tf`` / ``df`` /
@@ -94,8 +100,9 @@ def build_fielded_index(docs: DataFrame, fields: dict[str, float], *,
     boolean/phrase-free queries, facets, suggestions — works unchanged;
     ``tf``/``cf``/``dl`` are double instead of int/long.
     """
-    tf = fielded_tf(docs, fields, id_col=id_col, tokenizer=tokenizer)
+    tf = fielded_tf(docs, fields, id_col=id_col, tokenizer=tokenizer,
+                    analyzer=analyzer)
     post = postings(tf, n_buckets=n_buckets, salt_hot_terms=salt_hot_terms)
     ds = fielded_doc_stats(docs, tf, fields, id_col=id_col)
     return Index(postings=post, doc_stats=ds, tf=tf, n_buckets=n_buckets,
-                 tokenizer=tokenizer)
+                 tokenizer=tokenizer, analyzer=analyzer)

@@ -194,7 +194,8 @@ def hot_terms_from_docs(docs: DataFrame, *, content_col: str = "content",
                         id_col: str = "doc_id", hot_df: int = DEFAULT_HOT_DF,
                         sample_mod: int = 100,
                         use_pandas_udf: bool = False,
-                        tokenizer: str = "standard") -> DataFrame:
+                        tokenizer: str = "standard",
+                        analyzer=None) -> DataFrame:
     """(term) hot set detected by tokenizing a deterministic
     ~1/sample_mod DOCUMENT sample — the preferred detection source.
 
@@ -209,7 +210,7 @@ def hot_terms_from_docs(docs: DataFrame, *, content_col: str = "content",
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
     tok = tokens(sampled, use_pandas_udf=use_pandas_udf,
                  content_col=content_col, id_col=id_col,
-                 tokenizer=tokenizer)
+                 tokenizer=tokenizer, analyzer=analyzer)
     df_s = (tok.groupBy("term", "doc_id").count()
             .groupBy("term").count())
     return df_s.where(F.col("count") * sample_mod > hot_df).select("term")
@@ -365,7 +366,8 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
     hot = None
     if salt_hot_terms:
         hot = hot_terms_from_docs(docs, content_col=content_col,
-                                  id_col=id_col, tokenizer=tokenizer)
+                                  id_col=id_col, tokenizer=tokenizer,
+                                  analyzer=analyzer)
     return Index(
         postings=postings(tf, n_buckets=n_buckets,
                           salt_hot_terms=salt_hot_terms, hot=hot),

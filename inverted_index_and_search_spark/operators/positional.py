@@ -67,20 +67,27 @@ __all__ = [
 
 def term_doc_positions(docs: DataFrame, *, content_col: str = "content",
                        id_col: str = "doc_id",
-                       tokenizer: str = "standard") -> DataFrame:
+                       tokenizer: str = "standard",
+                       analyzer=None) -> DataFrame:
     """(term, doc_id, tf, positions) — pure-JVM path.
 
     posexplode assigns each token its 0-based offset; the group-by
     collects offsets per (term, doc). sort_array gives canonical
     ascending position order regardless of partitioning.
-    ``tokenizer`` selects term semantics ("standard" | "code").
+    ``tokenizer`` selects term semantics ("standard" | "code");
+    ``analyzer`` applies stopword/stem filters BEFORE offset
+    assignment, so positions are POST-analysis (renumbered, the
+    convention documented on Analyzer.analyze_py): a phrase query
+    analyzed with the same config matches across removed stopwords.
     """
     from inverted_index_and_search_spark.tokenizer import tokenizer_col
 
+    arr = tokenizer_col(tokenizer)(F.col(content_col))
+    if analyzer is not None and not analyzer.is_identity:
+        arr = analyzer.analyze_tokens_col(arr)
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenizer_col(tokenizer)(F.col(content_col)))
-        .alias("pos", "term"),
+        F.posexplode(arr).alias("pos", "term"),
     )
     return tok.groupBy("term", "doc_id").agg(
         F.count("*").cast("int").alias("tf"),
@@ -90,7 +97,8 @@ def term_doc_positions(docs: DataFrame, *, content_col: str = "content",
 
 def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
                              id_col: str = "doc_id",
-                             tokenizer: str = "standard") -> DataFrame:
+                             tokenizer: str = "standard",
+                             analyzer=None) -> DataFrame:
     """(term, doc_id, tf, positions) computed inside an Arrow UDF —
     in-mapper combining with positions (the positional analogue of
     index_build.term_doc_tf_arrow): no JVM token explode, no
@@ -103,6 +111,8 @@ def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
         _PY_TOKEN, code_tokenize_py)
 
     code = tokenizer == "code"
+    analyze = (None if analyzer is None or analyzer.is_identity
+               else analyzer.analyze_py)
 
     def collect_pos(batches):
         for pdf in batches:
@@ -110,6 +120,8 @@ def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
                 toks = [code_tokenize_py(s) for s in pdf[content_col]]
             else:
                 toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
+            if analyze is not None:
+                toks = [analyze(ws) for ws in toks]
             ids, terms, tfs, poss = [], [], [], []
             for doc_id, words in zip(pdf[id_col], toks):
                 d: dict[str, list[int]] = {}
@@ -216,7 +228,8 @@ def build_positional_index(docs: DataFrame, *, content_col: str = "content",
                            id_col: str = "doc_id", use_pandas_udf: bool = True,
                            n_buckets: int = DEFAULT_BUCKETS,
                            shard_hot_terms: bool = False,
-                           tokenizer: str = "standard") -> Index:
+                           tokenizer: str = "standard",
+                           analyzer=None) -> Index:
     """Positional :class:`Index` — a strict superset of the tf-only
     layout: boolean/BM25/text-sink operators work on it unchanged, and
     the phrase/proximity operators below require it.
@@ -228,17 +241,19 @@ def build_positional_index(docs: DataFrame, *, content_col: str = "content",
     query results are identical either way (tested)."""
     if use_pandas_udf:
         tdp = term_doc_positions_arrow(docs, content_col=content_col,
-                                       id_col=id_col, tokenizer=tokenizer)
+                                       id_col=id_col, tokenizer=tokenizer,
+                                       analyzer=analyzer)
     else:
         tdp = term_doc_positions(docs, content_col=content_col, id_col=id_col,
-                                 tokenizer=tokenizer)
+                                 tokenizer=tokenizer, analyzer=analyzer)
     hot = None
     if shard_hot_terms:
         from inverted_index_and_search_spark.operators.index_build import (
             hot_terms_from_docs,
         )
         hot = hot_terms_from_docs(docs, content_col=content_col,
-                                  id_col=id_col, tokenizer=tokenizer)
+                                  id_col=id_col, tokenizer=tokenizer,
+                                  analyzer=analyzer)
     return Index(
         postings=positional_postings(tdp, n_buckets=n_buckets, hot=hot),
         doc_stats=doc_stats(docs, tdp, content_col=content_col, id_col=id_col),
@@ -246,6 +261,7 @@ def build_positional_index(docs: DataFrame, *, content_col: str = "content",
         n_buckets=n_buckets,
         sharded=hot is not None,
         tokenizer=tokenizer,
+        analyzer=analyzer,
     )
 
 

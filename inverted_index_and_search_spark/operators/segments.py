@@ -256,12 +256,17 @@ class SegmentIndex:
     #: persisted in stats.json — query surfaces split incoming terms
     #: with the same semantics or they miss the vocabulary
     tokenizer: str = "standard"
+    #: analyzer (analysis.Analyzer) the tf relation was built with, or
+    #: None; persisted in stats.json — query surfaces apply the same
+    #: stopword/stem transform to incoming terms
+    analyzer: object | None = None
 
 
 def build_segment_index(
     tf: DataFrame, n_docs: int, avgdl: float,
     *, n_buckets: int = DEFAULT_BUCKETS, salt_hot_terms: bool = True,
     hot: DataFrame | None = None, tokenizer: str = "standard",
+    analyzer=None,
 ) -> SegmentIndex:
     """SegmentIndex over a (term, doc_id, tf[, positions]) relation.
 
@@ -284,6 +289,7 @@ def build_segment_index(
         avgdl=avgdl,
         n_buckets=n_buckets,
         tokenizer=tokenizer,
+        analyzer=analyzer,
     )
 
 
@@ -309,10 +315,14 @@ def write_segment_index(idx: SegmentIndex, out_dir: str, mode: str = "overwrite"
     write_dictionary(spark, f"{out_dir}/segments", f"{out_dir}/dictionary",
                      mode=mode)
     os.makedirs(out_dir, exist_ok=True)
+    stats = {"n_docs": idx.n_docs, "avgdl": idx.avgdl,
+             "n_buckets": idx.n_buckets, "block": idx.block,
+             "tokenizer": idx.tokenizer}
+    if idx.analyzer is not None and not idx.analyzer.is_identity:
+        stats["analyzer"] = {"stopwords": sorted(idx.analyzer.stopwords),
+                             "stem": idx.analyzer.stem}
     with open(f"{out_dir}/stats.json", "w") as f:
-        json.dump({"n_docs": idx.n_docs, "avgdl": idx.avgdl,
-                   "n_buckets": idx.n_buckets, "block": idx.block,
-                   "tokenizer": idx.tokenizer}, f)
+        json.dump(stats, f)
 
 
 def read_segment_index(spark: SparkSession, out_dir: str) -> SegmentIndex:
@@ -321,6 +331,12 @@ def read_segment_index(spark: SparkSession, out_dir: str) -> SegmentIndex:
     dictionary = None
     if os.path.exists(f"{out_dir}/dictionary"):
         dictionary = spark.read.parquet(f"{out_dir}/dictionary")
+    analyzer = None
+    acfg = stats.get("analyzer")
+    if acfg:
+        from inverted_index_and_search_spark.analysis import Analyzer
+        analyzer = Analyzer.make(acfg.get("stopwords"),
+                                 bool(acfg.get("stem")))
     return SegmentIndex(
         segments=spark.read.parquet(f"{out_dir}/segments"),
         n_docs=stats["n_docs"],
@@ -329,6 +345,7 @@ def read_segment_index(spark: SparkSession, out_dir: str) -> SegmentIndex:
         block=stats["block"],
         dictionary=dictionary,
         tokenizer=stats.get("tokenizer", "standard"),
+        analyzer=analyzer,
     )
 
 
@@ -407,10 +424,14 @@ def merge_segment_indexes(parts: list[SegmentIndex], *,
     if len(toks) > 1:
         raise ValueError("cannot merge segment indexes built with "
                          f"different tokenizers: {sorted(toks)}")
+    if len({p.analyzer for p in parts}) > 1:  # Analyzer is frozen/hashable
+        raise ValueError("cannot merge segment indexes built with "
+                         "different analyzers")
     return build_segment_index(
         tf, n_docs, avgdl,
         n_buckets=n_buckets if n_buckets is not None else parts[0].n_buckets,
-        salt_hot_terms=salt_hot_terms, hot=hot, tokenizer=parts[0].tokenizer)
+        salt_hot_terms=salt_hot_terms, hot=hot, tokenizer=parts[0].tokenizer,
+        analyzer=parts[0].analyzer)
 
 
 def _decode_row(row, avgdl: float, n_docs: int, block: int) -> bm25.TermPostings:

@@ -166,11 +166,101 @@ def test_cli_analyzed_build_and_search(spark, tmp_path, capsys):
     assert "the" not in terms and "a" not in terms
 
 
-def test_cli_analyzer_segment_guard(tmp_path, capsys):
+ANA_ROWS = [
+    (0, "the quick brown fox jumps the fences"),
+    (1, "a quick fox"),
+    (2, "quick the fox runs"),          # stopword gap renumbers away
+    (3, "slow foxes sleep"),
+]
+
+
+@pytest.fixture(scope="module")
+def ana_docs(spark):
+    df = spark.createDataFrame(ANA_ROWS, "doc_id long, content string")
+    df.cache().count()
+    return df
+
+
+def test_analyzed_positional_phrase_renumbered(spark, ana_docs):
+    """Positions are POST-analysis: removing 'the'/'a' makes
+    [quick, fox] consecutive in every doc that had a stopword between
+    them — the analyzed phrase matches across removed stopwords, and
+    the stemmed phrase ('foxes' -> 'foxe'? no: 'fox'+'es' stems to
+    'foxe'... the S-stemmer maps 'foxes' -> 'foxe') stays
+    engine-oracle-consistent because BOTH sides stem identically."""
+    from inverted_index_and_search_spark.operators.positional import (
+        build_positional_index, phrase_match)
+
+    ana = Analyzer.make(["the", "a"], stem=False)
+    idx = build_positional_index(ana_docs, analyzer=ana)
+    got = sorted(r["doc_id"] for r in
+                 phrase_match(idx, ["quick", "fox"]).collect())
+    assert got == [1, 2]  # doc 2 only matches because 'the' renumbered
+
+    # unanalyzed twin: doc 2's 'quick the fox' is NOT consecutive
+    plain = build_positional_index(ana_docs)
+    got = sorted(r["doc_id"] for r in
+                 phrase_match(plain, ["quick", "fox"]).collect())
+    assert got == [1]
+
+
+def test_analyzed_positional_paths_agree(spark, docs_df):
+    from inverted_index_and_search_spark.operators.positional import (
+        term_doc_positions, term_doc_positions_arrow)
+
+    ana = Analyzer.make(["def", "return"], stem=True)
+    a = term_doc_positions_arrow(docs_df, analyzer=ana)
+    b = term_doc_positions(docs_df, analyzer=ana)
+    ra = {(r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+          for r in a.collect()}
+    rb = {(r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+          for r in b.collect()}
+    assert ra == rb and ra
+    assert not any(t in ("def", "return") for t, *_ in ra)
+
+
+def test_cli_analyzed_segments_build_and_search(spark, tmp_path, capsys):
+    """Segments + analyzer: stats.json persists the config and the
+    warm QueryServer analyzes query terms (stemmed plural hits)."""
+    from inverted_index_and_search_spark.operators import segments as seg
+
     docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "anaseg")
     stop = tmp_path / "stop.txt"
-    stop.write_text("the\n")
-    with pytest.raises(SystemExit):
-        cli.main(["build", "--input", docs, "--content-col", "text",
-                  "--output", str(tmp_path / "x"), "--format", "segments",
-                  "--stopwords", str(stop)])
+    stop.write_text("the\na\n")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", out, "--format", "segments",
+              "--stopwords", str(stop), "--stem"])
+    capsys.readouterr()
+    back = seg.read_segment_index(spark, out)
+    assert back.analyzer is not None and back.analyzer.stem
+    assert "the" in back.analyzer.stopwords
+
+    cli.main(["search", "--index", out, "--index-format", "segments",
+              "--bm25", "--topk", "3", "--query", "tables queries"])
+    got = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert got  # stemmed terms hit the analyzed vocabulary
+    cli.main(["search", "--index", out, "--index-format", "segments",
+              "--query", "the a"])
+    assert "No matches found." in capsys.readouterr().out
+
+
+def test_cli_analyzed_fielded_build(spark, tmp_path, capsys):
+    from inverted_index_and_search_spark.corpus import corpus_pandas
+
+    pdf = corpus_pandas(20, seed=42).reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    src = str(tmp_path / "fdocs.parquet")
+    spark.createDataFrame(
+        pdf[["doc_id", "path", "content"]]).write.parquet(src)
+    out = str(tmp_path / "anafield")
+    stop = tmp_path / "stop.txt"
+    stop.write_text("def\nreturn\n")
+    cli.main(["build", "--input", src, "--output", out,
+              "--field", "path:3", "--field", "content:1",
+              "--stopwords", str(stop)])
+    capsys.readouterr()
+    idx = ib.read_index(spark, out)
+    assert idx.analyzer is not None
+    terms = {r["term"] for r in idx.postings.select("term").collect()}
+    assert "def" not in terms and "return" not in terms and terms
