@@ -45,7 +45,8 @@ class StreamingIndexWriter:
 
     def __init__(self, out_dir: str, *, content_col: str = "content",
                  id_col: str = "doc_id", n_buckets: int = ib.DEFAULT_BUCKETS,
-                 positional: bool = False, tokenizer: str = "standard"):
+                 positional: bool = False, tokenizer: str = "standard",
+                 analyzer=None):
         self.out_dir = out_dir
         self.content_col = content_col
         self.id_col = id_col
@@ -57,6 +58,9 @@ class StreamingIndexWriter:
         #: term semantics of every delta batch ("standard" | "code") —
         #: one writer, one vocabulary; live_index/compaction inherit it
         self.tokenizer = tokenizer
+        #: analyzer (analysis.Analyzer or None) applied to every batch;
+        #: persisted through compaction like the tokenizer
+        self.analyzer = analyzer
 
     # ------------------------------------------------------------ write
     def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
@@ -68,11 +72,13 @@ class StreamingIndexWriter:
             tf = term_doc_positions_arrow(docs_batch,
                                           content_col=self.content_col,
                                           id_col=self.id_col,
-                                          tokenizer=self.tokenizer)
+                                          tokenizer=self.tokenizer,
+                                          analyzer=self.analyzer)
         else:
             tf = ib.term_doc_tf_arrow(docs_batch, content_col=self.content_col,
                                       id_col=self.id_col,
-                                      tokenizer=self.tokenizer)
+                                      tokenizer=self.tokenizer,
+                                      analyzer=self.analyzer)
         tf = tf.withColumn("term_bucket",
                            ib.term_bucket_col(F.col("term"), self.n_buckets))
         (tf.write.mode("overwrite")
@@ -168,6 +174,7 @@ class StreamingIndexWriter:
             tf=tf,
             n_buckets=self.n_buckets,
             tokenizer=self.tokenizer,
+            analyzer=self.analyzer,
         )
 
     # --------------------------------------------------------- compact
@@ -193,7 +200,8 @@ class StreamingIndexWriter:
                      F.avg("dl").alias("avgdl")).collect()[0]
         sidx = sg.build_segment_index(
             tf, int(row["n"]), float(row["avgdl"] or 0.0),
-            n_buckets=self.n_buckets, tokenizer=self.tokenizer)
+            n_buckets=self.n_buckets, tokenizer=self.tokenizer,
+            analyzer=self.analyzer)
         sg.write_segment_index(sidx, seg_dir)
 
 
@@ -201,7 +209,8 @@ def ingest_stream(spark: SparkSession, input_dir: str, out_dir: str, *,
                   content_col: str = "content", id_col: str = "doc_id",
                   checkpoint: str | None = None,
                   max_files_per_trigger: int = 1,
-                  positional: bool = False, tokenizer: str = "standard"):
+                  positional: bool = False, tokenizer: str = "standard",
+                 analyzer=None):
     """Stream a directory of document parquet files into delta segments
     (availableNow: drains what exists, then stops — cron-friendly)."""
     writer = StreamingIndexWriter(out_dir, content_col=content_col,
