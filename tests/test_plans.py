@@ -411,3 +411,21 @@ def test_synonym_bm25_plan_shape(spark, persisted_index):
     assert pf and "term_bucket" in pf[0], plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_analyzer_adds_no_exchange_to_positional_build(spark):
+    """The stopword/stem chain is a map-side array filter/transform
+    inside the tokenize expression — the analyzed positional build's
+    plan has exactly the plain build's exchange count (zero plan-shape
+    change, the same guarantee the tf path asserts)."""
+    from inverted_index_and_search_spark.analysis import Analyzer
+    from inverted_index_and_search_spark.operators import positional as pp
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plain = explain(pp.term_doc_positions(docs, content_col="text",
+                                          id_col="doc_id"))
+    ana = explain(pp.term_doc_positions(
+        docs, content_col="text", id_col="doc_id",
+        analyzer=Analyzer.make(["the", "a"], stem=True)))
+    assert n_nodes(ana, "Exchange") == n_nodes(plain, "Exchange"), ana
+    assert n_nodes(ana, "Generate") == n_nodes(plain, "Generate")
