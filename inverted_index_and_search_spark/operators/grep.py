@@ -740,12 +740,29 @@ class GrepServer:
                     max_grams: int = DEFAULT_MAX_GRAMS):
         import numpy as np
 
+        # rarest-gram selection happens BEFORE any posting fetch (the
+        # same discipline as the distributed _rarest_grams): a long
+        # needle's stop-grams would otherwise pull their huge doc-id
+        # arrays into the cache for no candidate reduction. The df
+        # probe reads only the tiny stats side table (pruned IN scan),
+        # reusing dfs already learned from cached grams.
+        if len(req) > max_grams:
+            unknown = [g for g in req
+                       if g not in self._df and g not in self._grams]
+            if unknown:
+                found = {r["gram"]: int(r["df"]) for r in
+                         self.tidx.stats.where(
+                             F.col("gram").isin(unknown)).collect()}
+                for g in unknown:
+                    self._df[g] = found.get(g, 0)
+            if any(self._df.get(g, 0) == 0 and g not in self._grams
+                   for g in req):
+                return np.empty(0, dtype=np.int64)  # absent gram
+            req = sorted(req, key=lambda g: (self._df[g], g))[:max_grams]
         self._ensure_grams(req)
         if any(self._grams.get(g) is None for g in req):
             return np.empty(0, dtype=np.int64)   # absent gram -> no match
-        # rarest-first intersection: df order comes from the fetched
-        # arrays themselves — no stats-table round trip on this path
-        ordered = sorted(req, key=lambda g: (self._df[g], g))[:max_grams]
+        ordered = sorted(req, key=lambda g: (self._df[g], g))
         cand = self._grams[ordered[0]]
         for g in ordered[1:]:
             if cand.size == 0:

@@ -414,6 +414,23 @@ def test_grep_server_counts_and_ci(spark, ci_docs, ci_tidx, docs_df,
         server.substring("x", fold_case=True)
 
 
+def test_grep_server_long_needle_rarest_selection(spark, docs_df,
+                                                  corpus_pdf, tidx):
+    """A needle with more grams than max_grams selects the RAREST via
+    the stats table BEFORE fetching — stop-gram arrays never enter the
+    cache — and stays exact; an absent gram short-circuits without a
+    posting fetch."""
+    server = grep.GrepServer(tidx, docs_df)
+    needle = "return new_table"          # 15 grams > max_grams=2
+    got = server.substring(needle, max_grams=2)
+    assert got == brute_substr(corpus_pdf, needle)
+    fetched = set(server._grams)
+    assert len(fetched) <= 2             # only the 2 selected grams
+    assert server.substring("zzqqwwxxyzzt") == []   # 10 grams, all absent
+    # the absent needle's grams were refuted via stats, never fetched
+    assert set(server._grams) == fetched
+
+
 def test_grep_server_lru_bounds(spark, docs_df, corpus_pdf, tidx):
     server = grep.GrepServer(tidx, docs_df, max_grams_cached=4,
                              max_docs_cached=3)
