@@ -37,6 +37,21 @@ df aggregation piggybacks map-side-combined. Queries touch |query
 grams| buckets and aggregate only the filtered rows; verification
 reads only candidate docs' content (broadcast semi-join on the usually
 tiny candidate id set). No stage materializes a per-gram array.
+
+Beyond the flat layout, this module ships (all result-identical to the
+flat path, equality-tested):
+
+- **compressed segments** (:func:`build_trigram_segments`): delta+varint
+  per-(gram, shard) doc-id lists on the term-segment codec wire, hot
+  grams sharded so a stop-gram's merged list never exists;
+- **incremental LSM maintenance** (:class:`TrigramIndexWriter` /
+  :func:`ingest_trigram_stream`): append-only delta batches, batch-
+  ordered tombstone deletes, live view, compaction to either layout —
+  the term index's ingest protocol applied to grams;
+- **warm serving** (:class:`GrepServer`): per-gram decoded-id and
+  per-doc verified-content LRUs, rarest-gram selection via the stats
+  table BEFORE any posting fetch — repeat needles answer in
+  numpy/Python with no Spark job.
 """
 
 from __future__ import annotations
