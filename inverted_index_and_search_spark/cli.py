@@ -467,21 +467,6 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
         for t, d, c in sugs:
             print(f"{t}\t{d}\t{c}")
         return True
-    if snip is not None:
-        from inverted_index_and_search_spark.operators.snippets import (
-            snippets_for_ranked,
-        )
-
-        docs, width, ccol, icol = snip
-        ranked = server.bm25_topk(terms, k=topk)
-        rows = snippets_for_ranked(docs, ranked, terms, width=width,
-                                   mark=("[", "]"), content_col=ccol,
-                                   id_col=icol).collect()
-        if not rows:
-            print("No matches found.")
-        for r in rows:
-            print(f"{r['doc_id']}\t{r['score']:.6f}\t{r['snippet']}")
-        return True
     if prefix or fuzzy is not None:
         # segment dictionary scan (memoized per server) + per-term cache
         if prefix:
@@ -497,11 +482,28 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
             and not server.idx.analyzer.is_identity:
         # stats.json carried the build analyzer: same transform on the
         # query side (raw-fragment modes — complete/suggest/prefix —
-        # already returned above, mirroring the DataFrame path)
+        # already returned above, mirroring the DataFrame path);
+        # snippets below rank AND mark with the analyzed terms
         terms = server.idx.analyzer.analyze_terms(terms)
         if not terms:
             print("No matches found.")
             return True
+    if snip is not None:
+        from inverted_index_and_search_spark.operators.snippets import (
+            snippets_for_ranked,
+        )
+
+        docs, width, ccol, icol = snip
+        ranked = server.bm25_topk(terms, k=topk)
+        rows = snippets_for_ranked(docs, ranked, terms, width=width,
+                                   mark=("[", "]"), content_col=ccol,
+                                   id_col=icol,
+                                   analyzer=server.idx.analyzer).collect()
+        if not rows:
+            print("No matches found.")
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['score']:.6f}\t{r['snippet']}")
+        return True
     if expr:
         from inverted_index_and_search_spark.operators.search_expr import (
             ExprError,

@@ -106,6 +106,12 @@ def bm25_snippets(index: Index, docs: DataFrame, terms: list[str], *,
     ``mark=("[", "]")`` wraps matched tokens for terminal display.
     """
     norm = sorted({t.lower() for t in terms if t})
+    analyzer = getattr(index, "analyzer", None)
+    if analyzer is not None and not analyzer.is_identity:
+        # analyzed index: score with analyzed terms (raw terms miss the
+        # stemmed vocabulary) and re-analyze the stored text for window
+        # marking — Lucene's highlighter re-analyzes the same way
+        norm = sorted(set(analyzer.analyze_py(norm)))
     spark = index.postings.sparkSession
     if not norm:
         return spark.createDataFrame(
@@ -114,28 +120,36 @@ def bm25_snippets(index: Index, docs: DataFrame, terms: list[str], *,
     top = [(int(r["doc_id"]), float(r["score"]))
            for r in ranked.collect()]  # ≤ k rows by contract — bounded
     return snippets_for_ranked(docs, top, norm, width=width, mark=mark,
-                               content_col=content_col, id_col=id_col)
+                               content_col=content_col, id_col=id_col,
+                               analyzer=analyzer)
 
 
 def snippets_for_ranked(docs: DataFrame, ranked: list[tuple[int, float]],
                         terms: list[str], *, width: int = 10,
                         mark: tuple[str, str] | None = None,
                         content_col: str = "content",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        analyzer=None) -> DataFrame:
     """Snippet fetch for an ALREADY-RANKED [(doc_id, score)] list —
     shared by the DataFrame path and the warm QueryServer path (whose
     ranking lives driver-side). The id list pushes into the documents
-    scan as an IN literal; scores re-attach via a broadcast join."""
+    scan as an IN literal; scores re-attach via a broadcast join.
+    ``analyzer``: when the index was built with one, the stored text is
+    re-analyzed here so stemmed/stopped query terms mark their window
+    tokens (the terms themselves must already be analyzed)."""
     spark = docs.sparkSession
     norm = sorted({t.lower() for t in terms if t})
     if not ranked or not norm:
         return spark.createDataFrame(
             [], "doc_id long, score double, hits int, snippet string")
     ids = [d for d, _ in ranked]
+    tk = tokens_col(F.col(content_col))
+    if analyzer is not None and not analyzer.is_identity:
+        tk = analyzer.analyze_tokens_col(tk)
     fetched = (
         docs.filter(F.col(id_col).isin(ids))
         .select(F.col(id_col).cast("long").alias("doc_id"),
-                tokens_col(F.col(content_col)).alias("tk"))
+                tk.alias("tk"))
     )
     scores = spark.createDataFrame(
         [(int(d), float(s)) for d, s in ranked], "doc_id long, score double")

@@ -245,6 +245,23 @@ def test_cli_analyzed_segments_build_and_search(spark, tmp_path, capsys):
     assert "No matches found." in capsys.readouterr().out
 
 
+def test_analyzed_snippets_score_and_mark(spark, ana_docs):
+    """bm25_snippets on an analyzed index: plural query terms stem onto
+    the stemmed vocabulary and the re-analyzed window marks them."""
+    from inverted_index_and_search_spark.operators.snippets import (
+        bm25_snippets,
+    )
+
+    ana = Analyzer.make(["the", "a"], stem=True)
+    idx = ib.build_index(ana_docs, analyzer=ana)
+    # query 'runs' stems to 'run' = doc 2's indexed form; the raw term
+    # would miss the stemmed vocabulary entirely
+    rows = bm25_snippets(idx, ana_docs, ["runs"], k=4, width=3,
+                         mark=("[", "]")).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    assert "[run]" in rows[0]["snippet"]
+
+
 def test_cli_analyzed_fielded_build(spark, tmp_path, capsys):
     from inverted_index_and_search_spark.corpus import corpus_pandas
 
