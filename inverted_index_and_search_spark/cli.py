@@ -498,7 +498,9 @@ def _run_query_server(server, line: str, bm25: bool, topk: int,
         rows = snippets_for_ranked(docs, ranked, terms, width=width,
                                    mark=("[", "]"), content_col=ccol,
                                    id_col=icol,
-                                   analyzer=server.idx.analyzer).collect()
+                                   analyzer=server.idx.analyzer,
+                                   tokenizer=getattr(server.idx, "tokenizer",
+                                                     "standard")).collect()
         if not rows:
             print("No matches found.")
         for r in rows:

@@ -100,7 +100,8 @@ def grams_pandas_udf(content: pd.Series) -> pd.Series:
     stall on a single 450 KB file. The Python set pass is O(len) and
     Arrow-batched, the same north-star shape as the tokenizer kernels.
     """
-    return pd.Series([grams_py(s) for s in content], index=content.index)
+    return pd.Series([grams_py(s) if s is not None else []
+                      for s in content], index=content.index)
 
 
 @dataclass(frozen=True)
@@ -419,7 +420,8 @@ def matching_lines(tidx: TrigramIndex, docs: DataFrame, needle: str, *,
 
 # ------------------------------------------------- regex literal grams
 
-def required_literals(pattern: str) -> list[str]:
+def required_literals(pattern: str, *,
+                      fold_case_index: bool = False) -> list[str]:
     """Maximal literal character runs REQUIRED by every match of
     ``pattern``, extracted from the stdlib regex parse tree.
 
@@ -429,10 +431,23 @@ def required_literals(pattern: str) -> list[str]:
     since it may be absent). Anything this returns must appear verbatim
     in every matching string — sound as an index prefilter; an empty
     result means the pattern gets no prefilter (full-scan fallback).
+
+    A global inline ``(?i)`` flag makes every literal case-INsensitive:
+    a case-sensitive gram index then has no sound prefilter (a match in
+    another casing would be pruned away), so the result is [] — the
+    documented full-scan fallback — unless ``fold_case_index`` says the
+    caller's index stores folded (lower()) grams, where folding the
+    literals keeps the prefilter sound. Scoped groups ``(?i:...)`` need
+    no special case: they parse as SUBPATTERN ops, which already break
+    the run and contribute nothing.
     """
     try:
         parsed = _sre_parse(pattern)
     except re.error:
+        return []
+    state = getattr(parsed, "state", None) or getattr(parsed, "pattern", None)
+    if int(getattr(state, "flags", 0)) & re.IGNORECASE \
+            and not fold_case_index:
         return []
     runs: list[str] = []
     cur: list[str] = []
@@ -508,7 +523,8 @@ def regex_search(tidx: TrigramIndex | None, docs: DataFrame, pattern: str, *,
                        F.col(content_col).alias("_content"))
     if tidx is not None:
         req: list[str] = []
-        for lit in required_literals(pattern):
+        for lit in required_literals(
+                pattern, fold_case_index=tidx.case_insensitive):
             # a case-insensitive index stores lower() grams; folding a
             # required literal keeps the prefilter sound (any verbatim
             # occurrence lowers to these grams)
@@ -653,6 +669,25 @@ def ingest_trigram_stream(spark, input_dir: str, out_dir: str, *,
 
 # --------------------------------------------------------- warm server
 
+#: above this many values, an IN literal list is replaced by a
+#: broadcast created-DataFrame semi-join: a multi-thousand-literal IN
+#: bloats the plan and per-row-group filter evaluation, while the tiny
+#: values relation broadcasts for free
+MAX_IN_LITERALS = 1000
+
+
+def _semi_join_values(df: DataFrame, col: str, values: list,
+                      dtype: str) -> DataFrame:
+    """Rows of ``df`` whose ``col`` is in ``values`` — pushed IN
+    literal for small lists, broadcast semi-join past MAX_IN_LITERALS
+    (the cli._doc_key_map pattern)."""
+    if len(values) <= MAX_IN_LITERALS:
+        return df.where(F.col(col).isin(values))
+    spark = df.sparkSession
+    vals = spark.createDataFrame([(v,) for v in values], f"{col} {dtype}")
+    return df.join(F.broadcast(vals), col, "left_semi")
+
+
 class GrepServer:
     """Warm interactive grep endpoint — the trigram analogue of
     segments.QueryServer: nothing is preloaded; per-GRAM decoded doc-id
@@ -660,13 +695,20 @@ class GrepServer:
     LRU residency, so repeat needles run the prefilter in numpy and the
     verification in Python — milliseconds, no Spark job. Cold needles
     pay two pruned fetches (gram rows by bucket+IN pushdown; candidate
-    contents by doc_id IN pushdown), each bounded by the query, never
-    corpus-sized.
+    contents by doc_id pushdown — an IN literal up to MAX_IN_LITERALS
+    ids, a broadcast semi-join beyond).
 
-    Residency: O(max_grams_cached gram arrays + max_docs_cached
-    contents), independent of corpus size. Needles shorter than GRAM_N
-    fall back to the distributed scan (the same documented degraded
-    path as substring_search).
+    Candidate cardinality is DATA-dependent, not query-bounded: a
+    needle made of stop-grams (" the ", common code fragments) can
+    yield candidates ~ corpus. The warm path therefore verifies
+    driver-side ONLY when |candidates| <= max_docs_cached; larger sets
+    route through :meth:`_verify_distributed` — the warm prefilter's
+    ids semi-join the raw corpus and verification runs executor-side,
+    nothing enters the content cache. Driver residency is thus capped
+    at O(max_grams_cached gram arrays + max_docs_cached contents +
+    the candidate id array + collected matches) for every needle.
+    Needles shorter than GRAM_N fall back to the distributed scan (the
+    same documented degraded path as substring_search).
     """
 
     def __init__(self, tidx: TrigramIndex, docs: DataFrame, *,
@@ -695,9 +737,9 @@ class GrepServer:
         if missing:
             buckets = sorted({term_bucket(g, self.tidx.n_buckets)
                               for g in missing})
-            rows = self.tidx.grams.where(
-                F.col("gram_bucket").isin(buckets)
-                & F.col("gram").isin(missing))
+            rows = _semi_join_values(
+                self.tidx.grams.where(F.col("gram_bucket").isin(buckets)),
+                "gram", missing, "string")
             got: dict[str, list] = {}
             if self.tidx.compressed:
                 for r in rows.select("gram", "p_df", "doc_ids_enc").collect():
@@ -733,10 +775,10 @@ class GrepServer:
     def _ensure_contents(self, ids) -> None:
         missing = [int(d) for d in ids if int(d) not in self._content]
         if missing:
-            rows = (self.docs
-                    .where(F.col(self.id_col).isin(missing))
-                    .select(F.col(self.id_col).cast("long").alias("d"),
-                            F.col(self.content_col).alias("c")).collect())
+            base = self.docs.select(
+                F.col(self.id_col).cast("long").alias("d"),
+                F.col(self.content_col).alias("c"))
+            rows = _semi_join_values(base, "d", missing, "long").collect()
             for r in rows:
                 self._content[r["d"]] = r["c"]
         for d in ids:                            # LRU touch
@@ -786,13 +828,49 @@ class GrepServer:
                                   assume_unique=True)
         return cand
 
+    def _verify_distributed(self, cand, *, needle: str | None = None,
+                            pattern: str | None = None,
+                            fold_case: bool = False,
+                            count_occurrences: bool = False):
+        """Executor-side verification of a warm candidate id array too
+        large to cache driver-side: the ids semi-join the raw corpus
+        (broadcast — they are a tiny long column) and instr/rlike runs
+        distributed. The content cache is untouched, so driver
+        residency stays at the id array + the collected matches."""
+        spark = self.docs.sparkSession
+        ids = spark.createDataFrame(
+            [(int(d),) for d in cand.tolist()], "doc_id long")
+        base = (self.docs.select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.col(self.content_col).alias("_content"))
+            .join(F.broadcast(ids), "doc_id", "left_semi"))
+        if pattern is not None:
+            out = base.where(F.col("_content").rlike(pattern)) \
+                .select("doc_id").collect()
+            return sorted(r["doc_id"] for r in out)
+        hay = F.lower(F.col("_content")) if fold_case else F.col("_content")
+        matched = base.select("doc_id", hay.alias("_hay")).where(
+            F.instr(F.col("_hay"), F.lit(needle)) > 0)
+        if count_occurrences:
+            n = ((F.length("_hay")
+                  - F.length(F.replace(F.col("_hay"), F.lit(needle),
+                                       F.lit(""))))
+                 / F.lit(len(needle))).cast("long")
+            return sorted((r["doc_id"], r["n_hits"]) for r in
+                          matched.select("doc_id", n.alias("n_hits"))
+                          .collect())
+        return sorted(r["doc_id"] for r in matched.select("doc_id")
+                      .collect())
+
     # ------------------------------------------------------------ query
     def substring(self, needle: str, *, fold_case: bool = False,
                   count_occurrences: bool = False,
                   max_grams: int = DEFAULT_MAX_GRAMS):
         """Sorted [doc_id] (or [(doc_id, n_hits)]) whose content
         contains ``needle`` — warm path; falls back to the distributed
-        scan for sub-gram needles."""
+        scan for sub-gram needles and to distributed VERIFICATION when
+        the candidate set exceeds max_docs_cached (stop-gram needles —
+        caching it would blow the driver)."""
         if fold_case and not self.tidx.case_insensitive:
             raise ValueError(
                 "fold_case needs a case-insensitive trigram index")
@@ -811,6 +889,10 @@ class GrepServer:
         cand = self._candidates(req, max_grams)
         if cand.size == 0:
             return []
+        if cand.size > self.max_docs_cached:
+            return self._verify_distributed(
+                cand, needle=needle, fold_case=fold_case,
+                count_occurrences=count_occurrences)
         self._ensure_contents(cand.tolist())
         out = []
         for d in cand.tolist():
@@ -826,9 +908,14 @@ class GrepServer:
               max_grams: int = DEFAULT_MAX_GRAMS) -> list[int]:
         """Sorted [doc_id] whose content matches ``pattern`` (Python
         `re` on the warm path — verify uses re.search, the same
-        unanchored semantics as rlike for the supported syntax)."""
+        unanchored semantics as rlike for the supported syntax).
+        Java-only syntax Python re cannot compile (possessive
+        quantifiers, ``\\p{Lu}`` classes) verifies via rlike on the
+        same candidates instead of raising; candidate sets past
+        max_docs_cached verify distributed like :meth:`substring`."""
         req: list[str] = []
-        for lit in required_literals(pattern):
+        for lit in required_literals(
+                pattern, fold_case_index=self.tidx.case_insensitive):
             req.extend(grams_py(
                 lit.lower() if self.tidx.case_insensitive else lit))
         req = list(dict.fromkeys(req))
@@ -840,7 +927,12 @@ class GrepServer:
         cand = self._candidates(req, max_grams)
         if cand.size == 0:
             return []
+        if cand.size > self.max_docs_cached:
+            return self._verify_distributed(cand, pattern=pattern)
+        try:
+            rx = re.compile(pattern)
+        except re.error:
+            return self._verify_distributed(cand, pattern=pattern)
         self._ensure_contents(cand.tolist())
-        rx = re.compile(pattern)
         return [int(d) for d in cand.tolist()
                 if rx.search(self._content.get(int(d), ""))]

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from inverted_index_and_search_spark.operators.index_build import Index
 from inverted_index_and_search_spark.operators.query import bm25_topk
-from inverted_index_and_search_spark.tokenizer import tokens_col
+from inverted_index_and_search_spark.tokenizer import tokenizer_col
 
 __all__ = ["bm25_snippets", "snippets_for_ranked", "snippet_cols"]
 
@@ -121,7 +121,9 @@ def bm25_snippets(index: Index, docs: DataFrame, terms: list[str], *,
            for r in ranked.collect()]  # ≤ k rows by contract — bounded
     return snippets_for_ranked(docs, top, norm, width=width, mark=mark,
                                content_col=content_col, id_col=id_col,
-                               analyzer=analyzer)
+                               analyzer=analyzer,
+                               tokenizer=getattr(index, "tokenizer",
+                                                 "standard"))
 
 
 def snippets_for_ranked(docs: DataFrame, ranked: list[tuple[int, float]],
@@ -129,21 +131,26 @@ def snippets_for_ranked(docs: DataFrame, ranked: list[tuple[int, float]],
                         mark: tuple[str, str] | None = None,
                         content_col: str = "content",
                         id_col: str = "doc_id",
-                        analyzer=None) -> DataFrame:
+                        analyzer=None,
+                        tokenizer: str = "standard") -> DataFrame:
     """Snippet fetch for an ALREADY-RANKED [(doc_id, score)] list —
     shared by the DataFrame path and the warm QueryServer path (whose
     ranking lives driver-side). The id list pushes into the documents
     scan as an IN literal; scores re-attach via a broadcast join.
     ``analyzer``: when the index was built with one, the stored text is
     re-analyzed here so stemmed/stopped query terms mark their window
-    tokens (the terms themselves must already be analyzed)."""
+    tokens (the terms themselves must already be analyzed).
+    ``tokenizer``: the INDEX's tokenizer name — stored content must be
+    split with the same semantics or code-split query terms ('get',
+    'file', 'name') could never mark a standard token
+    ('getfilename')."""
     spark = docs.sparkSession
     norm = sorted({t.lower() for t in terms if t})
     if not ranked or not norm:
         return spark.createDataFrame(
             [], "doc_id long, score double, hits int, snippet string")
     ids = [d for d, _ in ranked]
-    tk = tokens_col(F.col(content_col))
+    tk = tokenizer_col(tokenizer)(F.col(content_col))
     if analyzer is not None and not analyzer.is_identity:
         tk = analyzer.analyze_tokens_col(tk)
     fetched = (

@@ -215,7 +215,7 @@ def ingest_stream(spark: SparkSession, input_dir: str, out_dir: str, *,
     (availableNow: drains what exists, then stops — cron-friendly)."""
     writer = StreamingIndexWriter(out_dir, content_col=content_col,
                                   id_col=id_col, positional=positional,
-                                  tokenizer=tokenizer)
+                                  tokenizer=tokenizer, analyzer=analyzer)
     schema = spark.read.parquet(input_dir).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)

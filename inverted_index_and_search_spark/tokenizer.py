@@ -169,8 +169,8 @@ def code_tokenize_pandas_udf(content: pd.Series) -> pd.Series:
     """Arrow-batched code tokenizer (regex-module batch loop; same
     per-string regex work as pandas ``.str`` ops, which also dispatch
     per element for object dtype)."""
-    return pd.Series([code_tokenize_py(s) for s in content],
-                     index=content.index)
+    return pd.Series([code_tokenize_py(s) if s is not None else []
+                      for s in content], index=content.index)
 
 
 def code_tokens_sql_duckdb(text_expr: str) -> str:

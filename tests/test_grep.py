@@ -455,3 +455,72 @@ def test_bucket_pruning_plan(spark, docs_df, tmp_path, tidx):
     assert "gram_bucket" in plan
     # partition filters appear as PartitionFilters on the scan node
     assert "PartitionFilters" in plan or "dynamicpruning" not in plan.lower()
+
+
+def test_required_literals_ignorecase():
+    # global (?i): literals are case-insensitive, so a case-SENSITIVE
+    # gram index has no sound prefilter -> full-scan fallback ([])
+    assert grep.required_literals(r"(?i)FooBarBaz") == []
+    # a folded-gram (case-insensitive) index CAN use them — the caller
+    # folds them against the lower() grams
+    assert grep.required_literals(
+        r"(?i)FooBarBaz", fold_case_index=True) == ["FooBarBaz"]
+    # scoped groups parse as SUBPATTERN ops and already contribute
+    # nothing (conservative walk)
+    assert grep.required_literals(r"(?i:Foo)barbaz") == ["barbaz"]
+
+
+def test_regex_ignorecase_soundness(spark, ci_docs, ci_tidx):
+    """(?i) patterns must find every casing on BOTH index flavors —
+    the r4-advice prefilter-soundness hole (grep.py required_literals
+    ignored the global flag and pruned other casings away)."""
+    want = [0, 1, 3]
+    cs_tidx = grep.build_trigram_index(ci_docs)
+    got = sorted(r["doc_id"] for r in grep.regex_search(
+        cs_tidx, ci_docs, r"(?i)GetFileName").collect())
+    assert got == want
+    got = sorted(r["doc_id"] for r in grep.regex_search(
+        ci_tidx, ci_docs, r"(?i)GetFileName").collect())
+    assert got == want
+    assert grep.GrepServer(cs_tidx, ci_docs).regex(r"(?i)GetFileName") == want
+    assert grep.GrepServer(ci_tidx, ci_docs).regex(r"(?i)GetFileName") == want
+
+
+def test_null_content_tolerated(spark):
+    """A null content row must not crash the gram build (r4 advice:
+    len(None) raised TypeError inside the pandas UDF)."""
+    df = spark.createDataFrame([(0, "abcdef"), (1, None)],
+                               "doc_id long, content string")
+    t = grep.build_trigram_index(df)
+    got = sorted(r["doc_id"] for r in grep.substring_search(
+        t, df, "abc").collect())
+    assert got == [0]
+
+
+def test_grep_server_bounded_verify_stop_gram(spark, docs_df, corpus_pdf,
+                                              tidx):
+    """A hot needle whose candidate set exceeds max_docs_cached must
+    verify DISTRIBUTED: driver content residency stays <= cap and
+    results still equal the brute scan (r4 What's-wrong #1)."""
+    server = grep.GrepServer(tidx, docs_df, max_docs_cached=5)
+    needle = "return"                      # hot: candidates >> 5
+    assert len(brute_substr(corpus_pdf, needle)) > 5
+    got = server.substring(needle)
+    assert got == brute_substr(corpus_pdf, needle)
+    assert len(server._content) <= 5
+    got_n = dict(server.substring(needle, count_occurrences=True))
+    for r in corpus_pdf.itertuples():
+        want = r.content.count(needle)
+        if want:
+            assert got_n[int(r.doc_id)] == want
+    got_rx = server.regex(r"return")
+    assert got_rx == brute_regex(corpus_pdf, r"return")
+    assert len(server._content) <= 5
+
+
+def test_grep_server_java_only_regex_no_crash(spark, ci_docs):
+    """Java-only syntax Python re cannot parse must route to the rlike
+    path instead of raising (r4 advice: \\p{Lu} crashed the REPL)."""
+    cs = grep.build_trigram_index(ci_docs)
+    server = grep.GrepServer(cs, ci_docs)
+    assert server.regex(r"GetFile\p{Lu}ame") == [0]

@@ -176,3 +176,18 @@ def test_ivf_persisted_matches_inmemory(spark, tmp_path_factory):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell" in pf[0] and "IN (" in pf[0].replace("in(", "IN ("), plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_queries_cap_and_flagship_first():
+    """The driver's CORRECTNESS artifact caps at 50 rows: the registry
+    must never silently spill past it again (r3 regression), and the
+    flagship BM25 family must stay first so it is always inside the
+    cap."""
+    q = entrymod.queries()
+    assert len(q) <= 50
+    names = list(q)
+    assert names[0] == "bm25_top10"
+    assert "bm25_wand_top10" in names[:4]
+    # every oracle key refers to a registered query
+    extra = set(entrymod.oracle_sql()) - set(q)
+    assert not extra, extra

@@ -254,3 +254,36 @@ def test_delete_docs_tombstones(spark, docs_df, tmp_path):
     writer.delete_docs(spark, [dead[0]])
     got3 = writer.live_index(spark).doc_stats.count()
     assert got3 == survivors.count()
+
+
+def test_analyzer_ingest_matches_batch_build(spark, docs_df, tmp_path):
+    """Streaming deltas built with a non-identity analyzer compact to
+    the exact rows of a one-shot analyzed batch build (r4 advice:
+    ingest_stream dropped the analyzer parameter, silently building an
+    unanalyzed index)."""
+    from inverted_index_and_search_spark.analysis import Analyzer
+
+    an = Analyzer.make(["def", "return"], True)
+    chunks_dir = str(tmp_path / "an_chunks")
+    docs = docs_df.select("doc_id", "content")
+    for i in range(2):
+        (docs.filter((ib.F.col("doc_id") % 2) == i)
+         .coalesce(1).write.mode("append").parquet(chunks_dir))
+
+    out = str(tmp_path / "an_ingest")
+    writer = ingest.ingest_stream(spark, chunks_dir, out, analyzer=an)
+    assert writer.analyzer is an
+
+    idx_dir = str(tmp_path / "an_compacted")
+    writer.compact(spark, idx_dir)
+    compacted = ib.read_index(spark, idx_dir)
+    assert compacted.analyzer is not None \
+        and not compacted.analyzer.is_identity
+
+    batch = ib.build_index(docs, analyzer=an)
+    cols = ["term", "term_bucket", "df", "cf", "postings"]
+    got = sorted(tuple(r) for r in compacted.postings.select(cols).collect())
+    want = sorted(tuple(r) for r in batch.postings.select(cols).collect())
+    assert got == want
+    # the stopped words really are gone from the streamed index
+    assert not any(r[0] in ("def", "return") for r in got)

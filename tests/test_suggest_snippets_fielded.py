@@ -257,3 +257,28 @@ def test_index_stats_matches_python_twin(index, corpus_pdf):
     assert got["n_tokens"] == sum(cf.values())
     want_top = sorted(cf.items(), key=lambda x: (-x[1], x[0]))[:5]
     assert got["top_terms"] == want_top
+
+
+def test_snippets_use_index_tokenizer(spark):
+    """A code-tokenizer index must tokenize stored content with the
+    SAME splitter when building snippets: code-split query terms
+    ('file') can never match a standard token ('getfilename') —
+    r4-advice fix (snippets.py threaded tokenizer like analyzer)."""
+    from inverted_index_and_search_spark.operators.index_build import (
+        build_index,
+    )
+    from inverted_index_and_search_spark.operators.snippets import (
+        bm25_snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "int getFileName(Path p) { return p.name; }"),
+         (1, "nothing relevant here")],
+        "doc_id long, content string")
+    idx = build_index(docs, tokenizer="code")
+    rows = bm25_snippets(idx, docs, ["file"], k=2,
+                         mark=("[", "]")).collect()
+    assert rows and rows[0]["doc_id"] == 0
+    # the camelCase identifier is split, so 'file' is marked
+    assert "[file]" in rows[0]["snippet"]
+    assert rows[0]["hits"] >= 1
