@@ -460,13 +460,24 @@ MLT_DOC = 7
 
 
 def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lucene-MoreLikeThis: the source doc's top-10 TF-IDF terms as a
-    disjunctive BM25 query, source excluded — term profile AND scoring
-    both mirrored in the DuckDB oracle."""
-    res = q.more_like_this(_index(spark, sf_dir), MLT_DOC,
-                           k_terms=10, k=10)
-    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      F.round(F.col("score"), 6).alias("score"))
+    """(path, doc_id, score) — Lucene-MoreLikeThis: the source doc's
+    top-10 TF-IDF terms as a disjunctive BM25 query, source excluded —
+    term profile AND scoring both mirrored in the DuckDB oracle.
+    Path-tagged ×2: the profile stage through the postings-relation
+    'scan' fallback AND through the doc-bucketed 'forward' point
+    lookup (r5: index_build.write_forward_index); both must equal the
+    same oracle rows."""
+    idx_mem = _index(spark, sf_dir)
+    _, idx_disk, _ = _dict_query_surfaces(spark, sf_dir)
+    assert idx_disk.forward is not None
+    out = None
+    for tag, idx in (("scan", idx_mem), ("forward", idx_disk)):
+        res = q.more_like_this(idx, MLT_DOC, k_terms=10, k=10).select(
+            F.lit(tag).alias("path"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("score"))
+        out = res if out is None else out.unionByName(res)
+    return out
 
 
 def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,10 +590,20 @@ def _q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(term, co_df, pmi) — document-level PMI term associations for a
-    seed term (related-searches mining), support-thresholded."""
-    return q.related_terms(_index(spark, sf_dir), Q_PMI_SEED,
-                           k=Q_PMI_K, min_co=Q_PMI_MIN_CO)
+    """(path, term, co_df, pmi) — document-level PMI term associations
+    for a seed term (related-searches mining), support-thresholded.
+    Path-tagged ×2: co-occurrence through the postings-explode 'scan'
+    fallback AND through the flat doc-bucketed 'forward' rows (r5)."""
+    idx_mem = _index(spark, sf_dir)
+    _, idx_disk, _ = _dict_query_surfaces(spark, sf_dir)
+    assert idx_disk.forward is not None
+    out = None
+    for tag, idx in (("scan", idx_mem), ("forward", idx_disk)):
+        res = q.related_terms(idx, Q_PMI_SEED, k=Q_PMI_K,
+                              min_co=Q_PMI_MIN_CO).select(
+            F.lit(tag).alias("path"), "term", "co_df", "pmi")
+        out = res if out is None else out.unionByName(res)
+    return out
 
 
 def _q_boolean_or_not(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,7 +704,10 @@ def _dict_query_surfaces(spark: SparkSession, sf_dir: str):
         return hit
     idx_mem = _index(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="iis_dictq_")
-    ib.write_index(idx_mem, f"{tmp}/idx")
+    # forward=True: the persisted layout also carries the doc-bucketed
+    # FORWARD side, so the mlt/related-terms 'forward' path tags reuse
+    # this one shared build (cap + build-once discipline)
+    ib.write_index(idx_mem, f"{tmp}/idx", forward=True)
     idx_disk = ib.read_index(spark, f"{tmp}/idx")
     seg.write_segment_index(_tf_segment_index(spark, sf_dir), f"{tmp}/seg")
     sidx_disk = seg.read_segment_index(spark, f"{tmp}/seg")
@@ -1391,12 +1415,16 @@ dfu AS (SELECT term, count(*)::DOUBLE AS df_u FROM tf GROUP BY term),
 co AS (SELECT tf.term, count(*)::BIGINT AS co_df
        FROM tf JOIN seed USING (doc_id)
        WHERE tf.term <> '{seed}' GROUP BY tf.term
-       HAVING count(*) >= {min_co})
-SELECT co.term, co.co_df,
-       round(ln((SELECT count(*) FROM documents)::DOUBLE * co.co_df
-                / (sdf.seed_df * dfu.df_u)), 6) AS pmi
-FROM co JOIN dfu USING (term) CROSS JOIN sdf
-ORDER BY pmi DESC, co_df DESC, term ASC LIMIT {k}
+       HAVING count(*) >= {min_co}),
+ranked AS (
+  SELECT co.term, co.co_df,
+         round(ln((SELECT count(*) FROM documents)::DOUBLE * co.co_df
+                  / (sdf.seed_df * dfu.df_u)), 6) AS pmi
+  FROM co JOIN dfu USING (term) CROSS JOIN sdf
+  ORDER BY pmi DESC, co_df DESC, term ASC LIMIT {k}
+)
+SELECT p.path, r.term, r.co_df, r.pmi
+FROM ranked r CROSS JOIN (VALUES ('scan'), ('forward')) AS p(path)
 """
 
 
@@ -1831,9 +1859,13 @@ scored AS (
   FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
-SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
-FROM scored WHERE doc_id <> {MLT_DOC}
-ORDER BY score DESC, doc_id ASC LIMIT 10
+, ranked AS (
+  SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score
+  FROM scored WHERE doc_id <> {MLT_DOC}
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT p.path, r.doc_id, r.score
+FROM ranked r CROSS JOIN (VALUES ('scan'), ('forward')) AS p(path)
 """,
         # terms-aggregation facets of the Q_AND match set on lang+source
         "facet_counts": f"""

@@ -92,3 +92,22 @@ def term_bucket(term: str, n_buckets: int) -> int:
     """Driver-side twin of ``index_build.term_bucket_col``:
     ``pmod(xxhash64(term), n_buckets)`` (pmod = non-negative modulus)."""
     return xxh64_signed(term) % n_buckets
+
+
+def xxh64_signed_long(v: int, seed: int = SPARK_SEED) -> int:
+    """Signed 64-bit hash of a LONG — equals Spark ``xxhash64(bigint)``.
+
+    Spark's XxHash64 hashes a long via the specialized ``hashLong``
+    path, which is exactly XXH64 over the value's 8 little-endian bytes
+    (same ``n=8`` tail as the byte-stream algorithm) — cross-checked by
+    a hypothesis property test vs the JVM expression."""
+    h = xxh64(int(v).to_bytes(8, "little", signed=True), seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def doc_bucket(doc_id: int, n_buckets: int) -> int:
+    """Driver-side twin of ``index_build.doc_bucket_col``:
+    ``pmod(xxhash64(doc_id), n_buckets)`` — the forward (doc-keyed)
+    layout's partition key, evaluated without a Spark job so point
+    lookups prune partitions driver-side."""
+    return xxh64_signed_long(doc_id) % n_buckets

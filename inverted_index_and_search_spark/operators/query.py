@@ -347,6 +347,44 @@ def top_terms_per_doc(index: Index, k: int = 3) -> DataFrame:
     )
 
 
+def forward_doc_rows(index: Index, doc_ids: list[int]) -> DataFrame | None:
+    """(doc_id, term, tf, df) rows of the given docs from the FORWARD
+    layout, partition-pruned via driver-side bucket hashes — or None
+    when the index carries no forward layout (callers fall back to the
+    postings-relation scan). The doc_bucket IN literal prunes parquet
+    partitions; doc_id pushes as a row-group filter."""
+    if index.forward is None:
+        return None
+    from inverted_index_and_search_spark.kernels.xxhash import doc_bucket
+
+    ids = [int(d) for d in doc_ids]
+    bvals = sorted({doc_bucket(d, index.n_buckets) for d in ids})
+    return (index.forward
+            .where(F.col("doc_bucket").isin(bvals)
+                   & F.col("doc_id").isin(ids))
+            .select("doc_id", "term", "tf", "df"))
+
+
+def doc_profile(index: Index, doc_id: int, n_docs: int) -> DataFrame:
+    """(term, tfidf) of ONE doc, tfidf desc / term asc — the shared
+    profile stage of :func:`more_like_this` (and the access-path fork:
+    forward point lookup when available, postings scan otherwise)."""
+    fwd = forward_doc_rows(index, [doc_id])
+    if fwd is not None:
+        base = fwd.select("term", "df", F.col("tf"))
+    else:
+        base = (index.postings.select(
+            "term", "df", F.explode("postings").alias("p"))
+            .where(F.col("p.doc_id") == int(doc_id))
+            .select("term", "df", F.col("p.tf").alias("tf")))
+    return (base.select(
+        "term",
+        (F.col("tf")
+         * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+         ).alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), F.col("term").asc()))
+
+
 def more_like_this(index: Index, doc_id: int, *, k_terms: int = 10,
                    k: int = 10) -> DataFrame:
     """(doc_id, score) — Lucene-MoreLikeThis similar-document search:
@@ -355,29 +393,21 @@ def more_like_this(index: Index, doc_id: int, *, k_terms: int = 10,
     broken term asc) become a disjunctive BM25 query; the source doc is
     excluded from the result, score desc then doc_id asc.
 
-    Two bounded stages: (1) the source doc's term profile — postings
-    explode filtered to one doc_id, top-k_terms, collected driver-side
-    (<= k_terms rows, bounded); (2) the ordinary pruned BM25 scorer
-    over those terms with a source-doc anti-filter BEFORE the top-k.
-    Stage 1 scans the postings relation (the inverted layout has no
-    doc->terms access path); at warehouse scale a doc-keyed forward
-    index (term_doc_tf persisted bucketed by doc_id) turns it into a
-    single partition-pruned lookup — the scorer stage is unchanged
+    Two bounded stages: (1) the source doc's term profile — top-k_terms
+    collected driver-side (<= k_terms rows, bounded); (2) the ordinary
+    pruned BM25 scorer over those terms with a source-doc anti-filter
+    BEFORE the top-k. Stage 1 uses the doc-bucketed FORWARD layout when
+    the index carries one (:func:`index_build.write_forward_index`):
+    the doc's bucket is computed driver-side (kernels.xxhash twin) and
+    the fetch prunes to ONE parquet partition — a point lookup, plan-
+    gated in tests/test_plans.py. Without a forward layout it falls
+    back to the postings-relation scan (the inverted layout's
+    documented doc->terms limitation); the scorer stage is unchanged
     either way."""
     n_docs, _ = index.collection_stats()
-    profile = (
-        index.postings.select(
-            "term", "df", F.explode("postings").alias("p"))
-        .where(F.col("p.doc_id") == int(doc_id))
-        .select(
-            "term",
-            (F.col("p.tf")
-             * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
-             ).alias("tfidf"))
-        .orderBy(F.col("tfidf").desc(), F.col("term").asc())
-        .limit(int(k_terms))
-        .collect())
-    terms = [r["term"] for r in profile]
+    terms = [r["term"] for r in
+             doc_profile(index, int(doc_id), n_docs)
+             .limit(int(k_terms)).collect()]
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -403,14 +433,21 @@ def related_terms(index: Index, term: str, k: int = 10, *,
     maxes the ratio), so production association miners threshold
     support first.
 
-    One job, no driver collect: the seed's pruned postings expand to a
-    doc-id set, a left-semi join restricts the full postings explode to
-    those docs, a per-term count gives df(t,u), and the seed's df rides
-    in as a 1-row broadcast cross join. Ties: pmi desc, co_df desc,
-    term asc, all on round(6) values. The full-postings pass is the
-    inverted layout's doc->terms limitation (more_like_this note): a
-    doc-bucketed forward index turns it into a partition-pruned scan of
-    df(t) buckets."""
+    The co-occurrence pass: the seed's pruned postings expand to a
+    doc-id set; with a FORWARD layout the seed docs' (term, df) rows
+    are fetched from it — flat narrow rows, no postings-array explode,
+    and partition-PRUNED via driver-side bucket hashes whenever the
+    seed's doc list fits a pushable IN literal (<= MAX_DICT_TERMS ids;
+    hotter seeds fall back to a broadcast semi-join over the flat
+    forward rows, still explode-free). Without a forward layout the
+    full postings explode + semi-join runs — the inverted layout's
+    documented doc->terms limitation. The seed's df rides in as a
+    1-row broadcast cross join. Ties: pmi desc, co_df desc, term asc,
+    all on round(6) values."""
+    from inverted_index_and_search_spark.operators.index_build import (
+        MAX_DICT_TERMS,
+    )
+
     norm = _norm_terms([term])
     spark = index.postings.sparkSession
     if not norm:
@@ -422,11 +459,23 @@ def related_terms(index: Index, term: str, k: int = 10, *,
     seed_docs = (sp.select(F.explode("postings").alias("p"))
                  .select(F.col("p.doc_id").alias("doc_id")))
     seed_df = sp.agg(F.max("df").alias("seed_df"))
-    co = (
-        index.postings.select(
+    base = None
+    if index.forward is not None:
+        ids = [r["doc_id"] for r in
+               seed_docs.limit(MAX_DICT_TERMS + 1).collect()]
+        if 0 < len(ids) <= MAX_DICT_TERMS:
+            base = forward_doc_rows(index, ids).select(
+                "term", "df", "doc_id")
+        else:
+            base = (index.forward.select("term", "df", "doc_id")
+                    .join(seed_docs, "doc_id", "left_semi"))
+    if base is None:
+        base = (index.postings.select(
             "term", "df", F.explode("postings").alias("p"))
-        .select("term", "df", F.col("p.doc_id").alias("doc_id"))
-        .join(seed_docs, "doc_id", "left_semi")
+            .select("term", "df", F.col("p.doc_id").alias("doc_id"))
+            .join(seed_docs, "doc_id", "left_semi"))
+    co = (
+        base
         .where(F.col("term") != seed)
         .groupBy("term")
         .agg(F.count("*").alias("co_df"), F.max("df").alias("df_u"))

@@ -181,15 +181,28 @@ def expansion_terms(index: Index, fb_doc_ids: list[int],
     """Top ``fb_m`` (term, L1-normalized weight) over the feedback docs
     by w(t) = sum tf/dl, excluding ``exclude``; weight desc, term asc.
 
-    Bounded: the collect is <= fb_m rows; the scan is the inverted
-    layout's doc->terms limitation shared with more_like_this."""
+    Bounded: the collect is <= fb_m rows. With a FORWARD layout the
+    feedback docs' rows are a partition-pruned point lookup (fb_k ids,
+    driver-side bucket hashes — see query.forward_doc_rows); without
+    one the scan is the inverted layout's doc->terms limitation shared
+    with more_like_this."""
+    from inverted_index_and_search_spark.operators.query import (
+        forward_doc_rows,
+    )
+
     dl = F.broadcast(
         index.doc_stats.select("doc_id", "dl")
         .where(F.col("doc_id").isin([int(d) for d in fb_doc_ids])))
+    fwd = forward_doc_rows(index, [int(d) for d in fb_doc_ids])
+    if fwd is not None:
+        base = fwd.select("term", "doc_id", "tf")
+    else:
+        base = (index.postings
+                .select("term", F.explode("postings").alias("p"))
+                .select("term", F.col("p.doc_id").alias("doc_id"),
+                        F.col("p.tf").alias("tf")))
     rows = (
-        index.postings.select("term", F.explode("postings").alias("p"))
-        .select("term", F.col("p.doc_id").alias("doc_id"),
-                F.col("p.tf").alias("tf"))
+        base
         .join(dl, "doc_id")
         .where(~F.col("term").isin(list(exclude)))
         .groupBy("term")

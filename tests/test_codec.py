@@ -112,3 +112,28 @@ def test_xxh64_matches_spark_expression(spark):
     got = {r["w"]: r["h"] for r in df.select("w", F.xxhash64("w").alias("h")).collect()}
     for w in words:
         assert xxh64_signed(w) == got[w], repr(w)
+
+
+def test_xxh64_long_matches_spark_expression(spark):
+    """The LONG twin (forward-layout doc buckets) must equal Spark's
+    xxhash64(bigint) exactly — a mismatch silently prunes the wrong
+    doc_bucket partition on every forward point lookup."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from inverted_index_and_search_spark.kernels.xxhash import (
+        doc_bucket,
+        xxh64_signed_long,
+    )
+
+    rng = random.Random(11)
+    vals = [0, 1, -1, 7, 42, 2**31, -(2**31), 2**62, -(2**62),
+            (1 << 63) - 1, -(1 << 63)] + \
+        [rng.randrange(-(1 << 63), 1 << 63) for _ in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"] for r in
+           df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in vals:
+        assert xxh64_signed_long(v) == got[v], v
+        assert 0 <= doc_bucket(v, 32) < 32
