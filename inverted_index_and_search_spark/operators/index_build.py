@@ -259,7 +259,14 @@ def postings(tf: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS,
     answer to the reference's IMC flush threshold
     (TokenizerMapperStateful.java:14).
     """
-    post = F.struct(F.col("doc_id"), F.col("tf"))
+    # a tf relation carrying a pre-joined dl column (inline-dl layout,
+    # build_index(inline_dl=True)) folds it into the posting struct:
+    # scorers then read dl off the posting row and skip the corpus-
+    # sized doc_stats broadcast entirely (query._explode_postings)
+    if "dl" in tf.columns:
+        post = F.struct(F.col("doc_id"), F.col("tf"), F.col("dl"))
+    else:
+        post = F.struct(F.col("doc_id"), F.col("tf"))
     if salt_hot_terms:
         # prefer a caller-supplied hot set (hot_terms_from_docs — see
         # its docstring for why detecting from the shared/cached tf
@@ -360,13 +367,23 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
                 id_col: str = "doc_id", use_pandas_udf: bool = True,
                 n_buckets: int = DEFAULT_BUCKETS,
                 salt_hot_terms: bool = False,
-                analyzer=None, tokenizer: str = "standard") -> Index:
+                analyzer=None, tokenizer: str = "standard",
+                inline_dl: bool = False) -> Index:
     """End-to-end logical plan for the index build (lazy).
 
     ``use_pandas_udf=True`` (north-star path) counts tf inside the
     Arrow UDF (:func:`term_doc_tf_arrow`) — zero shuffles before the
     postings aggregation. ``False`` is the pure-JVM expression path
     (explode + two-level HashAggregate).
+
+    ``inline_dl=True`` pre-joins each doc's length onto its posting
+    rows so every struct carries (doc_id, tf, dl) — scorers then skip
+    the doc_stats broadcast (the DataFrame path's documented scale
+    limitation, query.py:18-20; the segment layout already stores dl
+    per posting). Build cost: one doc_id-keyed aggregation + join of
+    the tf relation (its exchange is reused between the dl agg and the
+    join side — both partition on doc_id); default off because the
+    broadcast is cheaper at test scale.
     """
     if use_pandas_udf:
         tf = term_doc_tf_arrow(docs, content_col=content_col, id_col=id_col,
@@ -381,8 +398,12 @@ def build_index(docs: DataFrame, *, content_col: str = "content",
         hot = hot_terms_from_docs(docs, content_col=content_col,
                                   id_col=id_col, tokenizer=tokenizer,
                                   analyzer=analyzer)
+    ptf = tf
+    if inline_dl:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        ptf = tf.join(dl, "doc_id")
     return Index(
-        postings=postings(tf, n_buckets=n_buckets,
+        postings=postings(ptf, n_buckets=n_buckets,
                           salt_hot_terms=salt_hot_terms, hot=hot),
         doc_stats=doc_stats(docs, tf, content_col=content_col, id_col=id_col),
         tf=tf,

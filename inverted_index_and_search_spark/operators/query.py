@@ -57,6 +57,33 @@ def _query_postings(index: Index, norm: list[str]) -> DataFrame:
     return p.filter(F.col("term").isin(norm))
 
 
+def index_has_inline_dl(index: Index) -> bool:
+    """True when the postings layout carries dl inside each posting
+    struct (build_index(inline_dl=True)) — scorers then need no
+    doc_stats join at all."""
+    elem = index.postings.schema["postings"].dataType.elementType
+    return any(f.name == "dl" for f in elem.fields)
+
+
+def exploded_with_dl(index: Index, qp: DataFrame, cols: list) -> DataFrame:
+    """(cols..., doc_id, tf, dl) — the shared scorer base: the pruned
+    postings rows exploded and each hit's doc length attached. With an
+    inline-dl layout dl reads straight off the posting struct, so the
+    scoring plan contains NO join (plan-gated — the DataFrame path's
+    answer to the corpus-sized doc_stats broadcast at warehouse
+    scale); otherwise the classic broadcast doc_stats join."""
+    ex = qp.select(*cols, F.explode("postings").alias("p"))
+    keep = [c for c in ex.columns if c != "p"]
+    if index_has_inline_dl(index):
+        return ex.select(*keep, F.col("p.doc_id").alias("doc_id"),
+                         F.col("p.tf").alias("tf"),
+                         F.col("p.dl").alias("dl"))
+    out = ex.select(*keep, F.col("p.doc_id").alias("doc_id"),
+                    F.col("p.tf").alias("tf"))
+    dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
+    return out.join(dl, "doc_id")
+
+
 def boolean_and(index: Index, terms: list[str]) -> DataFrame:
     """All docs containing every query term — (doc_id) sorted asc.
 
@@ -550,14 +577,10 @@ def bm25_scores(index: Index, norm: list[str]) -> DataFrame:
         1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
 
-    exploded = qp.select(
-        "term", idf_col.alias("idf"), F.explode("postings").alias("p")
-    ).select("term", "idf", F.col("p.doc_id").alias("doc_id"),
-             F.col("p.tf").alias("tf"))
-
-    dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
+    base = exploded_with_dl(index, qp,
+                            [F.col("term"), idf_col.alias("idf")])
     return (
-        exploded.join(dl, "doc_id")
+        base
         .withColumn(
             "term_score",
             F.col("idf")

@@ -67,6 +67,7 @@ from inverted_index_and_search_spark.operators.query import (
     _query_postings,
     bm25_scores,
     bm25_topk,
+    exploded_with_dl,
 )
 
 __all__ = [
@@ -116,14 +117,9 @@ def qld_topk(index: Index, terms: list[str], k: int = 10, *,
     # (<= |q|-row) relation, broadcast via cross join — no driver collect
     qn = qp.agg(F.countDistinct("term").alias("q_n"))
 
-    exploded = qp.select(
-        "term", "cf", F.explode("postings").alias("p")
-    ).select(
-        "cf", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
-
-    dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
+    base = exploded_with_dl(index, qp, [F.col("cf")])
     scored = (
-        exploded.join(dl, "doc_id")
+        base
         .withColumn(
             "term_ll",
             F.log(1.0 + F.col("tf") * F.lit(c_total)
@@ -155,14 +151,10 @@ def classic_tfidf_topk(index: Index, terms: list[str],
 
     qp = _query_postings(index, norm)
     idf = 1.0 + F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0))
-    exploded = qp.select(
-        "term", idf.alias("idf"), F.explode("postings").alias("p")
-    ).select("term", "idf",
-             F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
-
-    dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
+    base = exploded_with_dl(index, qp,
+                            [F.col("term"), idf.alias("idf")])
     scored = (
-        exploded.join(dl, "doc_id")
+        base
         .withColumn(
             "w",
             F.sqrt(F.col("tf")) * F.col("idf") * F.col("idf")
@@ -226,13 +218,10 @@ def weighted_bm25_scores(index: Index,
         1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     wmap = F.create_map(
         *[F.lit(x) for t in norm for x in (t, float(weights[t]))])
-    exploded = qp.select(
-        "term", idf_col.alias("idf"), F.explode("postings").alias("p")
-    ).select("term", "idf", F.col("p.doc_id").alias("doc_id"),
-             F.col("p.tf").alias("tf"))
-    dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
+    base = exploded_with_dl(index, qp,
+                            [F.col("term"), idf_col.alias("idf")])
     return (
-        exploded.join(dl, "doc_id")
+        base
         .withColumn(
             "term_score",
             wmap[F.col("term")]
@@ -303,20 +292,18 @@ def synonym_bm25_topk(index: Index, terms: list[str],
     # a tiny agg of the pruned term-level rows, broadcast back
     gdf = (qp.select(gmap[F.col("term")].alias("grp"), "df")
            .groupBy("grp").agg(F.max("df").alias("gdf")))
-    exploded = qp.select(
-        gmap[F.col("term")].alias("grp"),
-        F.explode("postings").alias("p")
-    ).select("grp", F.col("p.doc_id").alias("doc_id"),
-             F.col("p.tf").alias("tf"))
-    grouped = (exploded.groupBy("grp", "doc_id")
-               .agg(F.sum("tf").alias("gtf"))
+    base = exploded_with_dl(index, qp, [gmap[F.col("term")].alias("grp")])
+    # dl is constant per doc — max() just carries it through the
+    # (grp, doc) partial agg, whichever side it arrived from (inline
+    # posting struct or the broadcast join inside exploded_with_dl)
+    grouped = (base.groupBy("grp", "doc_id")
+               .agg(F.sum("tf").alias("gtf"), F.max("dl").alias("dl"))
                .join(F.broadcast(gdf), "grp"))
-    dl = F.broadcast(index.doc_stats.select("doc_id", "dl"))
     idf_col = F.log(
         1.0 + (F.lit(float(n_docs)) - F.col("gdf") + 0.5)
         / (F.col("gdf") + 0.5))
     scored = (
-        grouped.join(dl, "doc_id")
+        grouped
         .withColumn(
             "term_score",
             idf_col
