@@ -145,6 +145,139 @@ class Analyzer:
         return sql
 
 
+IDENTITY = Analyzer()
+
+
+#: tiny per-language function-word sets (the highest-frequency words of
+#: the classic public stopword lists) — the DEFAULT dispatch table for
+#: :class:`LangAnalyzer`; real corpora supply their own fuller lists
+DEFAULT_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "un"),
+    "es": ("el", "la", "los", "de", "y", "un"),
+    "zh": (),
+}
+
+
+@dataclass(frozen=True)
+class LangAnalyzer:
+    """Per-LANGUAGE analyzer dispatch: stopword sets keyed by the
+    corpus ``lang`` column, applied row-wise. The S-stemmer applies
+    only to ``stem_langs`` — it is an ENGLISH plural stemmer (Harman
+    1991) and is deliberately never applied to other languages. Rows
+    whose lang has no table entry get ``default`` (identity unless
+    overridden). Same 4-way parity obligations as :class:`Analyzer`:
+    JVM CASE dispatch over the per-lang filter chains, python row
+    dispatch (oracle + Arrow batches), DuckDB CASE twin — byte parity
+    asserted in tests/test_analysis.py."""
+
+    analyzers: tuple[tuple[str, Analyzer], ...]
+    default: Analyzer = IDENTITY
+
+    @classmethod
+    def make(cls, stopwords_by_lang: dict | None = None,
+             stem_langs=("en",),
+             default: "Analyzer" = None) -> "LangAnalyzer":
+        table = (DEFAULT_LANG_STOPWORDS if stopwords_by_lang is None
+                 else stopwords_by_lang)
+        stems = frozenset(stem_langs)
+        pairs = tuple(sorted(
+            (lang, Analyzer.make(words, stem=lang in stems))
+            for lang, words in table.items()))
+        return cls(pairs, default if default is not None else IDENTITY)
+
+    def analyzer_for(self, lang: str | None) -> Analyzer:
+        for lg, an in self.analyzers:
+            if lg == lang:
+                return an
+        return self.default
+
+    # ---- python (oracle + Arrow batch)
+
+    def analyze_py(self, tokens: list[str], lang: str | None) -> list[str]:
+        return self.analyzer_for(lang).analyze_py(tokens)
+
+    # ---- JVM expression (token-array column + lang column)
+
+    def analyze_tokens_col(self, tok: Column, lang_col: Column) -> Column:
+        """CASE over the tiny closed lang set, each branch the lang's
+        own filter/stem chain — still pure Catalyst, codegen'd, zero
+        exchanges added."""
+        out = (tok if self.default.is_identity
+               else self.default.analyze_tokens_col(tok))
+        for lg, an in self.analyzers:
+            out = F.when(lang_col == F.lit(lg),
+                         an.analyze_tokens_col(tok)).otherwise(out)
+        return out
+
+    # ---- DuckDB SQL (oracle)
+
+    def tokens_sql_duckdb(self, text_expr: str, lang_expr: str) -> str:
+        base = self.default.tokens_sql_duckdb(text_expr)
+        whens = "".join(
+            f"\n  WHEN {lang_expr} = '{lg}' "
+            f"THEN {an.tokens_sql_duckdb(text_expr)}"
+            for lg, an in self.analyzers)
+        return f"CASE{whens}\n  ELSE {base} END"
+
+
+def lang_tf(docs, la: LangAnalyzer, *, content_col: str = "content",
+            id_col: str = "doc_id", lang_col: str = "lang",
+            tokenizer: str = "standard"):
+    """(term, doc_id, tf) with per-row language analysis — the JVM
+    build path (tokenize -> CASE-dispatched filter chain -> explode ->
+    two-level hash agg; no UDF, no extra exchange vs the plain
+    build)."""
+    from inverted_index_and_search_spark.tokenizer import tokenizer_col
+
+    tok = la.analyze_tokens_col(
+        tokenizer_col(tokenizer)(F.col(content_col)), F.col(lang_col))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(tok).alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf")))
+
+
+def lang_tf_arrow(docs, la: LangAnalyzer, *, content_col: str = "content",
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  tokenizer: str = "standard"):
+    """(term, doc_id, tf) — the Arrow in-mapper-combining twin of
+    :func:`lang_tf` (per-row lang dispatch inside the batch loop);
+    cross-tested byte-equal to the JVM path."""
+    import pandas as pd
+
+    from inverted_index_and_search_spark.tokenizer import (
+        _PY_TOKEN, code_tokenize_py)
+
+    code = tokenizer == "code"
+
+    def count_tf(batches):
+        from collections import Counter
+        for pdf in batches:
+            if code:
+                toks = [code_tokenize_py(s) if s is not None else []
+                        for s in pdf[content_col]]
+            else:
+                toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
+            ids, terms, tfs = [], [], []
+            for doc_id, lang, words in zip(pdf[id_col], pdf[lang_col],
+                                           toks):
+                c = Counter(la.analyze_py(list(words), lang))
+                ids.extend([doc_id] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+            yield pd.DataFrame({
+                "term": pd.Series(terms, dtype="object"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "tf": pd.Series(tfs, dtype="int32"),
+            })
+
+    return docs.select(F.col(id_col).alias(id_col), content_col,
+                       lang_col).mapInPandas(
+        count_tf, schema="term string, doc_id long, tf int")
+
+
 def _stem_lambda(t: Column) -> Column:
     """Element-level S-stem for F.transform (expression-only)."""
     return (
@@ -158,6 +291,3 @@ def _stem_lambda(t: Column) -> Column:
         .when(t.endswith("s"), t.substr(F.lit(1), F.length(t) - 1))
         .otherwise(t)
     )
-
-
-IDENTITY = Analyzer()
