@@ -18,9 +18,9 @@ SF_DIR = "/root/testdata/sf0.001"
 PIPELINE_QUERIES = [
     "text_metrics",
     "dedup_exact", "dedup_jaccard_pairs",
-    "simhash_fingerprint", "dedup_simhash_pairs", "dedup_embedding_cosine",
+    "simhash_dedup", "dedup_embedding_cosine",
     "ann_topk", "ann_lsh_neardup",
-    "multimodal_features", "multimodal_frames",
+    "multimodal_features", "multimodal_frames", "symbol_defs",
     "event_windowed_counts", "event_sessions", "event_props_json",
     "input_budget",
     "tpch_pricing_summary", "tpch_shipping_priority", "tpch_region_revenue",
@@ -129,11 +129,51 @@ def test_multimodal_frame_math(spark):
         assert sum(r["frame_len"] for r in got) <= d["n_bytes"]
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_image_stubbed_audio_real():
+    # image decode stays an honest stub (PIL absent in the sandbox)
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"\x89PNG", "image/png")
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(b"RIFF", "audio/wav")
+    # audio decode is REAL (stdlib wave): roundtrip through decode_media
+    import numpy as np
+
+    smp = mm.wav_samples(5)
+    got = mm.decode_media(mm.encode_wav(smp), "audio/wav")
+    assert np.array_equal(got, smp)
+
+
+def test_wav_codec_roundtrip_and_features():
+    """encode_wav produces a REAL RIFF/WAVE container (header fields
+    parse back) and audio_features' math matches direct numpy over the
+    decoded samples."""
+    import numpy as np
+
+    for doc_id in (0, 3, 6, 13):
+        smp = mm.wav_samples(doc_id)
+        payload = mm.encode_wav(smp, mm.WAV_SR)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        sr, back = mm.decode_wav(payload)
+        assert sr == mm.WAV_SR
+        assert np.array_equal(back, smp)
+        s = smp.astype(np.float64)
+        assert round(float(np.sqrt(np.mean(s * s))), 6) > 0
+        assert int(np.abs(smp.astype(np.int64)).max()) <= 32768
+
+
+def test_audio_features_match_numpy(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    rows = {r["doc_id"]: r for r in
+            mm.audio_features(mm.synth_wav_table(docs)).collect()}
+    for i in range(8):
+        smp = mm.wav_samples(i)
+        s = smp.astype(np.float64)
+        r = rows[i]
+        assert r["sample_rate"] == mm.WAV_SR
+        assert r["n_samples"] == smp.size
+        assert r["duration_s"] == round(smp.size / mm.WAV_SR, 6)
+        assert r["peak"] == int(np.abs(smp.astype(np.int64)).max())
+        assert abs(r["rms"] - float(np.sqrt(np.mean(s * s)))) < 1e-6
 
 
 def test_ivf_kmeans_centroids(spark):
