@@ -368,6 +368,10 @@ def main() -> None:
             t0 = time.perf_counter()
             grep.regex_search(tri, docs, pat, content_col="text").count()
             lat_rx.append(time.perf_counter() - t0)
+        # headline since r5 (judge directive #7): the grep family gets
+        # first-class round-over-round tracking; the *_sec extra stays
+        # for continuity with r4 artifacts
+        queries["grep_substr_p50"] = statistics.median(lat_sub)
         extra["grep_substr_p50_sec"] = round(statistics.median(lat_sub), 3)
         extra["grep_regex_p50_sec"] = round(statistics.median(lat_rx), 3)
 
@@ -404,7 +408,43 @@ def main() -> None:
             t0 = time.perf_counter()
             sy.symbol_lookup(sback, snb, name).count()
             lat_sym.append(time.perf_counter() - t0)
+        # headline since r5 (judge directive #7), extra kept for r4 continuity
+        queries["symbol_lookup_p50"] = statistics.median(lat_sym)
         extra["symbol_lookup_p50_sec"] = round(statistics.median(lat_sym), 3)
+
+        # --- r5 surfaces: forward (doc->terms) layout and inline-dl
+        # postings (extras only — build cost + the query-stage win each
+        # layout exists for)
+        import dataclasses
+
+        idx_fw = ib.build_index(docs, content_col="text", id_col="doc_id")
+        t0 = time.perf_counter()
+        ib.write_forward_index(idx_fw, f"{tmp}/idx_docs")
+        extra["forward_build_sec"] = round(time.perf_counter() - t0, 3)
+        pidx_fw = ib.read_index(spark, f"{tmp}/idx_docs")
+        pidx_scan = dataclasses.replace(pidx_fw, forward=None)
+        for tag, ix in (("forward", pidx_fw), ("scan", pidx_scan)):
+            lat_mlt = []
+            for d in (1, 7, 23):
+                t0 = time.perf_counter()
+                q.more_like_this(ix, d, k_terms=10, k=10).collect()
+                lat_mlt.append(time.perf_counter() - t0)
+            extra[f"mlt_{tag}_p50_sec"] = round(
+                statistics.median(lat_mlt), 3)
+
+        t0 = time.perf_counter()
+        dlx = ib.build_index(docs, content_col="text", id_col="doc_id",
+                             inline_dl=True)
+        ib.write_index(dlx, f"{tmp}/idx_docs_dl")
+        extra["index_build_dl_sec"] = round(time.perf_counter() - t0, 3)
+        pdl = ib.read_index(spark, f"{tmp}/idx_docs_dl")
+        lat_dl = []
+        for terms in BM25_QUERIES:
+            t0 = time.perf_counter()
+            q.bm25_topk(pdl, terms, k=10).collect()
+            lat_dl.append(time.perf_counter() - t0)
+        extra["bm25_inline_dl_p50_sec"] = round(
+            statistics.median(lat_dl), 3)
 
         # code-tokenizer build cost vs the standard build (same corpus,
         # same Arrow IMC pipeline — isolates identifier splitting)
