@@ -1085,7 +1085,15 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rms").alias("m2"),
         F.col("peak").cast("double").alias("m3"),
         F.col("duration_s").alias("m4"))
-    return b.unionByName(w)
+    # part=ppm: REAL P6 image decode (stdlib parse — r5 extends the
+    # wav pattern to images): m1=width, m2=height, m3=mean_r, m4=mean_b
+    p = mm.image_features(mm.synth_ppm_table(docs)).select(
+        F.lit("ppm").alias("part"), "doc_id",
+        F.col("width").cast("double").alias("m1"),
+        F.col("height").cast("double").alias("m2"),
+        F.col("mean_r").alias("m3"),
+        F.col("mean_b").alias("m4"))
+    return b.unionByName(w).unionByName(p)
 
 
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1954,6 +1962,9 @@ FROM ({mm.features_sql().strip()})
 UNION ALL
 SELECT 'wav', doc_id, n_samples * 1.0, rms, peak * 1.0, duration_s
 FROM ({mm.audio_features_sql().strip()})
+UNION ALL
+SELECT 'ppm', doc_id, width * 1.0, height * 1.0, mean_r, mean_b
+FROM ({mm.image_features_sql().strip()})
 """,
         "multimodal_frames": mm.frames_sql(),
         "term_tf": _part_sql([

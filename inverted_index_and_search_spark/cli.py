@@ -93,6 +93,16 @@ def _build(args: argparse.Namespace) -> None:
                         if ln.strip() and not ln.startswith("#")]
         analyzer = Analyzer.make(stop, args.stem)
 
+    if (args.forward or args.inline_dl) and (
+            args.format != "parquet" or args.field
+            or (args.inline_dl and args.positional)):
+        print("error: --forward/--inline-dl need the parquet format "
+              "(non-fielded; --inline-dl also excludes --positional)",
+              file=sys.stderr)
+        if created:
+            spark.stop()
+        raise SystemExit(2)
+
     t0 = time.perf_counter()
     if args.field:
         from inverted_index_and_search_spark.operators.fielded import (
@@ -204,9 +214,10 @@ def _build(args: argparse.Namespace) -> None:
                              id_col=args.id_col, salt_hot_terms=True,
                              n_buckets=args.num_output_partitions,
                              analyzer=analyzer,
-                             tokenizer=args.tokenizer)
+                             tokenizer=args.tokenizer,
+                             inline_dl=args.inline_dl)
     if args.format == "parquet":
-        ib.write_index(idx, args.output)
+        ib.write_index(idx, args.output, forward=args.forward)
     elif args.format == "text":
         # line sinks honor --num-output-partitions as the output FILE
         # count (reference coalesce/repartition of the rendered lines,
@@ -608,13 +619,14 @@ def _search_segments(spark, created: bool, args: argparse.Namespace) -> None:
 
     server = seg.QueryServer(seg.read_segment_index(spark, args.index),
                              meta=_load_meta(spark, args))
-    if args.prf or args.related or args.synonyms:
-        # PRF expansion and PMI association both need a doc->terms
-        # profile scan, which the segment layout serves only via Spark
-        # (more_like_this path) — the warm server has no forward index;
-        # synonym-group scoring over segments is DataFrame-path work
-        # for now. DataFrame formats only.
-        print("error: --prf/--related/--synonyms need a DataFrame "
+    if args.prf or args.related or args.synonyms or args.mlt is not None:
+        # PRF expansion, PMI association and more-like-this all need a
+        # doc->terms profile scan, which the segment layout serves only
+        # via Spark — the warm server has no forward layout; synonym-
+        # group scoring over segments is DataFrame-path work for now.
+        # DataFrame formats only (parquet builds with --forward make
+        # the profile a point lookup).
+        print("error: --prf/--related/--synonyms/--mlt need a DataFrame "
               "index format (parquet/text/json/ref-parquet)",
               file=sys.stderr)
         if created:
@@ -769,6 +781,16 @@ def _search(args: argparse.Namespace) -> None:
             raise SystemExit(2)
     meta = _load_meta(spark, args)
     snip = _snip_ctx(spark, created, args)
+    if args.mlt is not None:
+        rows = q.more_like_this(index, args.mlt, k_terms=10,
+                                k=args.topk).collect()
+        if not rows:
+            print("No matches found.")
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['score']:.6f}")
+        if created:
+            spark.stop()
+        return
     if args.query is not None:
         ok = _run_query(index, args.query, args.bm25, args.topk,
                         phrase=args.phrase, expr=args.expr,
@@ -1038,6 +1060,17 @@ def main(argv: list[str] | None = None) -> None:
                    help="store per-(term,doc) token positions — enables "
                         "`search --phrase`; all other queries work "
                         "unchanged on the positional layout")
+    b.add_argument("--forward", action="store_true",
+                   help="also persist the doc-bucketed FORWARD layout "
+                        "(doc -> terms access path): more-like-this / "
+                        "related-terms / PRF profile stages become "
+                        "partition-pruned point lookups (parquet "
+                        "format, non-fielded builds)")
+    b.add_argument("--inline-dl", action="store_true",
+                   help="carry each doc's length inside its posting "
+                        "structs so BM25/QLD/TF-IDF scoring needs no "
+                        "doc_stats broadcast (parquet format, "
+                        "non-positional, non-fielded builds)")
     b.add_argument("--field", action="append", default=None,
                    metavar="COL:WEIGHT",
                    help="BM25F fielded build (repeatable): index the "
@@ -1078,6 +1111,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="print the first query token's top related "
                         "terms by document-level PMI instead of "
                         "searching")
+    s.add_argument("--mlt", type=int, default=None, metavar="DOC_ID",
+                   help="more-like-this: rank documents similar to "
+                        "DOC_ID (no query text needed; the profile "
+                        "stage uses the forward layout when the index "
+                        "carries one — build --forward)")
     s.add_argument("--rank", choices=["bm25", "qld", "tfidf"],
                    default=None,
                    help="ranking model for ranked search: BM25 "

@@ -714,7 +714,8 @@ class GrepServer:
     def __init__(self, tidx: TrigramIndex, docs: DataFrame, *,
                  content_col: str = "content", id_col: str = "doc_id",
                  max_grams_cached: int = 100_000,
-                 max_docs_cached: int = 50_000):
+                 max_docs_cached: int = 50_000,
+                 max_gram_df_warm: int | None = None):
         import numpy as np  # noqa: F401 — used throughout
 
         self.tidx = tidx
@@ -723,6 +724,16 @@ class GrepServer:
         self.id_col = id_col
         self.max_grams_cached = max_grams_cached
         self.max_docs_cached = max_docs_cached
+        #: a gram with df above this never enters the warm cache: a
+        #: SHORT all-stop-gram needle (<= max_grams grams, so rarest-
+        #: gram selection never triggers) would otherwise pull
+        #: corpus-sized id arrays driver-side — when even the RAREST
+        #: required gram exceeds the cap, the whole query routes to the
+        #: distributed path (candidates would exceed the content cap
+        #: anyway, so nothing warm is lost)
+        self.max_gram_df_warm = (10 * max_docs_cached
+                                 if max_gram_df_warm is None
+                                 else max_gram_df_warm)
         self._grams: dict[str, object | None] = {}   # gram -> np ids
         self._df: dict[str, int] = {}                # gram -> df
         self._content: dict[int, str] = {}           # doc_id -> content
@@ -795,33 +806,38 @@ class GrepServer:
 
     def _candidates(self, req: list[str],
                     max_grams: int = DEFAULT_MAX_GRAMS):
+        """Warm candidate ids for a required-gram set; np.empty when an
+        absent gram refutes the query; None when even the RAREST gram's
+        df exceeds max_gram_df_warm — the caller must route the whole
+        query to the distributed path (fetching that array would put a
+        corpus-scale id list on the driver for no selectivity).
+
+        Rarest-gram selection happens BEFORE any posting fetch (the
+        same discipline as the distributed _rarest_grams); the df probe
+        reads only the tiny stats side table (pruned scan), reusing dfs
+        already learned from cached grams."""
         import numpy as np
 
-        # rarest-gram selection happens BEFORE any posting fetch (the
-        # same discipline as the distributed _rarest_grams): a long
-        # needle's stop-grams would otherwise pull their huge doc-id
-        # arrays into the cache for no candidate reduction. The df
-        # probe reads only the tiny stats side table (pruned IN scan),
-        # reusing dfs already learned from cached grams.
-        if len(req) > max_grams:
-            unknown = [g for g in req
-                       if g not in self._df and g not in self._grams]
-            if unknown:
-                found = {r["gram"]: int(r["df"]) for r in
-                         self.tidx.stats.where(
-                             F.col("gram").isin(unknown)).collect()}
-                for g in unknown:
-                    self._df[g] = found.get(g, 0)
-            if any(self._df.get(g, 0) == 0 and g not in self._grams
-                   for g in req):
-                return np.empty(0, dtype=np.int64)  # absent gram
-            req = sorted(req, key=lambda g: (self._df[g], g))[:max_grams]
-        self._ensure_grams(req)
-        if any(self._grams.get(g) is None for g in req):
+        unknown = [g for g in req
+                   if g not in self._df and g not in self._grams]
+        if unknown:
+            found = {r["gram"]: int(r["df"]) for r in
+                     _semi_join_values(self.tidx.stats, "gram",
+                                       unknown, "string").collect()}
+            for g in unknown:
+                self._df[g] = found.get(g, 0)
+        if any(self._df.get(g, 0) == 0 and self._grams.get(g) is None
+               for g in req):
             return np.empty(0, dtype=np.int64)   # absent gram -> no match
         ordered = sorted(req, key=lambda g: (self._df[g], g))
-        cand = self._grams[ordered[0]]
-        for g in ordered[1:]:
+        req = ordered[:max_grams]
+        if self._df[req[0]] > self.max_gram_df_warm:
+            return None                          # even the rarest is hot
+        self._ensure_grams(req)
+        if any(self._grams.get(g) is None for g in req):
+            return np.empty(0, dtype=np.int64)
+        cand = self._grams[req[0]]
+        for g in req[1:]:
             if cand.size == 0:
                 break
             cand = np.intersect1d(cand, self._grams[g],
@@ -887,6 +903,16 @@ class GrepServer:
         req = grams_py(needle.lower() if self.tidx.case_insensitive
                        else needle)
         cand = self._candidates(req, max_grams)
+        if cand is None:
+            # all required grams hotter than the warm cap: fully
+            # distributed query, nothing enters either cache
+            out = substring_search(self.tidx, self.docs, needle,
+                                   content_col=self.content_col,
+                                   id_col=self.id_col,
+                                   count_occurrences=count_occurrences,
+                                   fold_case=fold_case).collect()
+            return sorted((r["doc_id"], r["n_hits"]) for r in out) \
+                if count_occurrences else sorted(r["doc_id"] for r in out)
         if cand.size == 0:
             return []
         if cand.size > self.max_docs_cached:
@@ -925,6 +951,11 @@ class GrepServer:
                                id_col=self.id_col).collect()
             return sorted(r["doc_id"] for r in out)
         cand = self._candidates(req, max_grams)
+        if cand is None:
+            out = regex_search(self.tidx, self.docs, pattern,
+                               content_col=self.content_col,
+                               id_col=self.id_col).collect()
+            return sorted(r["doc_id"] for r in out)
         if cand.size == 0:
             return []
         if cand.size > self.max_docs_cached:

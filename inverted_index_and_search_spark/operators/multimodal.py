@@ -52,13 +52,16 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """
     if media_type in ("audio/wav", "audio/x-wav"):
         return decode_wav(payload)[1]
+    if media_type in ("image/x-portable-pixmap", "image/ppm"):
+        return decode_ppm(payload)
     if media_type.startswith("image/"):
         try:
             from PIL import Image  # noqa: F401  (absent in sandbox)
         except ImportError as e:
             raise NotImplementedError(
-                "image decode requires PIL — sandbox stub; use "
-                "extract_features' byte-level path instead"
+                "image decode requires PIL — sandbox stub (PPM and WAV "
+                "decode ARE real; use extract_features' byte-level "
+                "path for other formats)"
             ) from e
     raise NotImplementedError(f"no decoder for {media_type!r}")
 
@@ -246,6 +249,110 @@ def sample_frames(media: DataFrame, *, frame_bytes: int = FRAME_BYTES,
     return media.select("doc_id", "media").mapInPandas(frames, _FRAME_SCHEMA)
 
 
+# ------------------------------------------------------ image (REAL path)
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary P6 PPM bytes for an (H, W, 3) uint8 array — a REAL image
+    container (netpbm, the simplest public raster format)."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("P6 is RGB: expected (H, W, 3)")
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 array parsed from binary P6 PPM bytes —
+    header tokens (magic, width, height, maxval) split on whitespace
+    with `#` comment lines honored; knows nothing about the
+    synthesis."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raw RGB
+    w, h, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    return np.frombuffer(payload, dtype=np.uint8,
+                         count=h * w * 3, offset=i).reshape(h, w, 3)
+
+
+def ppm_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic (H, W, 3) uint8 fixture: W = 8 + (id%5)*4,
+    H = 6 + (id%3)*4, px[y,x,c] = (id*7 + y*31 + x*13 + c*97) % 256 —
+    integer algebra the DuckDB oracle replays exactly."""
+    d = int(doc_id)
+    w = 8 + (d % 5) * 4
+    h = 6 + (d % 3) * 4
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((d * 7 + y * 31 + x * 13 + c * 97) % 256).astype(np.uint8)
+
+
+def synth_ppm_table(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, media: binary, media_type) — REAL P6 PPM payloads for
+    the deterministic fixture pixels, encoded inside Arrow batches."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "media": [encode_ppm(ppm_pixels(int(d)))
+                          for d in pdf[id_col]],
+                "media_type": "image/x-portable-pixmap",
+            })
+
+    return docs.select(id_col).mapInPandas(
+        gen, "doc_id long, media binary, media_type string")
+
+
+_IMAGE_SCHEMA = ("doc_id long, width int, height int, "
+                 "mean_r double, mean_g double, mean_b double")
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """(doc_id, width, height, mean_r, mean_g, mean_b) — pixel-level
+    features through the REAL PPM decoder: dimensions from the parsed
+    header, per-channel means over decoded pixels, rounded 6 (exact in
+    float64 — channel sums stay far below 2^53)."""
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs = [], [], []
+            means: list[list[float]] = [[], [], []]
+            for d, b in zip(pdf["doc_id"], pdf["media"]):
+                px = decode_ppm(bytes(b))
+                ids.append(int(d))
+                hs.append(int(px.shape[0]))
+                ws.append(int(px.shape[1]))
+                for ch in range(3):
+                    means[ch].append(
+                        round(float(px[:, :, ch].astype(np.float64).mean()),
+                              6))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "mean_r": pd.Series(means[0], dtype="float64"),
+                "mean_g": pd.Series(means[1], dtype="float64"),
+                "mean_b": pd.Series(means[2], dtype="float64"),
+            })
+
+    return media.select("doc_id", "media").mapInPandas(feat, _IMAGE_SCHEMA)
+
+
 # ------------------------------------------------------------ oracle SQL
 
 def features_sql(table: str = "documents") -> str:
@@ -290,6 +397,26 @@ SELECT doc_id::BIGINT AS doc_id, sr::INT AS sample_rate,
        round(sqrt(list_aggregate(list_transform(smp, x -> 1.0 * x * x),
                                  'avg')), 6) AS rms
 FROM s
+"""
+
+
+def image_features_sql(table: str = "documents") -> str:
+    """DuckDB replica of :func:`image_features` over the synthetic PPM
+    fixture (the engine decodes REAL P6 bytes; the oracle replays the
+    pixel algebra it knows was encoded)."""
+    def mean_c(c: int) -> str:
+        return (f"round(list_avg(flatten(list_transform(range(0, h), y -> "
+                f"list_transform(range(0, w), x -> "
+                f"(doc_id * 7 + y * 31 + x * 13 + {c} * 97) % 256)))), 6)")
+
+    return f"""
+WITH g AS (
+  SELECT doc_id, (8 + (doc_id % 5) * 4) AS w, (6 + (doc_id % 3) * 4) AS h
+  FROM {table}
+)
+SELECT doc_id::BIGINT AS doc_id, w::INT AS width, h::INT AS height,
+       {mean_c(0)} AS mean_r, {mean_c(1)} AS mean_g, {mean_c(2)} AS mean_b
+FROM g
 """
 
 

@@ -954,3 +954,42 @@ def test_cli_synonyms_and_related(spark, tmp_path, capsys):
     want = q.related_terms(idx, "merge", k=5).collect()
     assert [(ln.split("\t")[0], int(ln.split("\t")[1])) for ln in got] == \
         [(r["term"], r["co_df"]) for r in want]
+
+
+def test_cli_forward_inline_dl_and_mlt(spark, tmp_path, capsys):
+    """build --forward --inline-dl persists both r5 layouts; search
+    --mlt ranks similar docs through the forward point lookup and
+    matches the scan-path ranking exactly."""
+    import dataclasses
+    import os
+
+    from inverted_index_and_search_spark.operators import index_build as ib
+    from inverted_index_and_search_spark.operators import query as q
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "fwd_dl_idx")
+    cli.main(["build", "--input", docs, "--content-col", "text",
+              "--output", idx_dir, "--forward", "--inline-dl"])
+    assert os.path.exists(f"{idx_dir}/forward")
+    back = ib.read_index(spark, idx_dir)
+    assert back.forward is not None and q.index_has_inline_dl(back)
+
+    cli.main(["search", "--index", idx_dir, "--mlt", "7", "--topk", "5"])
+    out = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
+    assert 0 < len(out) <= 5
+    want = [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in
+            q.more_like_this(dataclasses.replace(back, forward=None), 7,
+                             k_terms=10, k=5).collect()]
+    got = [(int(ln.split("\t")[0]), round(float(ln.split("\t")[1]), 6))
+           for ln in out]
+    assert got == want
+
+
+def test_cli_forward_flags_rejected_on_wire_formats(spark, tmp_path, capsys):
+    import pytest as _pytest
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    with _pytest.raises(SystemExit):
+        cli.main(["build", "--input", docs, "--content-col", "text",
+                  "--output", str(tmp_path / "x"), "--format", "text",
+                  "--forward"])

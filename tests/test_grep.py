@@ -524,3 +524,25 @@ def test_grep_server_java_only_regex_no_crash(spark, ci_docs):
     cs = grep.build_trigram_index(ci_docs)
     server = grep.GrepServer(cs, ci_docs)
     assert server.regex(r"GetFile\p{Lu}ame") == [0]
+
+
+def test_grep_server_hot_gram_routes_distributed(spark, docs_df,
+                                                 corpus_pdf, tidx):
+    """A short needle whose EVERY gram is hot (df > max_gram_df_warm —
+    so rarest-gram selection cannot help) must route the whole query to
+    the distributed path: no gram array ever enters the warm cache,
+    results stay exact (closes the residual r4-class driver-residency
+    hole for short stop-gram needles)."""
+    needle = "return"
+    dfs = {r["gram"]: r["df"] for r in tidx.stats.where(
+        grep.F.col("gram").isin(grep.grams_py(needle))).collect()}
+    assert min(dfs.values()) > 3     # precondition: all grams hot
+    server = grep.GrepServer(tidx, docs_df, max_gram_df_warm=3)
+    assert server.substring(needle) == brute_substr(corpus_pdf, needle)
+    assert not server._grams         # nothing was fetched warm
+    got_n = dict(server.substring(needle, count_occurrences=True))
+    want = {int(r.doc_id): r.content.count(needle)
+            for r in corpus_pdf.itertuples() if needle in r.content}
+    assert got_n == want
+    assert server.regex(r"return") == brute_regex(corpus_pdf, r"return")
+    assert not server._grams and not server._content

@@ -231,3 +231,31 @@ def test_queries_cap_and_flagship_first():
     # every oracle key refers to a registered query
     extra = set(entrymod.oracle_sql()) - set(q)
     assert not extra, extra
+
+
+def test_ppm_codec_roundtrip_and_features(spark):
+    """encode_ppm produces a real P6 container (header parses back,
+    comments tolerated) and image_features' math matches numpy over
+    the decoded pixels; decode_media routes PPM to the real path."""
+    import numpy as np
+
+    for doc_id in (0, 4, 11):
+        px = mm.ppm_pixels(doc_id)
+        payload = mm.encode_ppm(px)
+        assert payload[:2] == b"P6"
+        assert np.array_equal(mm.decode_ppm(payload), px)
+        assert np.array_equal(
+            mm.decode_media(payload, "image/x-portable-pixmap"), px)
+    # header comments are honored
+    commented = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert mm.decode_ppm(commented).shape == (1, 2, 3)
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    rows = {r["doc_id"]: r for r in
+            mm.image_features(mm.synth_ppm_table(docs)).collect()}
+    for i in range(6):
+        px = mm.ppm_pixels(i).astype(np.float64)
+        r = rows[i]
+        assert (r["height"], r["width"]) == px.shape[:2]
+        for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(r[col] - px[:, :, ch].mean()) < 1e-6
