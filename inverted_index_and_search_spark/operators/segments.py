@@ -780,15 +780,55 @@ class QueryServer:
     """
 
     def __init__(self, idx: SegmentIndex, *, max_terms: int = 100_000,
-                 meta: DataFrame | None = None):
+                 meta: DataFrame | None = None,
+                 max_term_df_warm: int | None = None):
         self.idx = idx
         self.max_terms = max_terms
         self.meta = meta
+        #: optional per-TERM residency bound (r5, the grep-server
+        #: discipline applied to terms): an UNCACHED term whose df
+        #: exceeds this routes the bm25_topk query through the
+        #: distributed batch kernel instead of decoding a corpus-scale
+        #: postings array driver-side. None (default) keeps the classic
+        #: warm behavior — residency is then O(max_terms) ARRAYS whose
+        #: individual size is corpus-bound for stop-word-class terms,
+        #: the documented trade-off of an interactive server.
+        self.max_term_df_warm = max_term_df_warm
         self._cache: dict[str, bm25.TermPostings | None] = {}
+        #: term -> df learned from the narrow stats probe (hot routing)
+        self._df_probe: dict[str, int] = {}
         #: (kind, ...) -> matched dictionary terms for prefix/fuzzy
         self._dict_cache: dict[tuple, list[str]] = {}
         #: (field, value, prefix) -> sorted doc_id array of the filter
         self._field_cache: dict[tuple, np.ndarray] = {}
+
+    def _route_distributed(self, norm: list[str]) -> bool:
+        """True when some UNCACHED query term's df exceeds
+        max_term_df_warm — the df probe reads only the narrow
+        (term, df) columns of the bucket-pruned segment rows, never a
+        payload."""
+        if self.max_term_df_warm is None:
+            return False
+        unknown = [t for t in norm
+                   if t not in self._cache and t not in self._df_probe]
+        if unknown:
+            from inverted_index_and_search_spark.kernels.xxhash import (
+                term_bucket,
+            )
+
+            buckets = sorted({term_bucket(t, self.idx.n_buckets)
+                              for t in unknown})
+            rows = (self.idx.segments
+                    .where(F.col("term_bucket").isin(buckets)
+                           & F.col("term").isin(unknown))
+                    .groupBy("term").agg(F.max("df").alias("df"))
+                    .collect())
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in unknown:
+                self._df_probe[t] = found.get(t, 0)
+        return any(t not in self._cache
+                   and self._df_probe.get(t, 0) > self.max_term_df_warm
+                   for t in norm)
 
     def _ensure(self, norm: list[str]) -> None:
         missing = [t for t in norm if t not in self._cache]
@@ -822,6 +862,14 @@ class QueryServer:
         norm = sorted({t.lower() for t in terms})
         if not norm:
             return []
+        if self._route_distributed(norm):
+            # a stop-word-class term would decode a corpus-scale array
+            # into the cache: run this query through the distributed
+            # batch kernel instead (executor-side WAND), cache nothing
+            rows = batch_topk(self.idx, [(0, norm)], k=k,
+                              conjunctive=conjunctive).collect()
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in sorted(rows, key=lambda r: r["rank"])]
         self._ensure(norm)
         cursors = [c for t in norm if (c := self._cache.get(t)) is not None]
         if not cursors or (conjunctive and len(cursors) < len(norm)):

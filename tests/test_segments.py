@@ -408,3 +408,21 @@ def _pidx_for(seg_index, docs_df):
         _PIDX_CACHE[key] = pos.build_positional_index(
             docs_df, use_pandas_udf=False)
     return _PIDX_CACHE[key]
+
+
+def test_query_server_hot_term_routes_distributed(seg_index):
+    """r5: an uncached term whose df exceeds max_term_df_warm routes
+    bm25_topk through the distributed batch kernel — rank/score parity
+    with the warm path, nothing enters the cursor cache (the grep-
+    server residency discipline applied to stop-word-class terms)."""
+    want = seg.QueryServer(seg_index).bm25_topk(["def", "return"], k=10)
+    bounded = seg.QueryServer(seg_index, max_term_df_warm=2)
+    got = bounded.bm25_topk(["def", "return"], k=10)
+    assert [(d, round(s, 6)) for d, s in got] == \
+           [(d, round(s, 6)) for d, s in want] and got
+    assert not bounded._cache          # nothing decoded driver-side
+    # a COLD rare query still uses the warm path
+    got_rare = bounded.bm25_topk(["var_3_0"], k=10)
+    want_rare = seg.QueryServer(seg_index).bm25_topk(["var_3_0"], k=10)
+    assert [(d, round(s, 6)) for d, s in got_rare] == \
+           [(d, round(s, 6)) for d, s in want_rare]

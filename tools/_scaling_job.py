@@ -47,6 +47,12 @@ def main() -> None:
         conf={
             "spark.sql.shuffle.partitions": str(2 * cpus),
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # the 800k-file level holds several persisted tf relations
+            # across its build sweep; identical at both levels, so the
+            # larger heap changes no ratio — it only keeps the level
+            # from dying in GC on the shared box (r5: the 16g default
+            # OOMed where r4's quieter host squeaked through)
+            "spark.driver.memory": "48g",
         },
     )
     docs = spark.read.parquet(corpus)

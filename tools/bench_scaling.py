@@ -84,7 +84,7 @@ def run_level(cpus: int, corpus: str, tmp: str) -> dict:
             [sys.executable, f"{REPO}/tools/_scaling_job.py"],
             env=env, capture_output=True, text=True, timeout=3600)
         if proc.returncode != 0:
-            raise RuntimeError(f"level {cpus} run {r} failed:\n{proc.stderr[-3000:]}")
+            raise RuntimeError(f"level {cpus} run {r} failed:\n{proc.stderr[-8000:]}")
         res = json.loads(proc.stdout.strip().splitlines()[-1])
         print(f"  local[{cpus}] run {r}: {res['build_s']}s "
               f"({res['files_per_sec']} files/s)", flush=True)
