@@ -906,7 +906,12 @@ class QueryServer:
     def phrase_topk(self, phrase: list[str],
                     k: int = 10) -> list[tuple[int, float]]:
         """Warm exact-phrase BM25 top-k (positional segments): repeat
-        queries touch only the per-term decoded-segment cache."""
+        queries touch only the per-term decoded-segment cache. Under
+        max_term_df_warm a phrase containing an uncached
+        stop-word-class term (the common case for phrases!) routes
+        through the distributed batch phrase kernel instead — the
+        positions of a hot term are the LARGEST arrays the server can
+        be asked to decode."""
         _require_positional(self.idx)
         from inverted_index_and_search_spark.operators.positional import (
             norm_phrase,
@@ -916,6 +921,10 @@ class QueryServer:
         if not norm:
             return []
         uniq = sorted(set(norm))
+        if self._route_distributed(uniq):
+            rows = batch_phrase_topk(self.idx, [(0, norm)], k=k).collect()
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in sorted(rows, key=lambda r: r["rank"])]
         self._ensure(uniq)
         fetched = {t: c for t in uniq
                    if (c := self._cache.get(t)) is not None}

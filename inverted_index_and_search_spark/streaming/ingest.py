@@ -178,10 +178,14 @@ class StreamingIndexWriter:
         )
 
     # --------------------------------------------------------- compact
-    def compact(self, spark: SparkSession, index_dir: str) -> None:
+    def compact(self, spark: SparkSession, index_dir: str, *,
+                forward: bool = False) -> None:
         """Fold all delta segments into the canonical index layout
-        (identical to a one-shot batch build over the same docs)."""
-        ib.write_index(self.live_index(spark), index_dir)
+        (identical to a one-shot batch build over the same docs).
+        ``forward=True`` also emits the doc-bucketed forward layout
+        (r5) — the live tf relation is exactly what it derives from,
+        so streamed indexes get the doc->terms access path too."""
+        ib.write_index(self.live_index(spark), index_dir, forward=forward)
 
     def compact_segments(self, spark: SparkSession, seg_dir: str) -> None:
         """Fold all deltas into the COMPRESSED segment layout (the

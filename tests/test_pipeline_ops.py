@@ -259,3 +259,32 @@ def test_ppm_codec_roundtrip_and_features(spark):
         assert (r["height"], r["width"]) == px.shape[:2]
         for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
             assert abs(r[col] - px[:, :, ch].mean()) < 1e-6
+
+
+# ------------------------------------------- codec properties (hypothesis)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(hst.lists(hst.integers(min_value=-32768, max_value=32767),
+                 min_size=0, max_size=400))
+def test_wav_roundtrip_property(samples):
+    import numpy as np
+
+    smp = np.asarray(samples, dtype=np.int16)
+    sr, back = mm.decode_wav(mm.encode_wav(smp))
+    assert sr == mm.WAV_SR
+    assert np.array_equal(back, smp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(hst.integers(min_value=1, max_value=12),
+       hst.integers(min_value=1, max_value=12), hst.data())
+def test_ppm_roundtrip_property(h, w, data):
+    import numpy as np
+
+    raw = data.draw(hst.binary(min_size=h * w * 3, max_size=h * w * 3))
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(px)), px)

@@ -273,3 +273,19 @@ def test_sharded_positional_segments_phrase_identical(spark, docs_df,
     for a, b, w in NEAR_CASES[:3]:
         assert seg.near_docs(sh, a, b, w) == seg.near_docs(
             psegs, a, b, w), (a, b, w)
+
+
+def test_phrase_server_hot_term_routes_distributed(psegs):
+    """r5: a phrase containing an uncached term hotter than
+    max_term_df_warm routes through the distributed batch phrase
+    kernel — score parity with the warm path, nothing decoded into the
+    cursor cache (phrases routinely contain stop-word-class terms,
+    whose POSITION arrays are the largest the server can be asked to
+    decode)."""
+    phrase = ["def", "trait"]
+    want = seg.QueryServer(psegs).phrase_topk(phrase, k=10)
+    bounded = seg.QueryServer(psegs, max_term_df_warm=2)
+    got = bounded.phrase_topk(phrase, k=10)
+    assert [(d, round(s, 6)) for d, s in got] == \
+           [(d, round(s, 6)) for d, s in want] and got
+    assert not bounded._cache

@@ -287,3 +287,26 @@ def test_analyzer_ingest_matches_batch_build(spark, docs_df, tmp_path):
     assert got == want
     # the stopped words really are gone from the streamed index
     assert not any(r[0] in ("def", "return") for r in got)
+
+
+def test_compact_emits_forward_layout(spark, docs_df, tmp_path):
+    """compact(forward=True): a streamed index gains the doc-bucketed
+    forward layout, and MLT over it equals the postings-scan path."""
+    import dataclasses
+
+    from inverted_index_and_search_spark.operators import query as q
+
+    chunks_dir = str(tmp_path / "fwd_chunks")
+    docs = docs_df.select("doc_id", "content")
+    docs.coalesce(2).write.mode("append").parquet(chunks_dir)
+    out = str(tmp_path / "fwd_ingest")
+    writer = ingest.ingest_stream(spark, chunks_dir, out)
+    idx_dir = str(tmp_path / "fwd_compacted")
+    writer.compact(spark, idx_dir, forward=True)
+    back = ib.read_index(spark, idx_dir)
+    assert back.forward is not None
+    n = back.collection_stats()[0]
+    got = [tuple(r) for r in q.doc_profile(back, 3, n).limit(5).collect()]
+    want = [tuple(r) for r in q.doc_profile(
+        dataclasses.replace(back, forward=None), 3, n).limit(5).collect()]
+    assert got == want and got
