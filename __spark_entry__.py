@@ -1247,11 +1247,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dd.exact_dup_groups(_aug_docs(s, d)),
         # exact n-gram Jaccard baseline + the LSH scale path folded
         # into one part-tagged row (each part vs its own oracle)
+        # part=clusters (r5): connected components over the LSH pairs —
+        # the keep-one-per-cluster curation step; folded into the pair
+        # row's schema as (doc_a=doc_id, doc_b=cluster_id, jaccard=0)
         "dedup_jaccard_pairs": lambda s, d: (
             dd.ngram_jaccard_pairs(_aug_docs(s, d))
             .select(F.lit("ngram").alias("part"), "*")
             .unionByName(dd.minhash_lsh_pairs(_aug_docs(s, d))
-                         .select(F.lit("minhash_lsh").alias("part"), "*"))),
+                         .select(F.lit("minhash_lsh").alias("part"), "*"))
+            .unionByName(
+                dd.neardup_clusters(dd.minhash_lsh_pairs(_aug_docs(s, d)))
+                .select(F.lit("clusters").alias("part"),
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("cluster_id").alias("doc_b"),
+                        F.lit(0.0).alias("jaccard")))),
         "simhash_dedup": _q_simhash_dedup,
         "symbol_defs": _q_symbol_defs,
         "dedup_embedding_cosine": lambda s, d: dd.embedding_neardup_pairs(_aug_emb(s, d)),
@@ -1870,7 +1879,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dd.exact_dup_groups_sql(_aug),
         "dedup_jaccard_pairs": _part_sql([
             ("ngram", dd.ngram_jaccard_sql(_aug)),
-            ("minhash_lsh", dd.minhash_lsh_sql(_aug))]),
+            ("minhash_lsh", dd.minhash_lsh_sql(_aug)),
+            ("clusters", f"""
+SELECT doc_id AS doc_a, cluster_id AS doc_b, 0.0 AS jaccard
+FROM ({dd.neardup_clusters_sql(dd.minhash_lsh_sql(_aug)).strip()})""")]),
         "simhash_dedup": f"""
 SELECT 'fp' AS part, doc_id::BIGINT AS a, (-1)::BIGINT AS b,
        simhash::VARCHAR AS v

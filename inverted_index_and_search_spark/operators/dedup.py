@@ -544,3 +544,74 @@ SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b, {cos} AS cosine
 FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """
+
+
+# --------------------------------------------- near-dup clustering (r5)
+
+def neardup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over a near-dup
+    PAIRS relation: the curation step after pair detection ("keep one
+    doc per cluster"); cluster_id = the component's minimum doc_id
+    (the canonical survivor). Only docs appearing in pairs are emitted
+    — singletons are implicitly their own cluster, so the output stays
+    candidate-sized, never corpus-sized.
+
+    Algorithm: iterative min-label propagation (the simple-union shape
+    of the public MapReduce connected-components literature — Kiveris
+    et al.'s iterated-star family reduces to this on the near-clique
+    graphs dedup produces): each round, every node adopts the minimum
+    label among itself and its neighbors. Converges in O(diameter)
+    rounds; dedup components are near-cliques (every member pairs with
+    most others), so diameter is tiny — the ``max_iter`` bound is a
+    pathological-chain backstop, and the loop exits early on the first
+    round with no label change (one cheap count per round). Each round
+    is one join + one hash agg on (node/label) pairs — edge-relation
+    sized, shuffled on uniform doc ids, no skew."""
+    edges = pairs.select(
+        F.col(pairs.columns[0]).cast("long").alias("a"),
+        F.col(pairs.columns[1]).cast("long").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.persist()
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .select("node", F.col("node").alias("comp")).persist())
+    labels.count()
+    for _ in range(int(max_iter)):
+        neigh = (sym.join(labels, sym["b"] == labels["node"])
+                 .groupBy(F.col("a").alias("node"))
+                 .agg(F.min("comp").alias("n_comp")))
+        new = (labels.join(neigh, "node", "left")
+               .select("node",
+                       F.least(F.col("comp"),
+                               F.coalesce(F.col("n_comp"), F.col("comp")))
+                       .alias("comp")).persist())
+        new.count()
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .where(F.col("n.comp") != F.col("o.comp")).limit(1)
+                   .count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("comp").alias("cluster_id"))
+
+
+def neardup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB twin: transitive closure by recursive CTE (fine at
+    fixture scale), component id = min reachable node."""
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql.strip()}),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION SELECT doc_b, doc_a FROM p
+),
+reach(s, t) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a
+)
+SELECT s::BIGINT AS doc_id, min(t)::BIGINT AS cluster_id
+FROM reach GROUP BY s
+"""

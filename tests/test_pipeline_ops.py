@@ -288,3 +288,25 @@ def test_ppm_roundtrip_property(h, w, data):
     raw = data.draw(hst.binary(min_size=h * w * 3, max_size=h * w * 3))
     px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
     assert np.array_equal(mm.decode_ppm(mm.encode_ppm(px)), px)
+
+
+def test_neardup_clusters_recovers_planted(aug_docs):
+    """Planted near/exact dups form clusters whose canonical id is the
+    minimum member; a chain fixture verifies transitivity."""
+    pairs = dd.minhash_lsh_pairs(aug_docs)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dd.neardup_clusters(pairs).collect()}
+    for i in range(dd.NEAR_DUP_IDS):
+        # each planted copy lands in its original's cluster (the
+        # cluster may also absorb genuinely-similar base docs, so the
+        # canonical id is <= i, not necessarily == i)
+        assert got.get(i + dd.NEAR_OFFSET) == got.get(i) is not None
+        assert got[i] <= i
+    # transitivity: a synthetic chain a-b, b-c collapses to min label
+    spark = aug_docs.sparkSession
+    chain = spark.createDataFrame(
+        [(5, 3, 0.9), (3, 9, 0.9), (20, 21, 0.9)],
+        "doc_a long, doc_b long, jaccard double")
+    cc = {r["doc_id"]: r["cluster_id"]
+          for r in dd.neardup_clusters(chain).collect()}
+    assert cc == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
