@@ -214,6 +214,22 @@ def main() -> None:
         extra["dedup_minhash_sec"] = round(queries["dedup_minhash"], 3)
         extra["dedup_pairs"] = n_pairs
 
+        # r5: the clustering step over those pairs (keep-one-per-
+        # cluster curation). Pair detection is already timed above, so
+        # the pairs are materialized UNTIMED first (localCheckpoint)
+        # and the cell measures only the label-propagation iterations
+        # — pairs-relation-sized joins, a few rounds.
+        from inverted_index_and_search_spark.operators.dedup import (
+            neardup_clusters,
+        )
+        pairs_cp = dd.minhash_lsh_pairs(
+            dedup_in, max_bucket_size=50,
+            max_shingle_df=max(100, n_synth // 20)).localCheckpoint()
+        t0 = time.perf_counter()
+        n_clustered = neardup_clusters(pairs_cp).count()
+        extra["dedup_cluster_sec"] = round(time.perf_counter() - t0, 3)
+        extra["dedup_clustered_docs"] = n_clustered
+
         # --- ANN quality: recall@10 of IVF probing (k-means cells)
         # vs exact brute-force cosine over the sf embeddings table
         from inverted_index_and_search_spark.operators import similarity as sim

