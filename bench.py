@@ -230,6 +230,16 @@ def main() -> None:
         extra["dedup_cluster_sec"] = round(time.perf_counter() - t0, 3)
         extra["dedup_clustered_docs"] = n_clustered
 
+        # --- r5: heavy-hitters sketch over the synth corpus — one
+        # Arrow pass, no token shuffle (vs the full postings agg the
+        # exact stats need)
+        from inverted_index_and_search_spark.functions.sketches import (
+            top_terms_sketch,
+        )
+        t0 = time.perf_counter()
+        top_terms_sketch(corpus, k=20, m=4096).collect()
+        extra["sketch_top_terms_sec"] = round(time.perf_counter() - t0, 3)
+
         # --- ANN quality: recall@10 of IVF probing (k-means cells)
         # vs exact brute-force cosine over the sf embeddings table
         from inverted_index_and_search_spark.operators import similarity as sim

@@ -1,0 +1,132 @@
+"""Heavy-hitters sketch: approximate top-k terms in ONE bounded-memory
+pass — the vocabulary-scale profiling primitive a 100 TB pipeline runs
+before it can even size an index build (hot-term detection, stopword
+candidate mining, skew planning) without paying a full (term, count)
+shuffle.
+
+Public design: Misra-Gries frequency summaries (Misra & Gries 1982),
+merged across partitions by counter-wise summation — the merge is
+itself a valid Misra-Gries summary with ADDITIVE error bounds (Agarwal
+et al., "Mergeable Summaries", PODS 2012). Guarantees, with m counters
+per partition and N total tokens:
+
+- every term whose true global count exceeds the summed decrement
+  bound appears in the merged summary (no false negatives above it);
+- for every reported term, est <= true <= est + bound, where bound is
+  the sum of per-partition decrement counts (each <= N_partition / (m+1)).
+
+Spark shape: one Arrow ``mapInPandas`` pass emits each partition's
+<= m surviving (pid, term, est, dec) counters — per-partition state is
+O(m), output is P x m rows (tiny) — then a single hash aggregation
+merges them. No token-level shuffle anywhere; the exact (term, doc,
+tf) pipeline this approximates shuffles the entire corpus vocabulary.
+``index_build.hot_terms_from_docs`` samples documents instead; the
+sketch reads EVERY token, so it cannot miss a hot term that hides in
+unsampled docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["misra_gries_py", "misra_gries_partials", "top_terms_sketch"]
+
+#: counters per partition: error bound is ~N_partition / m
+DEFAULT_COUNTERS = 1024
+
+
+def misra_gries_py(tokens, m: int) -> tuple[dict[str, int], int]:
+    """(counters, n_decrements) — the classic m-counter Misra-Gries
+    pass over a token iterable; pure-python twin used by the Arrow
+    stage and the tests."""
+    counters: dict[str, int] = {}
+    dec = 0
+    for t in tokens:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < m:
+            counters[t] = 1
+        else:
+            dec += 1
+            dead = [u for u, c in counters.items() if c == 1]
+            for u in counters:
+                counters[u] -= 1
+            for u in dead:
+                del counters[u]
+    return counters, dec
+
+
+def misra_gries_partials(docs: DataFrame, *, content_col: str = "content",
+                         m: int = DEFAULT_COUNTERS,
+                         tokenizer: str = "standard") -> DataFrame:
+    """(pid, term, est, dec) — each partition's surviving Misra-Gries
+    counters plus the partition's decrement count ``dec`` (replicated
+    per row; ``pid`` identifies the partition so the merged error
+    bound sums one dec per partition). One Arrow pass, O(m) state,
+    <= m output rows per partition."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from inverted_index_and_search_spark.tokenizer import tokenizer_py
+
+    tok = tokenizer_py(tokenizer)
+
+    def sketch(batches):
+        counters: dict[str, int] = {}
+        dec = 0
+        for pdf in batches:
+            for s in pdf[content_col]:
+                if s is None:
+                    continue
+                for t in tok(s):
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < m:
+                        counters[t] = 1
+                    else:
+                        dec += 1
+                        dead = [u for u, c in counters.items() if c == 1]
+                        for u in counters:
+                            counters[u] -= 1
+                        for u in dead:
+                            del counters[u]
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({
+            "pid": pd.Series([pid] * len(counters), dtype="int32"),
+            "term": pd.Series(list(counters), dtype="object"),
+            "est": pd.Series(list(counters.values()), dtype="int64"),
+            "dec": pd.Series([dec] * len(counters), dtype="int64"),
+        })
+
+    return docs.select(content_col).mapInPandas(
+        sketch, schema="pid int, term string, est long, dec long")
+
+
+def top_terms_sketch(docs: DataFrame, k: int = 20, *,
+                     content_col: str = "content",
+                     m: int = DEFAULT_COUNTERS,
+                     tokenizer: str = "standard") -> DataFrame:
+    """(term, est, est_max) — the approximate top-``k`` terms by
+    frequency, est desc / term asc. ``est`` is a LOWER bound on the
+    true count; ``est_max = est + sum(per-partition decrement
+    bounds)`` an upper bound (mergeable-summaries guarantee), so any
+    term whose true count exceeds that summed bound is guaranteed
+    present in the merged summary — the sketch cannot silently miss a
+    genuinely hot term.
+
+    One mapInPandas pass + two tiny aggregations over the P x m
+    summary rows — the only exchange carries the summaries, never
+    tokens. The partials are materialized once (localCheckpoint) so
+    the bound probe and the merge don't re-run the corpus pass."""
+    partials = misra_gries_partials(
+        docs, content_col=content_col, m=m,
+        tokenizer=tokenizer).localCheckpoint()
+    bound = (partials.groupBy("pid").agg(F.max("dec").alias("d"))
+             .agg(F.sum("d")).collect()[0][0]) or 0
+    return (partials.groupBy("term")
+            .agg(F.sum("est").cast("long").alias("est"))
+            .withColumn("est_max",
+                        (F.col("est") + F.lit(int(bound))).cast("long"))
+            .orderBy(F.col("est").desc(), F.col("term").asc())
+            .limit(int(k)))
