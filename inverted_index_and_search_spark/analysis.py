@@ -259,7 +259,12 @@ def lang_tf_arrow(docs, la: LangAnalyzer, *, content_col: str = "content",
                 toks = [code_tokenize_py(s) if s is not None else []
                         for s in pdf[content_col]]
             else:
-                toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
+                # fillna: .str.findall yields NaN for a null row and
+                # list(words) would raise inside the batch loop — mirror
+                # the code branch's null guard (JVM twin drops null
+                # content via explode(null), i.e. zero terms)
+                toks = (pdf[content_col].fillna("")
+                        .str.lower().str.findall(_PY_TOKEN))
             ids, terms, tfs = [], [], []
             for doc_id, lang, words in zip(pdf[id_col], pdf[lang_col],
                                            toks):

@@ -92,6 +92,20 @@ def misra_gries_partials(docs: DataFrame, *, content_col: str = "content",
                         for u in dead:
                             del counters[u]
         pid = TaskContext.get().partitionId()
+        if not counters and dec > 0:
+            # a partition can end with dec>0 and NO surviving counters
+            # (e.g. tokens [a,b,c] with m=2): emit one NULL-term
+            # sentinel so the merged error bound still sums this
+            # partition's decrements — dropping it would understate
+            # est_max and break the no-false-negative guarantee
+            # (r5 advisor finding #2)
+            yield pd.DataFrame({
+                "pid": pd.Series([pid], dtype="int32"),
+                "term": pd.Series([None], dtype="object"),
+                "est": pd.Series([0], dtype="int64"),
+                "dec": pd.Series([dec], dtype="int64"),
+            })
+            return
         yield pd.DataFrame({
             "pid": pd.Series([pid] * len(counters), dtype="int32"),
             "term": pd.Series(list(counters), dtype="object"),
@@ -124,7 +138,8 @@ def top_terms_sketch(docs: DataFrame, k: int = 20, *,
         tokenizer=tokenizer).localCheckpoint()
     bound = (partials.groupBy("pid").agg(F.max("dec").alias("d"))
              .agg(F.sum("d")).collect()[0][0]) or 0
-    return (partials.groupBy("term")
+    return (partials.where(F.col("term").isNotNull())  # drop dec sentinels
+            .groupBy("term")
             .agg(F.sum("est").cast("long").alias("est"))
             .withColumn("est_max",
                         (F.col("est") + F.lit(int(bound))).cast("long"))

@@ -583,6 +583,7 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .select("node", F.col("node").alias("comp"))
               .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(int(max_iter)):
         neigh = (sym.join(labels, sym["b"] == labels["node"])
                  .groupBy(F.col("a").alias("node"))
@@ -599,6 +600,18 @@ def neardup_clusters(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # a component whose diameter exceeds max_iter (a long pair
+        # chain, not the near-clique shape dedup produces) would get
+        # MULTIPLE cluster ids if we returned silently — surface it
+        # (r5 advisor finding #3)
+        import warnings
+
+        warnings.warn(
+            f"neardup_clusters: labels still changing after max_iter="
+            f"{max_iter} rounds (component diameter exceeds the bound); "
+            "cluster ids may split one true component — raise max_iter",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("comp").alias("cluster_id"))
 

@@ -938,7 +938,18 @@ class GrepServer:
         Java-only syntax Python re cannot compile (possessive
         quantifiers, ``\\p{Lu}`` classes) verifies via rlike on the
         same candidates instead of raising; candidate sets past
-        max_docs_cached verify distributed like :meth:`substring`."""
+        max_docs_cached verify distributed like :meth:`substring`.
+
+        DIVERGENCE NOTE (r5 advisor): verification semantics flip
+        between engines with candidate cardinality — warm (<=
+        max_docs_cached candidates) verifies with Python ``re.search``,
+        larger sets / hot grams with Java ``rlike``. For the shared
+        regex core the two agree, but patterns where Python and Java
+        regex differ (Unicode ``\\d``/``\\w`` class tables, mid-pattern
+        inline flags like ``(?i:...)``, ``\\p{...}`` classes) can
+        return different doc sets depending on how many candidates the
+        gram probe yields. Callers needing ONE fixed semantics should
+        use :func:`regex_search` directly (always Java rlike)."""
         req: list[str] = []
         for lit in required_literals(
                 pattern, fold_case_index=self.tidx.case_insensitive):

@@ -147,9 +147,14 @@ def term_doc_tf_arrow(docs: DataFrame, *, content_col: str = "content",
         from collections import Counter
         for pdf in batches:
             if code:
-                toks = [code_tokenize_py(s) for s in pdf[content_col]]
+                toks = [code_tokenize_py(s) if s is not None else []
+                        for s in pdf[content_col]]
             else:
-                toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
+                # fillna: null content must yield zero terms (the JVM
+                # twin's explode(null) drops the row), not a NaN that
+                # crashes the batch loop
+                toks = (pdf[content_col].fillna("")
+                        .str.lower().str.findall(_PY_TOKEN))
             ids, terms, tfs = [], [], []
             for doc_id, words in zip(pdf[id_col], toks):
                 c = Counter(words if analyze is None else analyze(words))

@@ -117,9 +117,13 @@ def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
     def collect_pos(batches):
         for pdf in batches:
             if code:
-                toks = [code_tokenize_py(s) for s in pdf[content_col]]
+                toks = [code_tokenize_py(s) if s is not None else []
+                        for s in pdf[content_col]]
             else:
-                toks = pdf[content_col].str.lower().str.findall(_PY_TOKEN)
+                # fillna: null content must yield zero terms (JVM twin
+                # drops it via explode(null)), not a NaN that crashes
+                toks = (pdf[content_col].fillna("")
+                        .str.lower().str.findall(_PY_TOKEN))
             if analyze is not None:
                 toks = [analyze(ws) for ws in toks]
             ids, terms, tfs, poss = [], [], [], []
