@@ -63,6 +63,13 @@ JACCARD_T = 0.6
 SIMHASH_MAX_HAMMING = 3
 #: embedding near-dup cosine threshold
 COSINE_T = 0.99
+#: LSH verification broadcasts the candidate docs' shingle arrays to
+#: both pair joins when their probed size is under this bound (config
+#: via env for cluster runs); larger candidate sets fall back to
+#: shuffle joins. ~128 MB is comfortably inside executor memory and
+#: far under Spark's 8 GB broadcast cap.
+VERIFY_BROADCAST_MAX_BYTES = int(__import__("os").environ.get(
+    "IIS_VERIFY_BROADCAST_MAX_BYTES", 128 << 20))
 
 #: planted-duplicate offsets (see module docstring)
 NEAR_DUP_IDS = 20
@@ -165,9 +172,21 @@ def _shingles_over_tokens(dialect: str, n: int = SHINGLE_N,
     expression textually into the transform() lambda, so Spark
     re-tokenized the whole document once per shingle position: O(L^2)
     regex work per doc, measured >=400x slower (VERDICT r01 #1). A
-    column reference inside the lambda is evaluated once per row."""
+    column reference inside the lambda is evaluated once per row.
+
+    Spark-side gram (r6): direct subscripts + concat, NOT
+    ``concat_ws(' ', slice(tk, i, n))`` — slice allocates a fresh array
+    per shingle position and measured ~6x slower (4.0 s vs 0.6 s for a
+    20k-doc corpus pass); output is byte-identical (equality-probed; the
+    sequence range keeps every 0-based subscript in bounds, so ANSI
+    mode never trips). The DuckDB twin keeps its original slice form —
+    the oracle replicates semantics, not Spark's physical expression."""
     if dialect == SPARK:
-        gram = f"i -> concat_ws(' ', slice({tk}, i, {n}))"
+        # 1-based i from the sequence -> 0-based subscripts i-1 .. i+n-2
+        parts = ", ' ', ".join(
+            f"{tk}[i - 1]" if j == 0 else f"{tk}[i + {j - 1}]"
+            for j in range(n))
+        gram = f"i -> concat({parts})"
         seq = _seq1(f"size({tk}) - {n - 1}", dialect)
     else:
         gram = f"i -> array_to_string(list_slice({tk}, i, i + {n - 1}), ' ')"
@@ -175,11 +194,37 @@ def _shingles_over_tokens(dialect: str, n: int = SHINGLE_N,
     return _adistinct(_transform(seq, gram, dialect), dialect)
 
 
+def shingle_arrays(docs: DataFrame, *, text_col: str = "text",
+                   n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh: array<string>) — each doc's distinct word n-gram
+    shingle SET as one array row, computed map-side with array
+    expressions (no tokenize shuffle, no explode). The un-exploded form
+    is the scale-preferred shape: signatures and candidate verification
+    both work per-doc, so keeping shingles as arrays lets those stages
+    run map-side instead of re-grouping an exploded relation (guide
+    §2.4 — remove shuffles outright). Tokens are bound once per row as
+    a column; the shingle lambda references it."""
+    bound = docs.select(
+        "doc_id", F.expr(tokens_expr(text_col, SPARK)).alias("tk"))
+    return bound.select(
+        "doc_id", F.expr(_shingles_over_tokens(SPARK, n)).alias("sh"))
+
+
 def shingle_df(docs: DataFrame, *, text_col: str = "text",
                n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per doc, computed
     map-side with array expressions (no tokenize shuffle). Tokens are
-    bound once per row as a column; the shingle lambda references it."""
+    bound once per row as a column; the shingle lambda references it.
+
+    NOT expressed as ``shingle_arrays(...).select(explode(sh))``:
+    the single-use ``sh`` alias lets CollapseProject substitute the
+    whole shingle expression into the Generate input, where the
+    ``slice(tk, i, n)`` lambda body then re-evaluates the TOKENIZER per
+    shingle position — the round-1 O(L^2) scale-killer, reintroduced
+    and re-measured this round (455 s vs 27 s cold at 20k docs) before
+    the plan gate caught it. The direct explode keeps ``tk`` bound
+    (multi-use aliases are never collapsed); plan-gated in
+    tests/test_plans.py."""
     bound = docs.select(
         "doc_id", F.expr(tokens_expr(text_col, SPARK)).alias("tk"))
     arr = F.expr(_shingles_over_tokens(SPARK, n))
@@ -254,6 +299,45 @@ def _minhash_aggs() -> list[Column]:
     ]
 
 
+def _minhash_array_cols() -> list[Column]:
+    """The same K min-hashes computed MAP-SIDE over a per-doc shingle
+    ARRAY column ``sh``: sig_i = array_min(transform(sh, md5('i:'||s))).
+    Value-identical to :func:`_minhash_aggs` over the exploded relation
+    (array_min and the min aggregate use the same UTF8 binary ordering;
+    md5-hex is ASCII) but with zero shuffle — the groupBy(doc_id)
+    exchange of every shingle row disappears (guide §2.4)."""
+    return [
+        F.array_min(F.transform(
+            "sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+        )).alias(f"sig_{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
+def _filtered_shingle_arrays(raw: DataFrame,
+                             max_shingle_df: int | None) -> DataFrame:
+    """(doc_id, sh) with boilerplate shingles removed, map-side.
+
+    The hot set (shingles in more than ``max_shingle_df`` docs) is the
+    ONLY thing that needs a global pass; it is aggregated to a single
+    collect_list row and broadcast, and the removal itself is a per-row
+    ``array_except`` — no anti-join of the exploded relation, no second
+    persisted copy (the r5 path cached the shingle rows twice, raw and
+    filtered). ``raw`` should already be persisted by the caller when
+    it feeds several consumers."""
+    if max_shingle_df is None:
+        return raw
+    hot = (raw.select(F.explode("sh").alias("shingle"))
+           .groupBy("shingle").count()
+           .where(F.col("count") > max_shingle_df)
+           .agg(F.collect_list("shingle").alias("hot_arr")))
+    # one tiny row (possibly with an empty array) — broadcast it and
+    # subtract per doc; array_except keeps the left array's order and
+    # the inputs are already distinct, so this is exact set difference
+    return (raw.crossJoin(F.broadcast(hot))
+            .select("doc_id", F.array_except("sh", "hot_arr").alias("sh")))
+
+
 def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
     """Boilerplate guard: shingles present in more than max_shingle_df
     docs carry no dedup signal (license headers, shared keyword runs)
@@ -268,11 +352,18 @@ def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
 def minhash_signatures(docs: DataFrame, *, text_col: str = "text",
                        n: int = SHINGLE_N,
                        max_shingle_df: int | None = None) -> DataFrame:
-    """(doc_id, sig_0..sig_{K-1}) — one groupBy(doc_id); the K mins are
-    partial-aggregated map-side so shuffle volume is K hashes per doc."""
-    sh = _drop_hot_shingles(
-        shingle_df(docs, text_col=text_col, n=n), max_shingle_df)
-    return sh.groupBy("doc_id").agg(*_minhash_aggs())
+    """(doc_id, sig_0..sig_{K-1}) — computed MAP-SIDE from each doc's
+    shingle array (zero shuffle; r5 grouped an exploded relation by
+    doc_id). Docs whose filtered shingle set is empty emit no row,
+    exactly like the groupBy formulation."""
+    # the persist is ALSO an optimizer barrier: without it, the
+    # size(sh) > 0 filter pushes below both projections and inlines the
+    # tokenizer into the shingle lambda — the O(L^2) collapse the plan
+    # gate guards against (tests/test_plans.py)
+    raw = shingle_arrays(docs, text_col=text_col, n=n).persist()
+    arrs = _filtered_shingle_arrays(raw, max_shingle_df)
+    return (arrs.where(F.size("sh") > 0)
+            .select("doc_id", *_minhash_array_cols()))
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
@@ -298,28 +389,41 @@ def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
     ``None`` for both keeps exact LSH semantics (what the driver
     oracle replicates).
 
-    The shingle relation feeds both the signature pass and the
-    candidate-verification pass, so it is persisted once (round-1
-    recomputed the full tokenize+shingle pipeline for each — VERDICT
-    r01 #1); the cache lives for the returned plan's lifetime. The RAW
-    relation is persisted BEFORE the hot-shingle filter so the
-    boilerplate-df detection pass and the anti-join read the same cache
-    instead of each re-running tokenize+shingle.
+    Shape (r6 rewrite — guide §2.4, remove shuffles outright): the
+    per-doc shingle ARRAY relation is computed once, map-side, and
+    persisted as |docs| array rows (the r5 path cached the EXPLODED
+    relation twice — raw and hot-filtered — and re-grouped it by
+    doc_id for signatures and again for verification). Signatures are
+    now pure map-side expressions over the array (``_minhash_array_
+    cols``); the boilerplate filter is a broadcast ``array_except``;
+    verification reads the candidate docs' arrays straight off the
+    cache. The only shuffles left are the hot-shingle df count (the
+    one genuinely global pass over shingles), the banded candidate
+    self-join, and the tiny candidate/distinct exchanges — the two
+    corpus-sized groupBy(doc_id) exchanges are gone. Output is
+    byte-identical to the r5 formulation (equality-tested).
     """
-    sh = shingle_df(docs, text_col=text_col, n=n).persist()
+    raw = shingle_arrays(docs, text_col=text_col, n=n).persist()
+    arrs = _filtered_shingle_arrays(raw, max_shingle_df)
     if max_shingle_df is not None:
-        sh = _drop_hot_shingles(sh, max_shingle_df).persist()
-    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
+        # feeds the signature pass AND candidate verification: persist
+        # the FILTERED arrays too, else array_except (and the broadcast
+        # hot-set aggregation behind it) re-runs per consumer
+        arrs = arrs.persist()
+    sig = (arrs.where(F.size("sh") > 0)
+           .select("doc_id", F.size("sh").alias("nsh"),
+                   *_minhash_array_cols()))
     bands = F.array(*[
         F.md5(F.concat_ws("|", *[F.col(f"sig_{b * LSH_ROWS + r}")
                                  for r in range(LSH_ROWS)]))
         for b in range(LSH_BANDS)
     ])
     # persisted: consumed by the bucket-size filter AND both sides of
-    # the candidate self-join — without the cache the 12-way min-hash
-    # aggregation over every shingle row re-runs up to 3x
+    # the candidate self-join — without the cache the map-side min-hash
+    # pass over every shingle array re-runs up to 3x
     banded = sig.select(
-        "doc_id", F.posexplode(bands).alias("band", "bucket")).persist()
+        "doc_id", "nsh",
+        F.posexplode(bands).alias("band", "bucket")).persist()
     if max_bucket_size is not None:
         big = (banded.groupBy("band", "bucket").count()
                .where(F.col("count") > max_bucket_size)
@@ -327,27 +431,59 @@ def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
         banded = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
+    # LENGTH-FILTER prune inside the join condition (exact — the size
+    # upper bound J <= min(|A|,|B|)/max(|A|,|B|) is the standard
+    # similarity-join length filter, e.g. Xiao et al., WWW'08): a pair
+    # whose shingle-set sizes already disprove jaccard >= threshold can
+    # never reach the output, so it is dropped BEFORE the distinct and
+    # before any array is touched. The 1e-6 slack keeps the bound safe
+    # against the output's round(j, 6) (which can raise a value by at
+    # most 5e-7). Measured: 833k -> far fewer verified pairs on the
+    # 200k-doc synth corpus, where banding is unselective.
+    size_ok = (F.least(F.col("a.nsh"), F.col("b.nsh"))
+               >= (float(threshold) - 1e-6)
+               * F.greatest(F.col("a.nsh"), F.col("b.nsh")))
+    # persisted: feeds the verification join's stream side AND (twice)
+    # the candidate-doc id set below — three scans of the self-join
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & size_ok)
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+            .distinct()
+            .persist())
     # exact-Jaccard verification restricted to the candidate pairs —
-    # the whole point of LSH. The shingle sets of candidate DOCS only
-    # (candidates << corpus at web scale) are re-collected into per-doc
-    # arrays (one small shuffle), attached to each pair by two doc-id
-    # joins, and the Jaccard evaluates MAP-SIDE via array_intersect —
-    # no per-(pair, shared-shingle) row explosion, no shuffle of the
-    # full shingle relation (a round-2 intermediate shipped ~4M rows
-    # through two joins even with zero true duplicates).
+    # the whole point of LSH. The candidate docs' shingle ARRAYS come
+    # straight off the cached per-doc relation (no explode, no
+    # collect_list re-grouping), attached to each pair by two doc-id
+    # joins; the Jaccard evaluates MAP-SIDE via array_intersect.
+    #
+    # Join strategy matters here (guide §3.1, measured 8.4 s -> 1.x s
+    # at sf0.1): LSH-candidate pairs outnumber candidate DOCS ~10:1,
+    # and the un-hinted plan shuffled every pair row carrying one-or-
+    # two fat shingle arrays through two exchanges. The candidate-doc
+    # array relation is small by LSH construction, so when a cheap
+    # map-side size probe says it fits (default 128 MB) it is
+    # BROADCAST to both joins — the pair relation then streams through
+    # two BroadcastHashJoins and no shingle array ever crosses an
+    # exchange. Oversized candidate sets (a pathological corpus at
+    # warehouse scale) keep the shuffle-join fallback.
     cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
                  .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
-    arrs = (sh.join(cand_docs, "doc_id", "left_semi")
-            .groupBy("doc_id").agg(F.collect_list("shingle").alias("arr")))
-    va = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
-    vb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    varr = arrs.join(cand_docs, "doc_id", "left_semi")
+    est_bytes = varr.agg(F.coalesce(F.sum(F.aggregate(
+        F.transform("sh", lambda s: F.length(s).cast("long") + 40),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)),
+        F.lit(0).cast("long"))).collect()[0][0]
+    if est_bytes <= VERIFY_BROADCAST_MAX_BYTES:
+        varr = F.broadcast(varr)
+    # else: sort-merge fallback — spills gracefully; a shuffle-hash
+    # hint was measured neutral here (the exchanges dominate, not the
+    # sorts), so the safer strategy stays
+    va = varr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("arr_a"))
+    vb = varr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("arr_b"))
     i = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
     union = F.size("arr_a") + F.size("arr_b") - i
     j = F.round(i / union, 6)

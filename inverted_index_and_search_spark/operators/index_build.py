@@ -487,9 +487,30 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite",
          .sortWithinPartitions("term_bucket", "term")
          .write.mode(mode).partitionBy("term_bucket")
          .parquet(f"{out_dir}/postings"))
-        index.doc_stats.write.mode(mode).parquet(f"{out_dir}/doc_stats")
-        write_dictionary(spark, f"{out_dir}/postings", f"{out_dir}/dictionary",
-                         mode=mode)
+        # the two SIDE tables are independent once the postings (and the
+        # tf cache it materialized) exist: doc_stats reads docs + the tf
+        # cache, the dictionary reads the just-written parquet. Submit
+        # them from two driver threads so the second job's tasks
+        # back-fill executors freed by the first's tail (guide §2.6);
+        # job-description/locality state is thread-local, so each job
+        # stays correctly labelled.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        def _doc_stats():
+            index.doc_stats.write.mode(mode).parquet(f"{out_dir}/doc_stats")
+
+        def _dictionary():
+            write_dictionary(spark, f"{out_dir}/postings",
+                             f"{out_dir}/dictionary", mode=mode,
+                             distinct=index.sharded)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(inheritable_thread_target(f))
+                    for f in (_doc_stats, _dictionary)]
+            for f in futs:
+                f.result()
         if forward:
             write_forward_index(index, out_dir, mode=mode)
         # persist the bucketing modulus: query-time pruning recomputes
@@ -513,7 +534,8 @@ def write_index(index: Index, out_dir: str, *, mode: str = "overwrite",
 
 def write_dictionary(spark: SparkSession, postings_dir: str, out_dir: str,
                      *, mode: str = "overwrite",
-                     n_partitions: int = 16) -> None:
+                     n_partitions: int = 16,
+                     distinct: bool = True) -> None:
     """SORTED term-dictionary secondary index beside a persisted
     postings/segments layout: distinct (term, term_bucket), globally
     range-partitioned and sorted by term.
@@ -527,9 +549,16 @@ def write_dictionary(spark: SparkSession, postings_dir: str, out_dir: str,
     terms then drive the ordinary bucket-pruned postings fetch. Derived
     from the ALREADY-WRITTEN parquet (a narrow term-column scan), never
     from the build pipeline — repartitionByRange's sampling pass would
-    otherwise re-execute the whole aggregation."""
-    (spark.read.parquet(postings_dir)
-     .select("term", "term_bucket").distinct()
+    otherwise re-execute the whole aggregation.
+
+    ``distinct=False`` skips the de-dup shuffle: a NON-sharded layout
+    has exactly one row per term already, so the distinct exchange is
+    pure overhead there (callers pass ``index.sharded``); sharded
+    layouts (hot-term posting shards) keep it."""
+    rows = spark.read.parquet(postings_dir).select("term", "term_bucket")
+    if distinct:
+        rows = rows.distinct()
+    (rows
      .repartitionByRange(n_partitions, "term")
      .sortWithinPartitions("term")
      .write.mode(mode).parquet(out_dir))

@@ -100,9 +100,14 @@ def boolean_and(index: Index, terms: list[str]) -> DataFrame:
     exploded = qp.select("term", F.explode("postings").alias("p")).select(
         "term", F.col("p.doc_id").alias("doc_id")
     )
+    # count(*) == count(distinct term): the exploded relation is unique
+    # per (term, doc) by layout construction (one posting struct per doc;
+    # sharded layouts split a term's postings by doc hash, so a doc
+    # appears in exactly one shard row). Dropping the distinct removes
+    # the extra aggregation layer the distinct-agg rewrite inserts.
     return (
         exploded.groupBy("doc_id")
-        .agg(F.countDistinct("term").alias("n_matched"))
+        .agg(F.count("*").alias("n_matched"))
         .filter(F.col("n_matched") == len(norm))
         .select("doc_id")
         .orderBy("doc_id")
@@ -590,6 +595,8 @@ def bm25_scores(index: Index, norm: list[str]) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("term_score").alias("score"),
-            F.countDistinct("term").alias("n_matched"),
+            # unique per (term, doc) by layout construction (see
+            # boolean_and) — count(*) avoids the distinct-agg rewrite
+            F.count("*").alias("n_matched"),
         )
     )

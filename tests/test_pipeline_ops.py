@@ -80,6 +80,82 @@ def test_lsh_subset_of_exact_jaccard(aug_docs):
     assert lsh <= exact
 
 
+def _minhash_lsh_pairs_r5(docs, *, max_bucket_size=None,
+                          max_shingle_df=None,
+                          threshold=dd.JACCARD_T):
+    """The round-5 exploded-relation formulation, kept verbatim as the
+    equality reference for the r6 map-side array rewrite."""
+    from pyspark.sql import functions as F
+
+    sh = dd.shingle_df(docs).persist()
+    if max_shingle_df is not None:
+        sh = dd._drop_hot_shingles(sh, max_shingle_df).persist()
+    sig = sh.groupBy("doc_id").agg(*dd._minhash_aggs())
+    bands = F.array(*[
+        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * dd.LSH_ROWS + r}")
+                                 for r in range(dd.LSH_ROWS)]))
+        for b in range(dd.LSH_BANDS)
+    ])
+    banded = sig.select(
+        "doc_id", F.posexplode(bands).alias("band", "bucket")).persist()
+    if max_bucket_size is not None:
+        big = (banded.groupBy("band", "bucket").count()
+               .where(F.col("count") > max_bucket_size)
+               .select("band", "bucket"))
+        banded = banded.join(F.broadcast(big), ["band", "bucket"],
+                             "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    arrs = (sh.join(cand_docs, "doc_id", "left_semi")
+            .groupBy("doc_id").agg(F.collect_list("shingle").alias("arr")))
+    va = arrs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("arr").alias("arr_a"))
+    vb = arrs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("arr").alias("arr_b"))
+    i = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    union = F.size("arr_a") + F.size("arr_b") - i
+    j = F.round(i / union, 6)
+    return (cand.join(va, "doc_a").join(vb, "doc_b")
+            .select("doc_a", "doc_b", j.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},
+    {"max_bucket_size": 50, "max_shingle_df": 100},  # the bench config
+    {"max_shingle_df": 3},                           # aggressive filter
+])
+def test_minhash_lsh_pairs_matches_r5_formulation(aug_docs, kwargs):
+    """r6 map-side array rewrite ≡ r5 exploded groupBy formulation,
+    byte-for-byte, across the guard configurations."""
+    new = sorted(tuple(r) for r in
+                 dd.minhash_lsh_pairs(aug_docs, **kwargs).collect())
+    old = sorted(tuple(r) for r in
+                 _minhash_lsh_pairs_r5(aug_docs, **kwargs).collect())
+    assert new == old and new
+
+
+def test_minhash_signatures_map_side_matches_agg(aug_docs):
+    """Map-side array signatures ≡ the groupBy(min) formulation."""
+    from pyspark.sql import functions as F
+
+    new = sorted(tuple(r) for r in
+                 dd.minhash_signatures(aug_docs,
+                                       max_shingle_df=100).collect())
+    sh = dd._drop_hot_shingles(dd.shingle_df(aug_docs), 100)
+    old = sorted(tuple(r) for r in
+                 sh.groupBy("doc_id").agg(*dd._minhash_aggs()).collect())
+    assert new == old and new
+
+
 def test_simhash_exact_dup_distance_zero(aug_docs):
     fp = {r["doc_id"]: r["simhash"]
           for r in dd.simhash_fingerprints(aug_docs).collect()}

@@ -160,6 +160,25 @@ def test_shingle_plan_tokenizes_once_per_row(spark):
     assert "regexp_replace" not in plan, plan
 
 
+def test_shingle_array_and_signature_plans_tokenize_once(spark):
+    """The r6 map-side MinHash path must keep the same invariant: the
+    per-doc array relation and the signature projection over it must
+    evaluate the tokenizer once per ROW — CollapseProject substitutes
+    single-use aliases, and a tokenizer substituted into the shingle
+    transform's lambda body re-runs per shingle position (the O(L^2)
+    bug this round re-triggered via explode(sh) before the shingle_df
+    gate caught it). Multi-use aliases are never collapsed, which is
+    what keeps these plans safe — gate it."""
+    from inverted_index_and_search_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .selectExpr("doc_id", "text")
+    plan = explain(dd.shingle_arrays(docs))
+    assert plan.count("regexp_extract_all") == 1, plan
+    plan = explain(dd.minhash_signatures(docs))
+    assert plan.count("regexp_extract_all") == 1, plan
+
+
 def test_fingerprint_plan_normalizes_once_per_row(spark):
     """Same bug class: __norm must be a bound column, not re-evaluated
     per character position inside the k-gram lambda."""
@@ -308,8 +327,13 @@ def test_facet_counts_partial_agg_and_narrow_unpivot(spark):
                           docs, ["lang", "source"])
     plan = explain(res)
     assert "partial_count" in plan, plan
-    # the stack Generate consumes exactly the facet columns, nothing else
-    m = re.search(r"Generate\nInput \[(\d+)\]", plan)
+    # the STACK (unpivot) Generate consumes exactly the facet columns,
+    # nothing else. Match the stack node specifically: the boolean
+    # filter's postings-explode Generate also appears in this plan (and
+    # since r6's count(*) change its input prunes to [postings] alone,
+    # so it can precede the stack node in the formatted listing).
+    m = re.search(r"Generate[^\n]*\nInput \[(\d+)\][^\n]*\n"
+                  r"Arguments: stack", plan)
     assert m and int(m.group(1)) == 2, plan
 
 
