@@ -120,6 +120,13 @@ class TrigramIndex:
     #: (kernels/codec — the same wire as term segments); queries decode
     #: distributed, results identical to the flat layout (tested)
     compressed: bool = False
+    #: rows are unique per (gram, doc): true for every built/compacted/
+    #: persisted layout (the build emits distinct grams per doc,
+    #: compaction dedups, compressed shards partition docs). Only the
+    #: UN-compacted LSM live view can hold a resurrected doc's
+    #: duplicate rows — it sets False and candidate counting then
+    #: pays the distinct aggregate; everyone else skips it (r6).
+    unique_rows: bool = True
 
 
 def build_trigram_index(docs: DataFrame, *, content_col: str = "content",
@@ -329,8 +336,14 @@ def _candidates(tidx: TrigramIndex, grams: list[str]) -> DataFrame:
         F.col("gram_bucket").isin(buckets) & F.col("gram").isin(grams))
     if tidx.compressed:
         hits = decode_gram_postings(hits)
+    # unique layouts: plain count == distinct count, one aggregation
+    # layer (and its extra exchange) less per query; the LSM live view
+    # (unique_rows=False) keeps the distinct so resurrect duplicates
+    # stay harmless
+    n = (F.count("*") if tidx.unique_rows
+         else F.countDistinct("gram")).alias("n_grams")
     return (hits.groupBy("doc_id")
-            .agg(F.countDistinct("gram").alias("n_grams"))
+            .agg(n)
             .where(F.col("n_grams") == len(grams))
             .select("doc_id"))
 
@@ -556,8 +569,10 @@ class TrigramIndexWriter:
       kill STRICTLY earlier ingests of that doc; later re-ingests
       resurrect (update = delete then re-ingest, exactly the term
       writer's discipline);
-    - ``live_index``: union of live delta rows — candidate counting
-      uses countDistinct, so a resurrect's duplicate rows are harmless;
+    - ``live_index``: union of live delta rows — it marks the index
+      ``unique_rows=False`` so candidate counting uses countDistinct
+      and a resurrect's duplicate rows stay harmless (built/compacted
+      layouts skip that distinct);
     - ``compact``: rewrites the canonical layout (flat or compressed)
       from the live rows; physically purges tombstoned docs.
     """
@@ -622,7 +637,8 @@ class TrigramIndexWriter:
             F.countDistinct("doc_id").cast("long").alias("df"))
         return TrigramIndex(grams=flat, stats=stats,
                             n_buckets=self.n_buckets,
-                            case_insensitive=self.case_insensitive)
+                            case_insensitive=self.case_insensitive,
+                            unique_rows=False)
 
     # ---------------------------------------------------------- compact
     def compact(self, spark, dest: str, *, compressed: bool = False) -> None:
