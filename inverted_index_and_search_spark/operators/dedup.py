@@ -472,7 +472,10 @@ def minhash_lsh_pairs(docs: DataFrame, *, text_col: str = "text",
     cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
                  .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
-    varr = arrs.join(cand_docs, "doc_id", "left_semi")
+    # persisted: the size probe (a separate action) and BOTH va/vb
+    # subtrees consume this semi-join — without the cache the distinct
+    # + semi-join re-run once per consumer
+    varr = arrs.join(cand_docs, "doc_id", "left_semi").persist()
     est_bytes = varr.agg(F.coalesce(F.sum(F.aggregate(
         F.transform("sh", lambda s: F.length(s).cast("long") + 40),
         F.lit(0).cast("long"), lambda acc, x: acc + x)),
