@@ -248,7 +248,7 @@ def lang_tf_arrow(docs, la: LangAnalyzer, *, content_col: str = "content",
     import pandas as pd
 
     from inverted_index_and_search_spark.tokenizer import (
-        _PY_TOKEN, code_tokenize_py)
+        code_tokenize_py, tokenize_batch)
 
     code = tokenizer == "code"
 
@@ -259,12 +259,10 @@ def lang_tf_arrow(docs, la: LangAnalyzer, *, content_col: str = "content",
                 toks = [code_tokenize_py(s) if s is not None else []
                         for s in pdf[content_col]]
             else:
-                # fillna: .str.findall yields NaN for a null row and
-                # list(words) would raise inside the batch loop — mirror
-                # the code branch's null guard (JVM twin drops null
-                # content via explode(null), i.e. zero terms)
-                toks = (pdf[content_col].fillna("")
-                        .str.lower().str.findall(_PY_TOKEN))
+                # tokenize_batch: ASCII fast path, null-safe (zero
+                # terms — mirrors the code branch's guard and the JVM
+                # twin's explode(null) row drop)
+                toks = tokenize_batch(pdf[content_col])
             ids, terms, tfs = [], [], []
             for doc_id, lang, words in zip(pdf[id_col], pdf[lang_col],
                                            toks):

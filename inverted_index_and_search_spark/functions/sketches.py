@@ -69,7 +69,7 @@ def misra_gries_partials(docs: DataFrame, *, content_col: str = "content",
     from pyspark import TaskContext
 
     from inverted_index_and_search_spark.tokenizer import (
-        _PY_TOKEN, tokenizer_py)
+        tokenize_batch, tokenizer_py)
 
     tok = tokenizer_py(tokenizer)
     standard = tokenizer == "standard"
@@ -108,8 +108,7 @@ def misra_gries_partials(docs: DataFrame, *, content_col: str = "content",
         from collections import Counter
         for pdf in batches:
             if standard:
-                toks = (pdf[content_col].fillna("")
-                        .str.lower().str.findall(_PY_TOKEN))
+                toks = tokenize_batch(pdf[content_col])
             else:
                 toks = [tok(s) if s is not None else []
                         for s in pdf[content_col]]

@@ -137,7 +137,7 @@ def term_doc_tf_arrow(docs: DataFrame, *, content_col: str = "content",
     import pandas as pd
 
     from inverted_index_and_search_spark.tokenizer import (
-        _PY_TOKEN, code_tokenize_py)
+        code_tokenize_py, tokenize_batch)
 
     analyze = (None if analyzer is None or analyzer.is_identity
                else analyzer.analyze_py)
@@ -150,11 +150,10 @@ def term_doc_tf_arrow(docs: DataFrame, *, content_col: str = "content",
                 toks = [code_tokenize_py(s) if s is not None else []
                         for s in pdf[content_col]]
             else:
-                # fillna: null content must yield zero terms (the JVM
-                # twin's explode(null) drops the row), not a NaN that
-                # crashes the batch loop
-                toks = (pdf[content_col].fillna("")
-                        .str.lower().str.findall(_PY_TOKEN))
+                # tokenize_batch: ASCII translate+split fast path
+                # (~1.75x the regex), null-safe (zero terms, matching
+                # the JVM twin's explode(null) row drop)
+                toks = tokenize_batch(pdf[content_col])
             ids, terms, tfs = [], [], []
             for doc_id, words in zip(pdf[id_col], toks):
                 c = Counter(words if analyze is None else analyze(words))

@@ -108,7 +108,7 @@ def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
     import pandas as pd
 
     from inverted_index_and_search_spark.tokenizer import (
-        _PY_TOKEN, code_tokenize_py)
+        code_tokenize_py, tokenize_batch)
 
     code = tokenizer == "code"
     analyze = (None if analyzer is None or analyzer.is_identity
@@ -120,10 +120,9 @@ def term_doc_positions_arrow(docs: DataFrame, *, content_col: str = "content",
                 toks = [code_tokenize_py(s) if s is not None else []
                         for s in pdf[content_col]]
             else:
-                # fillna: null content must yield zero terms (JVM twin
-                # drops it via explode(null)), not a NaN that crashes
-                toks = (pdf[content_col].fillna("")
-                        .str.lower().str.findall(_PY_TOKEN))
+                # tokenize_batch: ASCII fast path, null-safe (zero
+                # terms, matching the JVM twin's explode(null) drop)
+                toks = tokenize_batch(pdf[content_col])
             if analyze is not None:
                 toks = [analyze(ws) for ws in toks]
             ids, terms, tfs, poss = [], [], [], []

@@ -77,3 +77,15 @@ def test_findall_form_equals_strip_split_form(text):
     kernels is token-identical to the canonical strip+split oracle on
     arbitrary unicode input."""
     assert _PY_TOKEN.findall(text.lower()) == tokenize_py(text)
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=500, deadline=None)
+def test_batch_fast_path_equals_oracle(text):
+    """tokenize_batch (the r6 ASCII translate+split fast path with the
+    Unicode regex fallback — the shared Arrow-kernel hot loop) is
+    token-identical to the oracle on arbitrary unicode input, and
+    null-tolerant."""
+    from inverted_index_and_search_spark.tokenizer import tokenize_batch
+
+    assert tokenize_batch([text, None]) == [tokenize_py(text), []]
